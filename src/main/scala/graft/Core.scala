@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** One declared engine capability: a Spark implementation plus (when the
+  * semantics are SQL-expressible) an equivalent ANSI SQL string the driver
+  * runs through DuckDB on the same parquet tables.
+  *
+  * Column names of `fn`'s result and the oracle SQL MUST match — the
+  * driver's compare sorts columns by name before hashing.
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None,
+)
+
+/** Loaders for the driver-generated harness tables (TESTDATA.md).
+  * All inputs are parquet; filters/projections declared downstream are
+  * pushed into the scan by Catalyst (verify via .explain: PushedFilters /
+  * ReadSchema).
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}
+
+/** Numeric helpers shared by the query catalog.
+  *
+  * Floating-point sums are order-dependent, and Spark's shuffle order is
+  * nondeterministic — a plain sum(double) can differ in its last bits
+  * between runs and between engines, which breaks hash-comparison against
+  * the DuckDB oracle. `dsum` sums through an exact DECIMAL, then casts the
+  * exact result back to double: bit-identical in any execution order and
+  * in any engine. This is also the right call at 100 TB — decimal partial
+  * aggregates stay in Tungsten codegen and cost ~nothing relative to the
+  * shuffle they ride on.
+  */
+object Num {
+  /** Order-independent double sum: cast each term to DECIMAL(28,6), sum
+    * exactly, cast back. SQL mirror: CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE).
+    */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(28, 6))).cast("double")
+
+  /** Order-independent mean built from dsum / count. */
+  def davg(c: Column): Column = (dsum(c) / count(c)).cast("double")
+
+  /** SQL fragments mirroring dsum/davg for DuckDB oracle strings. */
+  def dsumSql(x: String): String = s"CAST(SUM(CAST(($x) AS DECIMAL(28,6))) AS DOUBLE)"
+  def davgSql(x: String): String = s"(${dsumSql(x)} / COUNT($x))"
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-group sequential upper-IQR outlier filter.
+  *
+  * Re-expresses the reference's `remove_outliers_by_class`
+  * (`/root/reference/src/preprocessing.py:69-113`) Spark-first: instead of
+  * pandas' group-iterate-concat, each column pass is
+  * groupBy→agg(percentile)→broadcast-join→filter, so the big side never
+  * shuffles — only the tiny per-group bounds table moves.
+  *
+  * Pinned reference semantics:
+  *   - columns are filtered **sequentially**: pass N's quantiles are
+  *     computed on the survivors of pass N-1 (preprocessing.py:96-108
+  *     rebinds `filtered`);
+  *   - **upper bound only**: drop rows with value > Q3 + k·IQR
+  *     (README.md:47-54 confirms no lower bound);
+  *   - a group is left unfiltered for a column when it has <2 non-null
+  *     values (preprocessing.py:97) or IQR == 0 (preprocessing.py:104);
+  *   - rows whose value is null in the filtered column are dropped in
+  *     filtered groups (pandas `NaN <= x` → False) but kept in skipped
+  *     groups;
+  *   - rows with a null group key are dropped entirely when
+  *     `dropNullKeys` (pandas groupby drops NaN keys — a documented
+  *     reference behavior we replicate, see SURVEY.md §2 D1).
+  *
+  * Scale: the bounds side is ≤ #groups rows → always broadcast. The data
+  * side is scanned once per column pass; callers with expensive upstream
+  * plans should cache the input. Exact `percentile` is a full-sort-per-
+  * group aggregate — at 100 TB swap `exact=false` to use
+  * `approx_percentile` (t-digest, single pass, mergeable) at a bounded
+  * accuracy cost.
+  */
+object IqrOutlierFilter {
+  def apply(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCols: Seq[String],
+      k: Double = 1.5,
+      dropNullKeys: Boolean = true,
+      exact: Boolean = true): DataFrame = {
+    var cur =
+      if (dropNullKeys) df.filter(groupCols.map(col(_).isNotNull).reduce(_ && _))
+      else df
+    for (c <- valueCols) {
+      val pct =
+        if (exact) (p: String) => expr(s"percentile($c, $p)")
+        else (p: String) => expr(s"approx_percentile($c, $p, 10000)")
+      val bounds = cur
+        .groupBy(groupCols.map(col): _*)
+        .agg(
+          pct("0.25").as("__q1"),
+          pct("0.75").as("__q3"),
+          count(col(c)).as("__cnt"))
+        .withColumn("__ub", col("__q3") + lit(k) * (col("__q3") - col("__q1")))
+      cur = cur
+        .join(broadcast(bounds), groupCols, "inner")
+        .filter(
+          col("__cnt") < 2 ||
+            (col("__q3") - col("__q1")) === 0.0 ||
+            (col(c).isNotNull && col(c) <= col("__ub")))
+        .drop("__q1", "__q3", "__cnt", "__ub")
+    }
+    cur
+  }
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+/** Text-pipeline expression builders: dedup fingerprints, MinHash, SimHash,
+  * n-gram shingles, token counts.
+  *
+  * Every operator here is a **pure per-row expression** (higher-order
+  * array functions, no explode, no UDF): it runs inside whole-stage
+  * codegen, shuffles nothing, and scales linearly — the right shape for a
+  * 100 TB document corpus. Each builder emits the Spark SQL form and the
+  * DuckDB oracle form from the same code path so the two can't drift.
+  *
+  * The shared primitive is a 60-bit hash derived from md5 — the one hash
+  * both engines compute identically (murmur/xxhash implementations
+  * differ). 15 hex chars = 60 bits < 63, so the BIGINT cast never
+  * overflows.
+  */
+object TextOps {
+
+  /** 60-bit deterministic hash of a string expression, both dialects. */
+  def hash60Spark(e: String): String =
+    s"cast(conv(substr(md5($e), 1, 15), 16, 10) as bigint)"
+  def hash60Duck(e: String): String =
+    s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
+  def wordsSpark(text: String): String = s"split($text, ' ')"
+  def wordsDuck(text: String): String = s"string_split($text, ' ')"
+
+  /** MinHash signature component i over the word set (1-gram shingles):
+    * min over words of hash60(i ':' word). k components → k calls.
+    * Per-row array fold — no explode/groupBy needed.
+    */
+  def minhashSpark(i: Int, text: String = "text"): String =
+    s"array_min(transform(${wordsSpark(text)}, w -> ${hash60Spark(s"concat('$i:', w)")}))"
+  def minhashDuck(i: Int, text: String = "text"): String =
+    s"list_aggregate(list_transform(${wordsDuck(text)}, w -> ${hash60Duck(s"'$i:' || w")}), 'min')"
+
+  /** LSH band key: md5 of the concatenated signature slice. bands×rowsPerBand
+    * signature components; band b covers components [b*rows, (b+1)*rows).
+    */
+  def bandSpark(b: Int, rowsPerBand: Int, text: String = "text"): String = {
+    val parts = (b * rowsPerBand until (b + 1) * rowsPerBand)
+      .map(i => s"cast(${minhashSpark(i, text)} as string)").mkString(", '_', ")
+    s"md5(concat($parts))"
+  }
+  def bandDuck(b: Int, rowsPerBand: Int, text: String = "text"): String = {
+    val parts = (b * rowsPerBand until (b + 1) * rowsPerBand)
+      .map(i => s"${minhashDuck(i, text)}::VARCHAR").mkString(" || '_' || ")
+    s"md5($parts)"
+  }
+
+  /** Word n-gram shingle array (distinct), for Jaccard similarity. */
+  def ngramsSpark(n: Int, text: String = "text"): String = {
+    val w = wordsSpark(text)
+    s"""array_distinct(
+       |  CASE WHEN size($w) >= $n
+       |  THEN transform(sequence(0, size($w) - $n), i -> concat_ws(' ', slice($w, i + 1, $n)))
+       |  ELSE array($text) END)""".stripMargin
+  }
+  def ngramsDuck(n: Int, text: String = "text"): String = {
+    val w = wordsDuck(text)
+    s"""list_distinct(
+       |  CASE WHEN len($w) >= $n
+       |  THEN list_transform(range(1, len($w) - ${n - 2}), i -> array_to_string($w[i:i+${n - 1}], ' '))
+       |  ELSE [$text] END)""".stripMargin
+  }
+
+  /** Jaccard similarity of two (distinct-element) array columns. */
+  def jaccardSpark(a: String, b: String): String =
+    s"cast(size(array_intersect($a, $b)) as double) / size(array_distinct(concat($a, $b)))"
+  def jaccardDuck(a: String, b: String): String =
+    s"CAST(len(list_intersect($a, $b)) AS DOUBLE) / len(list_distinct(list_concat($a, $b)))"
+
+  /** SimHash over a precomputed word-hash array column `hs`
+    * (array<bigint>): for each of `bits` bit positions, sum +1/-1 votes
+    * across word hashes; bit j of the result is 1 iff the vote is
+    * positive.
+    */
+  def simhashSpark(hs: String, bits: Int): String = {
+    val terms = (0 until bits).map { j =>
+      s"""shiftleft(CASE WHEN aggregate($hs, 0,
+         | (acc, h) -> acc + (CASE WHEN (shiftright(h, $j) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+         | THEN cast(1 as bigint) ELSE cast(0 as bigint) END, $j)""".stripMargin
+    }
+    terms.mkString("(", " + ", ")")
+  }
+  def simhashDuck(hs: String, bits: Int): String = {
+    val terms = (0 until bits).map { j =>
+      s"""(CASE WHEN list_sum(list_transform($hs,
+         | h -> CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+         | THEN 1::BIGINT ELSE 0::BIGINT END << $j)""".stripMargin
+    }
+    terms.mkString("(", " + ", ")")
+  }
+
+  /** Word-hash array (the `hs` input for simhash). */
+  def wordHashesSpark(text: String = "text"): String =
+    s"transform(${wordsSpark(text)}, w -> ${hash60Spark("w")})"
+  def wordHashesDuck(text: String = "text"): String =
+    s"list_transform(${wordsDuck(text)}, w -> ${hash60Duck("w")})"
+
+  /** Content fingerprint: md5 over the sorted distinct word set —
+    * order-insensitive document identity for near-dup blocking.
+    */
+  def fingerprintSpark(text: String = "text"): String =
+    s"md5(concat_ws(' ', array_sort(array_distinct(${wordsSpark(text)}))))"
+  def fingerprintDuck(text: String = "text"): String =
+    s"md5(array_to_string(list_sort(list_distinct(${wordsDuck(text)})), ' '))"
+}

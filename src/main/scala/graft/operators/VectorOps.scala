@@ -1,0 +1,43 @@
+package graft.operators
+
+/** Embedding-vector expressions over `array<float>`/`array<double>`
+  * columns: dot product, L2 norm, cosine similarity — all per-row
+  * higher-order-function folds (codegen'd, no UDF, no shuffle).
+  *
+  * Vectors must be cast to array<double> upstream: float→double keeps the
+  * folds bit-identical with the DuckDB oracle (both engines then fold
+  * doubles in list order).
+  */
+object VectorOps {
+  def dotSpark(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+
+  def norm2Spark(a: String): String =
+    s"sqrt(aggregate($a, 0D, (acc, v) -> acc + v * v))"
+
+  def cosineSpark(a: String, b: String): String =
+    s"(${dotSpark(a, b)} / nullif(${norm2Spark(a)} * ${norm2Spark(b)}, 0D))"
+
+  def dotDuck(a: String, b: String): String = s"list_dot_product($a, $b)"
+
+  def cosineDuck(a: String, b: String): String =
+    s"(list_dot_product($a, $b) / nullif(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)), 0))"
+
+  /** Deterministic random-hyperplane LSH bucket id over `dim`-dimensional
+    * vectors with `planes` hyperplanes: plane p's component d is a
+    * pseudo-random value in [-0.5, 0.5) derived from md5(p,d) — fully
+    * deterministic, no RNG state, identical across runs and engines.
+    * Bucket = integer whose bit p is sign(v · plane_p).
+    */
+  def lshBucketSpark(vec: String, dim: Int, planes: Int): String = {
+    val terms = (0 until planes).map { p =>
+      // component d of plane p: (hash60("p:d") % 1000003) / 1000003.0 - 0.5
+      val dot =
+        s"""aggregate(zip_with($vec, transform(sequence(0, ${dim - 1}),
+           | d -> (pmod(${TextOps.hash60Spark(s"concat('$p:', cast(d as string))")}, 1000003) / 1000003.0D) - 0.5D),
+           | (x, y) -> x * y), 0D, (acc, v) -> acc + v)""".stripMargin
+      s"shiftleft(CASE WHEN $dot > 0 THEN cast(1 as bigint) ELSE cast(0 as bigint) END, $p)"
+    }
+    terms.mkString("(", " + ", ")")
+  }
+}
