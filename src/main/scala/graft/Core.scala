@@ -28,7 +28,40 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS) — Spark has no nanosecond
+      // timestamp type and refuses the file outright. Read nanos as raw
+      // long and truncate to microseconds (floor division), exactly how
+      // DuckDB truncates on CAST(ts_ns AS TIMESTAMP) — oracle SQL casts
+      // ts the same way so both engines compare at µs.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
+
+  /** Streaming read of the events table (same µs truncation as the batch
+    * path; the declared schema must be the RAW footer schema — ts as
+    * long nanos — because conversion happens after the source).
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    // FileStreamSource insists on a directory path (it manages its own
+    // basePath); the harness table is a single file. Stage a symlink to
+    // it in a per-sfDir temp directory and stream that directory.
+    val stage = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      s"graft_events_stream_${Integer.toHexString(dir.hashCode)}")
+    java.nio.file.Files.createDirectories(stage)
+    val link = stage.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+    spark.readStream.schema(rawSchema).parquet(stage.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
 }
 
 /** Numeric helpers shared by the query catalog.

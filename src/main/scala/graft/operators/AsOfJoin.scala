@@ -10,20 +10,20 @@ import org.apache.spark.sql.functions._
   * join + per-row max, which Catalyst plans as a broadcast-nested-loop —
   * O(n·m) and hopeless at scale. This instead uses the union + windowed
   * last-value pattern: tag both sides, union them, and carry the most
-  * recent right-side value forward with `last(_, ignoreNulls=true)` over
+  * recent right-side values forward with `last(_, ignoreNulls=true)` over
   * an ordered window per key. Cost is one shuffle + sort on
   * (keys, time) — same as a sort-merge join — and it scales to any data
   * size as long as the keys partition the stream (no global
   * single-partition window).
   *
-  * Semantics: for each left row, attach `rightValueCol` from the right
+  * Semantics: for each left row, attach `rightValueCols` from the right
   * row with the greatest `rightTime <= leftTime` and equal keys
-  * (left outer: unmatched left rows keep null). Ties on time resolve to
+  * (left outer: unmatched left rows keep nulls). Ties on time resolve to
   * the right row (right rows sort before left rows at the same instant),
   * matching ASOF JOIN's `>=` convention; duplicate right rows at the same
   * (key, time) resolve to the greatest `rightTieBreak` — pass a unique
   * column to make the join deterministic. `left` must not already contain
-  * a column named `rightValueCol`.
+  * any of `rightValueCols`.
   */
 object AsOfJoin {
   def apply(
@@ -32,25 +32,28 @@ object AsOfJoin {
       keys: Seq[String],
       leftTime: String,
       rightTime: String,
-      rightValueCol: String,
+      rightValueCols: Seq[String],
       rightTieBreak: String): DataFrame = {
-    require(!left.columns.contains(rightValueCol),
-      s"left side already has column $rightValueCol")
+    require(rightValueCols.forall(!left.columns.contains(_)),
+      s"left side already has one of ${rightValueCols.mkString(",")}")
+    val rvAliased = rightValueCols.map(c => col(c).as(s"__rv_$c"))
     val rTagged = right
       .select((keys.map(col) :+ col(rightTime).as("__t") :+
-        col(rightValueCol).as("__rv") :+ col(rightTieBreak).as("__tie")): _*)
-      .withColumn("__side", lit(0))
+        col(rightTieBreak).as("__tie")) ++ rvAliased: _*)
+      .withColumn("__side", lit(1))
     val lTagged = left
       .withColumn("__t", col(leftTime))
-      .withColumn("__side", lit(1))
+      .withColumn("__side", lit(2)) // left sorts after right at equal time
     val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
     val w = Window
       .partitionBy(keys.map(col): _*)
       .orderBy(col("__t"), col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    unioned
-      .withColumn(rightValueCol, last(col("__rv"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
-      .select((left.columns.map(col) :+ col(rightValueCol)): _*)
+    val withVals = rightValueCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(col(s"__rv_$c"), ignoreNulls = true).over(w))
+    }
+    withVals
+      .filter(col("__side") === 2)
+      .select((left.columns ++ rightValueCols).map(col): _*)
   }
 }

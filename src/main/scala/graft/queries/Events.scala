@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Num, QueryDef, Tables}
+import graft.operators.AsOfJoin
+
+/** Event-stream capability catalog: JSON extraction, as-of joins,
+  * event-time tumbling windows via Structured Streaming, and
+  * sessionization — the streaming surface SURVEY.md §2's "absent
+  * categories" note says the harness demands.
+  */
+object Events {
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+  import Num.dsumSql
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- JSON scalar extraction + bucketed aggregation
+    QueryDef(
+      "q27_json_extract",
+      (s, d) =>
+        t(s, d, "events")
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+          .groupBy(col("event_type"), (col("k") % 10).as("k_mod"))
+          .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("sum_value")),
+      Some(s"""
+        SELECT event_type,
+               CAST(json_extract_string(props, '$$.k') AS INTEGER) % 10 AS k_mod,
+               count(*) AS n,
+               ${dsumSql("value")} AS sum_value
+        FROM events GROUP BY 1, 2""")),
+
+    // ---- as-of join: each purchase matched to the user's most recent
+    // prior (or simultaneous) click. Union + per-key window sort — one
+    // shuffle, no inequality nested-loop join; scales with key count.
+    QueryDef(
+      "q28_asof_join",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("click_event_id"), col("ts").as("click_ts"))
+        AsOfJoin(purchases, clicks,
+          keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+          rightValueCols = Seq("click_event_id", "click_ts"),
+          rightTieBreak = "click_event_id")
+          .select(
+            col("event_id"), col("user_id"), col("click_event_id"),
+            (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("wait_us"))
+      },
+      Some("""
+        SELECT p.event_id, p.user_id, c.event_id AS click_event_id,
+               epoch_us(p.ts) - epoch_us(c.ts) AS wait_us
+        FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+              WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+                        WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts""")),
+
+    // ---- event-time tumbling window, executed through Structured
+    // Streaming (file source → windowed agg → memory sink). Complete
+    // output mode so the batch-equivalent result is fully emitted; the
+    // watermark/append/late-data path is exercised in StreamingSpec.
+    QueryDef(
+      "q29_stream_tumbling",
+      (s, d) => {
+        val stream = Tables.eventsStream(s, d)
+        val agg = stream
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("sum_value"))
+        val sinkName = s"graft_stream_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val q = agg.writeStream
+          .outputMode("complete")
+          .format("memory")
+          .queryName(sinkName)
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+        s.table(sinkName).select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"), col("sum_value"))
+      },
+      Some(s"""
+        SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, count(*) AS n, ${dsumSql("value")} AS sum_value
+        FROM events GROUP BY 1, 2""")),
+
+    // ---- sessionization: 30-minute-gap session windows per user
+    QueryDef(
+      "q30_sessionization",
+      (s, d) => {
+        val sessions = t(s, d, "events")
+          .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+          .agg(count(lit(1)).as("n_ev"))
+        sessions.groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n_sessions"),
+            sum("n_ev").as("n_events"),
+            max("n_ev").as("max_session_events"))
+      },
+      Some("""
+        WITH flagged AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                      THEN 1 ELSE 0 END AS new_session
+          FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        sessioned AS (
+          SELECT user_id,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM flagged),
+        per_session AS (
+          SELECT user_id, session_id, count(*) AS n_ev
+          FROM sessioned GROUP BY user_id, session_id)
+        SELECT user_id, count(*) AS n_sessions, CAST(SUM(n_ev) AS BIGINT) AS n_events,
+               MAX(n_ev) AS max_session_events
+        FROM per_session GROUP BY user_id""")),
+  )
+}
