@@ -12,7 +12,9 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     graft.queries.Relational.defs ++
       graft.queries.WaferOps.defs ++
-      graft.queries.Events.defs
+      graft.queries.Events.defs ++
+      graft.queries.Text.defs ++
+      graft.queries.Vectors.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -25,26 +25,32 @@ object TextOps {
   def wordsSpark(text: String): String = s"split($text, ' ')"
   def wordsDuck(text: String): String = s"string_split($text, ' ')"
 
-  /** MinHash signature component i over the word set (1-gram shingles):
-    * min over words of hash60(i ':' word). k components → k calls.
-    * Per-row array fold — no explode/groupBy needed.
+  /** MinHash signature component i over word-3-gram shingles: min over
+    * shingles of hash60(i ':' shingle). k components → k calls. Per-row
+    * array fold — no explode/groupBy needed. 3-gram shingles (not single
+    * words): corpora share vocabularies, so 1-gram signatures collide on
+    * the globally-min-hashed common word and LSH degenerates to a near-
+    * cross-join; 3-gram space is |V|³ and keeps bands selective.
     */
-  def minhashSpark(i: Int, text: String = "text"): String =
-    s"array_min(transform(${wordsSpark(text)}, w -> ${hash60Spark(s"concat('$i:', w)")}))"
-  def minhashDuck(i: Int, text: String = "text"): String =
-    s"list_aggregate(list_transform(${wordsDuck(text)}, w -> ${hash60Duck(s"'$i:' || w")}), 'min')"
+  def minhashSpark(i: Int, shingles: String): String =
+    s"array_min(transform($shingles, w -> ${hash60Spark(s"concat('$i:', w)")}))"
+  def minhashDuck(i: Int, shingles: String): String =
+    s"list_aggregate(list_transform($shingles, w -> ${hash60Duck(s"'$i:' || w")}), 'min')"
 
-  /** LSH band key: md5 of the concatenated signature slice. bands×rowsPerBand
-    * signature components; band b covers components [b*rows, (b+1)*rows).
+  /** LSH band key over a precomputed shingle-array column: md5 of the
+    * concatenated signature slice. bands×rowsPerBand signature
+    * components; band b covers components [b*rows, (b+1)*rows). Pass a
+    * materialized shingle column (not the ngram expression inline) so
+    * the shingle array is computed once per row, not once per hash.
     */
-  def bandSpark(b: Int, rowsPerBand: Int, text: String = "text"): String = {
+  def bandSpark(b: Int, rowsPerBand: Int, shingles: String): String = {
     val parts = (b * rowsPerBand until (b + 1) * rowsPerBand)
-      .map(i => s"cast(${minhashSpark(i, text)} as string)").mkString(", '_', ")
+      .map(i => s"cast(${minhashSpark(i, shingles)} as string)").mkString(", '_', ")
     s"md5(concat($parts))"
   }
-  def bandDuck(b: Int, rowsPerBand: Int, text: String = "text"): String = {
+  def bandDuck(b: Int, rowsPerBand: Int, shingles: String): String = {
     val parts = (b * rowsPerBand until (b + 1) * rowsPerBand)
-      .map(i => s"${minhashDuck(i, text)}::VARCHAR").mkString(" || '_' || ")
+      .map(i => s"${minhashDuck(i, shingles)}::VARCHAR").mkString(" || '_' || ")
     s"md5($parts)"
   }
 

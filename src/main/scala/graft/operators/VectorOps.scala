@@ -29,6 +29,16 @@ object VectorOps {
     * deterministic, no RNG state, identical across runs and engines.
     * Bucket = integer whose bit p is sign(v · plane_p).
     */
+  def lshBucketDuck(vec: String, dim: Int, planes: Int): String = {
+    val terms = (0 until planes).map { p =>
+      val dot =
+        s"""list_sum(list_transform(range(0, $dim),
+           | d -> $vec[d + 1] * (((${TextOps.hash60Duck(s"'$p:' || d::VARCHAR")} % 1000003) / 1000003.0) - 0.5)))""".stripMargin
+      s"(CASE WHEN $dot > 0 THEN 1::BIGINT ELSE 0::BIGINT END << $p)"
+    }
+    terms.mkString("(", " + ", ")")
+  }
+
   def lshBucketSpark(vec: String, dim: Int, planes: Int): String = {
     val terms = (0 until planes).map { p =>
       // component d of plane p: (hash60("p:d") % 1000003) / 1000003.0 - 0.5

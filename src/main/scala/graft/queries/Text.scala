@@ -1,0 +1,210 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.operators.TextOps._
+
+/** LLM-data-pipeline text operators over the documents table: quality
+  * stats, language ID heuristics, token counting, fingerprinting, exact
+  * dedup, MinHash-LSH and SimHash near-dup, n-gram Jaccard similarity.
+  *
+  * Everything except the pair-joins is a per-row expression (whole-stage
+  * codegen, zero shuffle). The near-dup pair steps follow the standard
+  * LSH shape: per-row signature → band key → shuffle only on band key →
+  * candidate pairs. At 100 TB that is the only join that exists, and its
+  * fan-in is bounded by band-bucket size, not corpus size.
+  */
+object Text {
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  private val stopwords = Seq("the", "a")
+  private val stopListSql = stopwords.map(w => s"'$w'").mkString(", ")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- quality scoring: length/word/stopword stats
+    QueryDef(
+      "q40_text_stats",
+      (s, d) =>
+        t(s, d, "documents")
+          .withColumn("n_words", expr("size(split(text, ' '))"))
+          .withColumn("stop_hits",
+            expr(s"size(filter(split(text, ' '), w -> w IN ($stopListSql)))"))
+          .select(
+            col("doc_id"),
+            col("n_words").cast("long").as("n_words"),
+            (length(col("text")).cast("double") / col("n_words")).as("chars_per_word"),
+            (col("stop_hits").cast("double") / col("n_words")).as("stopword_ratio"),
+            round(
+              least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.5 +
+                (lit(1.0) - col("stop_hits").cast("double") / col("n_words")) * 0.5,
+              6).as("quality_score")),
+      Some(s"""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_word,
+               CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopListSql))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS stopword_ratio,
+               round(least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5 +
+                     (1.0 - CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopListSql))) AS DOUBLE)
+                            / len(string_split(text, ' '))) * 0.5, 6) AS quality_score
+        FROM documents""")),
+
+    // ---- language-ID heuristic: stopword-marker hit counts + argmax
+    QueryDef(
+      "q41_lang_guess",
+      (s, d) => {
+        def hits(words: Seq[String]) = {
+          val list = words.map(w => s"'$w'").mkString(", ")
+          expr(s"size(filter(split(text, ' '), w -> w IN ($list)))")
+        }
+        t(s, d, "documents")
+          .withColumn("en_score", hits(Seq("the", "a", "and", "of")))
+          .withColumn("noise_score", hits(Seq("zz", "qq")))
+          .select(
+            col("doc_id"), col("lang"),
+            col("en_score").cast("long").as("en_score"),
+            when(col("en_score") > col("noise_score") && col("en_score") >= 1, lit("en"))
+              .otherwise(lit("unknown")).as("lang_guess"))
+      },
+      Some("""
+        SELECT doc_id, lang,
+               CAST(len(list_filter(string_split(text, ' '),
+                    w -> w IN ('the', 'a', 'and', 'of'))) AS BIGINT) AS en_score,
+               CASE WHEN len(list_filter(string_split(text, ' '),
+                             w -> w IN ('the', 'a', 'and', 'of')))
+                         > len(list_filter(string_split(text, ' '), w -> w IN ('zz', 'qq')))
+                     AND len(list_filter(string_split(text, ' '),
+                             w -> w IN ('the', 'a', 'and', 'of'))) >= 1
+                    THEN 'en' ELSE 'unknown' END AS lang_guess
+        FROM documents""")),
+
+    // ---- token counting: whitespace + regex (BPE-ish greedy chunks)
+    QueryDef(
+      "q42_token_count",
+      (s, d) =>
+        t(s, d, "documents").select(
+          col("doc_id"),
+          expr("cast(size(split(text, ' ')) as bigint)").as("ws_tokens"),
+          expr("cast(size(regexp_extract_all(text, '[a-z]+', 0)) as bigint)").as("alpha_tokens"),
+          expr("cast(size(regexp_extract_all(text, '[a-z]{1,4}', 0)) as bigint)").as("bpe_ish_tokens")),
+      Some("""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS alpha_tokens,
+               CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS BIGINT) AS bpe_ish_tokens
+        FROM documents""")),
+
+    // ---- document fingerprints: exact hash + order-insensitive content hash
+    QueryDef(
+      "q43_fingerprint",
+      (s, d) =>
+        t(s, d, "documents").select(
+          col("doc_id"),
+          md5(col("text")).as("exact_md5"),
+          expr(fingerprintSpark()).as("content_fp")),
+      Some(s"""
+        SELECT doc_id, md5(text) AS exact_md5,
+               ${fingerprintDuck()} AS content_fp
+        FROM documents""")),
+
+    // ---- exact dedup: keep min doc_id per identical text
+    QueryDef(
+      "q44_dedup_exact",
+      (s, d) =>
+        t(s, d, "documents")
+          .groupBy(md5(col("text")).as("text_md5"))
+          .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies")),
+      Some("""
+        SELECT md5(text) AS text_md5, min(doc_id) AS keeper_doc_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY md5(text)""")),
+
+    // ---- MinHash signatures + LSH band keys (8 hashes, 4 bands of 2)
+    QueryDef(
+      "q45_minhash_bands",
+      (s, d) =>
+        t(s, d, "documents")
+          .withColumn("sh", expr(ngramsSpark(3)))
+          .select(
+            (col("doc_id") +:
+              (0 until 4).map(b => expr(bandSpark(b, 2, "sh")).as(s"band$b"))): _*),
+      Some(s"""
+        WITH shingled AS (SELECT doc_id, ${ngramsDuck(3)} AS sh FROM documents)
+        SELECT doc_id,
+               ${(0 until 4).map(b => s"${bandDuck(b, 2, "sh")} AS band$b").mkString(",\n               ")}
+        FROM shingled""")),
+
+    // ---- MinHash-LSH candidate pairs: docs sharing any band key
+    QueryDef(
+      "q46_minhash_pairs",
+      (s, d) => {
+        val sig = t(s, d, "documents")
+          .withColumn("sh", expr(ngramsSpark(3)))
+          .select(
+            (col("doc_id") +:
+              (0 until 4).map(b => expr(bandSpark(b, 2, "sh")).as(s"band$b"))): _*)
+        val stacked = sig.select(col("doc_id"),
+          posexplode(array((0 until 4).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band_key")))
+        val a = stacked.as("a")
+        val b = stacked.as("b")
+        a.join(b,
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_key") === col("b.band_key") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+      },
+      Some(s"""
+        WITH shingled AS (SELECT doc_id, ${ngramsDuck(3)} AS sh FROM documents),
+        sig AS (
+          SELECT doc_id,
+                 ${(0 until 4).map(b => s"${bandDuck(b, 2, "sh")} AS band$b").mkString(",\n                 ")}
+          FROM shingled),
+        stacked AS (
+          ${(0 until 4).map(b => s"SELECT doc_id, $b AS band_idx, band$b AS band_key FROM sig")
+        .mkString("\n          UNION ALL ")})
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM stacked a JOIN stacked b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id""")),
+
+    // ---- word-3-gram Jaccard similarity within (lang, source) blocks
+    QueryDef(
+      "q47_ngram_jaccard",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("source"),
+            expr(ngramsSpark(3)).as("ngrams"))
+        val a = docs.as("a")
+        val b = docs.as("b")
+        a.join(b,
+          col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(
+            col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            round(expr(jaccardSpark("a.ngrams", "b.ngrams")), 6).as("jaccard"))
+      },
+      Some(s"""
+        WITH docs AS (
+          SELECT doc_id, lang, source, ${ngramsDuck(3)} AS ngrams
+          FROM documents)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(${jaccardDuck("a.ngrams", "b.ngrams")}, 6) AS jaccard
+        FROM docs a JOIN docs b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id""")),
+
+    // ---- SimHash (16-bit) near-dup signature
+    QueryDef(
+      "q48_simhash",
+      (s, d) =>
+        t(s, d, "documents")
+          .withColumn("hs", expr(wordHashesSpark()))
+          .select(col("doc_id"), expr(simhashSpark("hs", 16)).as("simhash16")),
+      Some(s"""
+        WITH h AS (SELECT doc_id, ${wordHashesDuck()} AS hs FROM documents)
+        SELECT doc_id, ${simhashDuck("hs", 16)} AS simhash16
+        FROM h""")),
+  )
+}

@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryDef, Tables}
+import graft.operators.VectorOps._
+
+/** Similarity search over the embeddings table (`array<float>` vectors):
+  * brute-force cosine top-k as the exact baseline, and a deterministic
+  * random-hyperplane LSH bucketed variant as the scale path.
+  *
+  * Scale design: brute force is a broadcast cross join — O(Q·N) with the
+  * query side tiny; it is the correct *oracle*, not the production path.
+  * The LSH variant buckets both sides on a hyperplane sign key so the
+  * pair join only touches same-bucket candidates; recall is tuned by
+  * planes (here 8 → 256 buckets). All vector math is per-row
+  * higher-order-function folds over array<double> — codegen'd, no UDF.
+  */
+object Vectors {
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  private val DIM = 64
+
+  private def embDouble(df: DataFrame): DataFrame =
+    df.withColumn("vec", expr("transform(embedding, x -> cast(x as double))"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- brute-force cosine top-3 neighbors for the first 20 vectors
+    QueryDef(
+      "q49_cosine_topk",
+      (s, d) => {
+        val emb = embDouble(t(s, d, "embeddings"))
+        val queries = emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+        val corpus = emb.select(col("vec_id").as("cand_id"), col("vec").as("cvec"))
+        val sims = broadcast(queries).join(corpus, col("query_id") =!= col("cand_id"))
+          .withColumn("cos_sim", round(expr(cosineSpark("qvec", "cvec")), 4))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cos_sim").desc, col("cand_id").asc)
+        sims.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select("query_id", "cand_id", "cos_sim", "rnk")
+      },
+      Some(s"""
+        WITH emb AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+          FROM embeddings),
+        sims AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                 round(${cosineDuck("q.vec", "c.vec")}, 4) AS cos_sim
+          FROM emb q JOIN emb c ON q.vec_id < 20 AND q.vec_id <> c.vec_id)
+        SELECT query_id, cand_id, cos_sim, rnk
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cos_sim DESC, cand_id) AS rnk
+              FROM sims) t
+        WHERE rnk <= 3""")),
+
+    // ---- LSH-bucketed ANN: deterministic hyperplanes, same-bucket top-3.
+    // Oracled too: the bucket expression is md5-derived, identical in both
+    // engines.
+    QueryDef(
+      "q50_ann_lsh",
+      (s, d) => {
+        val emb = embDouble(t(s, d, "embeddings"))
+          .withColumn("bucket", expr(lshBucketSpark("vec", DIM, 8)))
+        val queries = emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("bucket"))
+        val corpus = emb.select(col("vec_id").as("cand_id"), col("vec").as("cvec"), col("bucket"))
+        val sims = queries.join(corpus,
+          Seq("bucket")).filter(col("query_id") =!= col("cand_id"))
+          .withColumn("cos_sim", round(expr(cosineSpark("qvec", "cvec")), 4))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cos_sim").desc, col("cand_id").asc)
+        sims.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select("query_id", "cand_id", "bucket", "cos_sim", "rnk")
+      },
+      Some(s"""
+        WITH emb AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+          FROM embeddings),
+        bucketed AS (
+          SELECT vec_id, vec, ${lshBucketDuck("vec", DIM, 8)} AS bucket FROM emb),
+        sims AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.bucket,
+                 round(${cosineDuck("q.vec", "c.vec")}, 4) AS cos_sim
+          FROM bucketed q JOIN bucketed c
+            ON q.bucket = c.bucket AND q.vec_id < 20 AND q.vec_id <> c.vec_id)
+        SELECT query_id, cand_id, bucket, cos_sim, rnk
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cos_sim DESC, cand_id) AS rnk
+              FROM sims) t
+        WHERE rnk <= 3""")),
+
+    // ---- multimodal binary plumbing: text→binary, typed Dataset
+    // mapPartitions "decoder" (stubbed feature extraction — the real
+    // image/audio codec slot), schema/batching real and oracle-checked.
+    QueryDef(
+      "q51_multimodal_binary",
+      (s, d) => {
+        import s.implicits._
+        val bin = t(s, d, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+          .as[(Long, Array[Byte])]
+        bin.mapPartitions { iter =>
+          iter.map { case (id, payload) =>
+            // STUB decoder: a real deployment would decode image/audio
+            // here; the Spark-side contract (binary in, typed features
+            // out, partition-wise batching) is what this pins down.
+            val header = payload.take(4).map(b => f"${b & 0xff}%02X").mkString
+            val byteSum16 = payload.take(16).map(_ & 0xff).sum.toLong
+            (id, payload.length.toLong, header, byteSum16)
+          }
+        }.toDF("doc_id", "n_bytes", "header_hex", "byte_sum16")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               hex(encode(substr(text, 1, 4))) AS header_hex,
+               CAST(list_sum(list_transform(range(1, least(length(text), 16) + 1),
+                    i -> ascii(substr(text, i, 1)))) AS BIGINT) AS byte_sum16
+        FROM documents""")),
+
+    // ---- K-Means clustering (MLlib) over embeddings — no SQL oracle
+    // (iterative ML); determinism pinned by seed, structure tested in
+    // KMeansSpec.
+    QueryDef(
+      "q52_kmeans_embeddings",
+      (s, d) => {
+        val emb = embDouble(t(s, d, "embeddings"))
+          .withColumn("features", org.apache.spark.ml.functions.array_to_vector(col("vec")))
+        val model = new org.apache.spark.ml.clustering.KMeans()
+          .setK(8).setSeed(42).setFeaturesCol("features").setPredictionCol("cluster")
+          .fit(emb)
+        model.transform(emb)
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("n"))
+      },
+      None),
+  )
+}
