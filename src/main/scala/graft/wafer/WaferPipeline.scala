@@ -1,0 +1,235 @@
+package graft.wafer
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructType}
+
+import graft.Num
+import graft.operators.IqrOutlierFilter
+
+/** The wafer-defect pipeline, Spark-first: lazy DataFrame→DataFrame
+  * stages replacing the reference's eager pandas copies
+  * (/root/reference/main.py:14-132, src/preprocessing.py:46-283).
+  *
+  * Reference-shape mapping (SURVEY.md §2):
+  *   - loadCsv            ← A1-A4 DataLoader (+ the schema validation the
+  *                          reference README promises but never ships)
+  *   - removeOutliersByClass ← G7 per-Class sequential IQR
+  *   - addEngineeredFeatures ← F1-F4 (inf-scrub asymmetry preserved)
+  *   - runKMeansByStep    ← G1-G4 per-step scale+cluster+write-back
+  *   - labelKillerDefects ← G5/F8 rule labeler
+  *   - preprocess         ← G6 togglable composer
+  *   - summary            ← I console report aggregates (D4-D10)
+  *
+  * Scale: stages compose lazily into one Catalyst plan; callers should
+  * cache() the post-outlier frame when running the full pipeline (the
+  * one reused intermediate). The only driver-side materializations are
+  * the per-group quantile bounds (tiny) and the fitted K-Means models,
+  * exactly the two forced action points SURVEY.md §3 identifies.
+  */
+object WaferPipeline {
+
+  /** CSV ingest with the declared 25-column schema (A1). Fails fast on
+    * missing path (AnalysisException) and empty input, mirroring
+    * data_loader.py:42-48.
+    */
+  def loadCsv(spark: SparkSession, path: String, encoding: String = "UTF-8"): DataFrame = {
+    val df = spark.read
+      .option("header", "true")
+      .option("encoding", encoding)
+      .schema(WaferSchema.inputSchema)
+      .csv(path)
+    if (df.isEmpty) throw new IllegalArgumentException(s"empty dataset: $path")
+    df
+  }
+
+  /** Assert a frame still carries the expected columns+types — the
+    * per-stage "Schema Validator" (README.md:60).
+    */
+  def validateSchema(df: DataFrame, expected: StructType): DataFrame = {
+    val got = df.schema.map(f => f.name -> f.dataType).toMap
+    val missing = expected.filterNot(f => got.get(f.name).contains(f.dataType))
+    require(missing.isEmpty,
+      s"schema validation failed; missing/mismatched: ${missing.map(_.name).mkString(",")}")
+    df
+  }
+
+  /** G7: per-Class sequential upper-IQR outlier removal over the three
+    * size columns. Null-Class rows are dropped (pandas groupby
+    * semantics, preprocessing.py:93 — documented reference behavior).
+    */
+  def removeOutliersByClass(df: DataFrame, iqrMultiplier: Double = 1.5): DataFrame =
+    IqrOutlierFilter(df, Seq("Class"), WaferSchema.sizeCols, k = iqrMultiplier)
+
+  /** IEEE division semantics matching pandas: x/0 → ±inf (or NaN for
+    * 0/0), null propagates. Spark ANSI mode would throw on /0, and
+    * non-ANSI returns null — neither matches, so branch explicitly.
+    * The 0-denominator branch is only reached when the epsilon-shifted
+    * denominator is exactly 0 (input == -1e-6).
+    */
+  private def ieeeDiv(num: Column, den: Column): Column =
+    when(den =!= 0.0, num / den)
+      .otherwise(
+        when(num > 0.0, lit(Double.PositiveInfinity))
+          .when(num < 0.0, lit(Double.NegativeInfinity))
+          .when(num === 0.0, lit(Double.NaN))
+          .otherwise(lit(null))) // num is null
+
+  /** ±inf/NaN → null scrub (F3/F4's post-division cleanup,
+    * preprocessing.py:145,149 — pandas replaces ±inf with NaN; our
+    * missing marker is null).
+    */
+  private def scrub(c: Column): Column =
+    when(isnan(c) || c === Double.PositiveInfinity || c === Double.NegativeInfinity, lit(null))
+      .otherwise(c)
+
+  /** F1-F4: four engineered ratio features (preprocessing.py:115-151).
+    * F1/F2 intentionally keep ±inf; F3/F4 scrub to null — asymmetry is
+    * reference behavior (SURVEY.md §2 F).
+    */
+  def addEngineeredFeatures(df: DataFrame): DataFrame = df
+    .withColumn("SNR_OFFSET_GL",
+      ieeeDiv(col("MDAT_OFFSET"), col("MDAT_GL") + lit(1e-6)))
+    .withColumn("SNR_INTENSITY_NOISE",
+      ieeeDiv(col("INTENSITY"), col("PATCHNOISE") + lit(1e-6)))
+    .withColumn("ASPECT_RATIO",
+      scrub(ieeeDiv(col("SIZE_X"), col("SIZE_Y") + lit(1e-6))))
+    .withColumn("DENSITY_SIGNAL",
+      scrub(ieeeDiv(col("INTENSITY"), col("DEFECT_AREA") + lit(1e-6))))
+
+  /** G1-G4: per-step K-Means over z-scored features, labels joined back
+    * by row id (the Spark replacement for pandas index write-back,
+    * preprocessing.py:153-208).
+    *
+    * Parity decisions (SURVEY.md §7.4):
+    *   - z-score is computed with population std (ddof=0) from exact
+    *     decimal moments — sklearn StandardScaler parity, deterministic
+    *     across shuffle orders; constant features scale by 1 like
+    *     sklearn;
+    *   - MLlib KMeans(seed) replaces sklearn's n_init=10 restarts;
+    *     cluster ids are arbitrary in both — correctness is structural
+    *     (§5.3), not id-equal.
+    */
+  def runKMeansByStep(
+      df: DataFrame,
+      steps: Seq[String] = WaferSchema.defaultSteps,
+      k: Int = 2,
+      seed: Long = 42L,
+      features: Seq[String] = WaferSchema.clusterFeatures): DataFrame = {
+    val withId = df.withColumn("__row_id", monotonically_increasing_id()).cache()
+    val labelParts = steps.flatMap { step =>
+      val subset = withId
+        .filter(col("IS_DEFECT") === "REAL" && col("Step_desc") === step)
+        .na.drop("any", features)
+        .cache()
+      try {
+        if (subset.isEmpty) None
+        else {
+          val aggs = features.flatMap(f => Seq(
+            (Num.dsum(col(f)) / count(col(f))).as(s"__m_$f"),
+            (Num.dsum(col(f) * col(f)) / count(col(f))).as(s"__msq_$f")))
+          val stats = subset.agg(aggs.head, aggs.tail: _*)
+          val zCols = features.map { f =>
+            val m = col(s"__m_$f")
+            val sd = sqrt(col(s"__msq_$f") - col(s"__m_$f") * col(s"__m_$f"))
+            ((col(f) - m) / when(sd === 0.0 || sd.isNull, lit(1.0)).otherwise(sd)).as(s"__z_$f")
+          }
+          val scaled = subset.crossJoin(broadcast(stats))
+            .select((col("__row_id") +: zCols): _*)
+            .withColumn("__fv",
+              array_to_vector(array(features.map(f => col(s"__z_$f")): _*)))
+          val model = new KMeans()
+            .setK(k).setSeed(seed)
+            .setFeaturesCol("__fv").setPredictionCol("__cluster")
+            .fit(scaled)
+          Some(model.transform(scaled).select(col("__row_id"),
+            col("__cluster").cast(IntegerType).as("KMeans_Cluster")))
+        }
+      } finally subset.unpersist()
+    }
+    val out =
+      if (labelParts.isEmpty)
+        withId.withColumn("KMeans_Cluster", lit(null).cast(IntegerType))
+      else {
+        val labels = labelParts.reduce(_ unionByName _)
+        withId.join(labels, Seq("__row_id"), "left")
+      }
+    out.drop("__row_id")
+  }
+
+  /** G5/F8: rule-based killer labeling — the reference's row loop folded
+    * into one chained-when expression (preprocessing.py:210-243).
+    */
+  def labelKillerDefects(
+      df: DataFrame,
+      mapping: Map[String, Int] = WaferSchema.killerClusterMapping): DataFrame = {
+    val flag = mapping.toSeq.sortBy(_._1).foldLeft(lit(false)) {
+      case (acc, (step, cluster)) =>
+        when(col("IS_DEFECT") === "REAL" && col("Step_desc") === step &&
+          col("KMeans_Cluster") === cluster, lit(true)).otherwise(acc)
+    }
+    df.withColumn("is_killer_defect", flag)
+  }
+
+  /** G6: togglable 4-stage composer (preprocessing.py:245-283). */
+  def preprocess(
+      df: DataFrame,
+      removeOutliers: Boolean = true,
+      addFeatures: Boolean = true,
+      runClustering: Boolean = true,
+      labelKiller: Boolean = true): DataFrame = {
+    var out = df
+    if (removeOutliers) out = removeOutliersByClass(out)
+    if (addFeatures) out = addEngineeredFeatures(out)
+    if (runClustering) out = runKMeansByStep(out)
+    if (labelKiller) out = labelKillerDefects(out)
+    out
+  }
+
+  /** I: the console report's aggregates (main.py:36-151), one collected
+    * summary instead of 15 separate len() calls.
+    */
+  case class Summary(
+      rows: Long,
+      nullCells: Long,
+      realDefects: Long,
+      falseDefects: Long,
+      classes: Seq[String],
+      clusterDist: Map[Option[Int], Long],
+      killerCount: Long)
+
+  def summary(df: DataFrame): Summary = {
+    val cols = df.columns
+    val nullCountCols = cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)))
+      .reduce(_ + _).as("nulls")
+    val base = df.agg(
+      count(lit(1)).as("rows"),
+      nullCountCols,
+      count(when(col("IS_DEFECT") === "REAL", 1)).as("real"),
+      count(when(col("IS_DEFECT") === "FALSE", 1)).as("false")).head()
+    val classes = df.filter(col("Class").isNotNull)
+      .select("Class").distinct().orderBy("Class")
+      .collect().map(_.getString(0)).toSeq
+    val clusterDist =
+      if (cols.contains("KMeans_Cluster"))
+        df.groupBy("KMeans_Cluster").count().collect()
+          .map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0))) -> r.getLong(1))
+          .toMap
+      else Map.empty[Option[Int], Long]
+    val killer =
+      if (cols.contains("is_killer_defect"))
+        df.filter(col("is_killer_defect")).count()
+      else 0L
+    Summary(base.getLong(0), base.getLong(1), base.getLong(2), base.getLong(3),
+      classes, clusterDist, killer)
+  }
+
+  /** A5: CSV export. coalesce(1) mirrors the reference's single-file
+    * output for operator hand-off — only sane for small exports; at
+    * scale callers write partitioned parquet instead.
+    */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+}
