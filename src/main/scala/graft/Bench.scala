@@ -1,24 +1,62 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times the headline queries on SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line {"metric":...,"value":N,"unit":"sec","queries":
+  * {...},"sf":...}.
+  *
+  * Each query is forced through a noop datasource write — unlike
+  * count(), that materializes every output column, so expression-heavy
+  * plans (features, minhash, cosine) can't be pruned away.
+  */
 object Bench {
+  /** Representative of every engine subsystem: scan+agg, fact-fact join,
+    * window, sequential quantile filter, as-of union-window,
+    * sessionization, minhash LSH pair join, blocked jaccard join,
+    * broadcast cosine top-k, streaming window, MLlib KMeans.
+    */
+  val headline: Seq[String] = Seq(
+    "q01_pricing_summary",
+    "q03_revenue_by_nation",
+    "q06_outer_join_agg",
+    "q07_window_topk",
+    "q22_iqr_outlier_filter",
+    "q27_json_extract",
+    "q28_asof_join",
+    "q30_sessionization",
+    "q46_minhash_pairs",
+    "q47_ngram_jaccard",
+    "q49_cosine_topk",
+    "q52_kmeans_embeddings")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val qs = SparkEntry.queries
+    def runOne(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); return -1.0 }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // warmup: JIT + codegen + parquet footer caches, not counted
+    runOne("q01_pricing_summary")
+
+    val results = headline.map(n => n -> runOne(n))
+    val qjson = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -32,25 +32,66 @@ object TextOps {
     * the globally-min-hashed common word and LSH degenerates to a near-
     * cross-join; 3-gram space is |V|³ and keeps bands selective.
     */
-  def minhashSpark(i: Int, shingles: String): String =
-    s"array_min(transform($shingles, w -> ${hash60Spark(s"concat('$i:', w)")}))"
-  def minhashDuck(i: Int, shingles: String): String =
-    s"list_aggregate(list_transform($shingles, w -> ${hash60Duck(s"'$i:' || w")}), 'min')"
-
-  /** LSH band key over a precomputed shingle-array column: md5 of the
-    * concatenated signature slice. bands×rowsPerBand signature
-    * components; band b covers components [b*rows, (b+1)*rows). Pass a
-    * materialized shingle column (not the ngram expression inline) so
-    * the shingle array is computed once per row, not once per hash.
+  /** Hash every shingle once to its 60-bit id. The k MinHash functions
+    * are then derived by XOR-mixing with fixed 60-bit constants — one
+    * md5 per shingle total instead of k, which is the difference between
+    * O(docs·shingles) and O(docs·shingles·k) hashing at corpus scale.
     */
-  def bandSpark(b: Int, rowsPerBand: Int, shingles: String): String = {
+  def shingleHashesSpark(shingles: String): String =
+    s"transform($shingles, w -> ${hash60Spark("w")})"
+  def shingleHashesDuck(shingles: String): String =
+    s"list_transform($shingles, w -> ${hash60Duck("w")})"
+
+  /** XOR-mixing constant for hash function i (splitmix64 golden-ratio
+    * multiplier, masked to 60 bits so results stay positive).
+    */
+  def xorConst(i: Int): Long = (i.toLong * 0x9E3779B97F4A7C15L) & ((1L << 60) - 1)
+
+  private val mask60 = (1L << 60) - 1
+
+  /** 60-bit hashes of word n-gram shingles computed WITHOUT building
+    * n-gram strings: hash each word once (one md5 per word — pass a
+    * MATERIALIZED word-hash array column from wordHashes*), then combine
+    * adjacent word hashes with shift+xor. Cuts hashing cost n× versus
+    * hashing shingle strings and skips string allocation — the per-row
+    * cost that dominates corpus-scale near-dup jobs. Documents shorter
+    * than n words fall back to their word-hash set.
+    */
+  def ngramHashesSpark(n: Int, wh: String): String = {
+    require(n == 3, "combiner below is written for n=3")
+    s"""array_distinct(CASE WHEN size($wh) >= $n THEN
+       |  transform(sequence(0, size($wh) - $n), i ->
+       |    (shiftleft(element_at($wh, i + 1), 2) ^ shiftleft(element_at($wh, i + 2), 1)
+       |     ^ element_at($wh, i + 3)) & ${mask60}L)
+       |ELSE $wh END)""".stripMargin
+  }
+  def ngramHashesDuck(n: Int, wh: String): String = {
+    require(n == 3, "combiner below is written for n=3")
+    s"""list_distinct(CASE WHEN len($wh) >= $n THEN
+       |  list_transform(range(1, len($wh) - ${n - 2}), i ->
+       |    xor(xor($wh[i] << 2, $wh[i + 1] << 1), $wh[i + 2]) & $mask60)
+       |ELSE $wh END)""".stripMargin
+  }
+
+  def minhashSpark(i: Int, hashes: String): String =
+    s"array_min(transform($hashes, h -> h ^ cast(${xorConst(i)} as bigint)))"
+  def minhashDuck(i: Int, hashes: String): String =
+    s"list_aggregate(list_transform($hashes, h -> xor(h, (${xorConst(i)})::BIGINT)), 'min')"
+
+  /** LSH band key over a precomputed shingle-HASH array column
+    * (shingleHashes*): md5 of the concatenated signature slice.
+    * bands×rowsPerBand signature components; band b covers components
+    * [b*rows, (b+1)*rows). Pass a materialized hash column so shingles
+    * are hashed once per row, not once per hash function.
+    */
+  def bandSpark(b: Int, rowsPerBand: Int, hashes: String): String = {
     val parts = (b * rowsPerBand until (b + 1) * rowsPerBand)
-      .map(i => s"cast(${minhashSpark(i, shingles)} as string)").mkString(", '_', ")
+      .map(i => s"cast(${minhashSpark(i, hashes)} as string)").mkString(", '_', ")
     s"md5(concat($parts))"
   }
-  def bandDuck(b: Int, rowsPerBand: Int, shingles: String): String = {
+  def bandDuck(b: Int, rowsPerBand: Int, hashes: String): String = {
     val parts = (b * rowsPerBand until (b + 1) * rowsPerBand)
-      .map(i => s"${minhashDuck(i, shingles)}::VARCHAR").mkString(" || '_' || ")
+      .map(i => s"${minhashDuck(i, hashes)}::VARCHAR").mkString(" || '_' || ")
     s"md5($parts)"
   }
 

@@ -126,25 +126,28 @@ object Text {
       "q45_minhash_bands",
       (s, d) =>
         t(s, d, "documents")
-          .withColumn("sh", expr(ngramsSpark(3)))
+          .withColumn("wh", expr(wordHashesSpark()))
+          .withColumn("hh", expr(ngramHashesSpark(3, "wh")))
           .select(
             (col("doc_id") +:
-              (0 until 4).map(b => expr(bandSpark(b, 2, "sh")).as(s"band$b"))): _*),
+              (0 until 4).map(b => expr(bandSpark(b, 2, "hh")).as(s"band$b"))): _*),
       Some(s"""
-        WITH shingled AS (SELECT doc_id, ${ngramsDuck(3)} AS sh FROM documents)
+        WITH wh AS (SELECT doc_id, ${wordHashesDuck()} AS wh FROM documents),
+        hashed AS (SELECT doc_id, ${ngramHashesDuck(3, "wh")} AS hh FROM wh)
         SELECT doc_id,
-               ${(0 until 4).map(b => s"${bandDuck(b, 2, "sh")} AS band$b").mkString(",\n               ")}
-        FROM shingled""")),
+               ${(0 until 4).map(b => s"${bandDuck(b, 2, "hh")} AS band$b").mkString(",\n               ")}
+        FROM hashed""")),
 
     // ---- MinHash-LSH candidate pairs: docs sharing any band key
     QueryDef(
       "q46_minhash_pairs",
       (s, d) => {
         val sig = t(s, d, "documents")
-          .withColumn("sh", expr(ngramsSpark(3)))
+          .withColumn("wh", expr(wordHashesSpark()))
+          .withColumn("hh", expr(ngramHashesSpark(3, "wh")))
           .select(
             (col("doc_id") +:
-              (0 until 4).map(b => expr(bandSpark(b, 2, "sh")).as(s"band$b"))): _*)
+              (0 until 4).map(b => expr(bandSpark(b, 2, "hh")).as(s"band$b"))): _*)
         val stacked = sig.select(col("doc_id"),
           posexplode(array((0 until 4).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band_key")))
         val a = stacked.as("a")
@@ -157,11 +160,12 @@ object Text {
           .distinct()
       },
       Some(s"""
-        WITH shingled AS (SELECT doc_id, ${ngramsDuck(3)} AS sh FROM documents),
+        WITH wh AS (SELECT doc_id, ${wordHashesDuck()} AS wh FROM documents),
+        hashed AS (SELECT doc_id, ${ngramHashesDuck(3, "wh")} AS hh FROM wh),
         sig AS (
           SELECT doc_id,
-                 ${(0 until 4).map(b => s"${bandDuck(b, 2, "sh")} AS band$b").mkString(",\n                 ")}
-          FROM shingled),
+                 ${(0 until 4).map(b => s"${bandDuck(b, 2, "hh")} AS band$b").mkString(",\n                 ")}
+          FROM hashed),
         stacked AS (
           ${(0 until 4).map(b => s"SELECT doc_id, $b AS band_idx, band$b AS band_key FROM sig")
         .mkString("\n          UNION ALL ")})
@@ -175,8 +179,9 @@ object Text {
       "q47_ngram_jaccard",
       (s, d) => {
         val docs = t(s, d, "documents")
+          .withColumn("wh", expr(wordHashesSpark()))
           .select(col("doc_id"), col("lang"), col("source"),
-            expr(ngramsSpark(3)).as("ngrams"))
+            expr(ngramHashesSpark(3, "wh")).as("ngrams"))
         val a = docs.as("a")
         val b = docs.as("b")
         a.join(b,
@@ -187,9 +192,11 @@ object Text {
             round(expr(jaccardSpark("a.ngrams", "b.ngrams")), 6).as("jaccard"))
       },
       Some(s"""
-        WITH docs AS (
-          SELECT doc_id, lang, source, ${ngramsDuck(3)} AS ngrams
-          FROM documents)
+        WITH wh AS (
+          SELECT doc_id, lang, source, ${wordHashesDuck()} AS wh FROM documents),
+        docs AS (
+          SELECT doc_id, lang, source, ${ngramHashesDuck(3, "wh")} AS ngrams
+          FROM wh)
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                round(${jaccardDuck("a.ngrams", "b.ngrams")}, 6) AS jaccard
         FROM docs a JOIN docs b
