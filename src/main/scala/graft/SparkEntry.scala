@@ -11,6 +11,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   def allDefs: Seq[QueryDef] =
     graft.queries.Relational.defs ++
+      graft.queries.Relational2.defs ++
       graft.queries.WaferOps.defs ++
       graft.queries.Events.defs ++
       graft.queries.Text.defs ++

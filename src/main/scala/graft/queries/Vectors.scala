@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{QueryDef, Tables}
+import graft.functions.CosineSimilarity
 import graft.operators.VectorOps._
 
 /** Similarity search over the embeddings table (`array<float>` vectors):
@@ -31,12 +32,13 @@ object Vectors {
     QueryDef(
       "q49_cosine_topk",
       (s, d) => {
+        CosineSimilarity.register(s)
         val emb = embDouble(t(s, d, "embeddings"))
         val queries = emb.filter(col("vec_id") < 20)
           .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
         val corpus = emb.select(col("vec_id").as("cand_id"), col("vec").as("cvec"))
         val sims = broadcast(queries).join(corpus, col("query_id") =!= col("cand_id"))
-          .withColumn("cos_sim", round(expr(cosineSpark("qvec", "cvec")), 4))
+          .withColumn("cos_sim", round(expr("graft_cosine(qvec, cvec)"), 4))
         val w = Window.partitionBy("query_id")
           .orderBy(col("cos_sim").desc, col("cand_id").asc)
         sims.withColumn("rnk", row_number().over(w))
@@ -63,6 +65,7 @@ object Vectors {
     QueryDef(
       "q50_ann_lsh",
       (s, d) => {
+        CosineSimilarity.register(s)
         val emb = embDouble(t(s, d, "embeddings"))
           .withColumn("bucket", expr(lshBucketSpark("vec", DIM, 8)))
         val queries = emb.filter(col("vec_id") < 20)
@@ -70,7 +73,7 @@ object Vectors {
         val corpus = emb.select(col("vec_id").as("cand_id"), col("vec").as("cvec"), col("bucket"))
         val sims = queries.join(corpus,
           Seq("bucket")).filter(col("query_id") =!= col("cand_id"))
-          .withColumn("cos_sim", round(expr(cosineSpark("qvec", "cvec")), 4))
+          .withColumn("cos_sim", round(expr("graft_cosine(qvec, cvec)"), 4))
         val w = Window.partitionBy("query_id")
           .orderBy(col("cos_sim").desc, col("cand_id").asc)
         sims.withColumn("rnk", row_number().over(w))
