@@ -53,7 +53,25 @@ object Bench {
     // warmup: JIT + codegen + parquet footer caches, not counted
     runOne("q01_pricing_summary")
 
-    val results = headline.map(n => n -> runOne(n))
+    // full wafer pipeline at the reference's canonical 63,909-row scale
+    // (BASELINE.md self-baseline: must complete in seconds). Input is
+    // pre-materialized so the timing covers the pipeline, not datagen.
+    val waferInput = graft.wafer.WaferDataGen
+      .generate(spark, 63909L, parts = cpus.toInt).cache()
+    waferInput.count()
+    val waferSecs = {
+      val t0 = System.nanoTime()
+      try {
+        graft.wafer.WaferPipeline.preprocess(waferInput)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] wafer_pipeline failed: $e"); -1.0
+      }
+    }
+    waferInput.unpersist()
+
+    val results = headline.map(n => n -> runOne(n)) :+ ("wafer_pipeline_63909" -> waferSecs)
     val qjson = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")

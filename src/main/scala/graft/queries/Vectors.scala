@@ -126,6 +126,35 @@ object Vectors {
                     i -> ascii(substr(text, i, 1)))) AS BIGINT) AS byte_sum16
         FROM documents""")),
 
+    // ---- embedding-cosine near-dup: vector pairs above a similarity
+    // threshold, discovered through LSH buckets (completes the dedup
+    // family: exact q44, MinHash q46, SimHash q48, embedding q53). Same
+    // scale shape as q50: the only join is per-bucket.
+    QueryDef(
+      "q53_embedding_neardup",
+      (s, d) => {
+        CosineSimilarity.register(s)
+        val emb = embDouble(t(s, d, "embeddings"))
+          .withColumn("bucket", expr(lshBucketSpark("vec", DIM, 8)))
+        val a = emb.select(col("bucket"), col("vec_id").as("id_a"), col("vec").as("vec_a"))
+        val b = emb.select(col("bucket"), col("vec_id").as("id_b"), col("vec").as("vec_b"))
+        a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+          .withColumn("cos_sim", round(expr("graft_cosine(vec_a, vec_b)"), 4))
+          .filter(col("cos_sim") >= 0.35)
+          .select("id_a", "id_b", "cos_sim")
+      },
+      Some(s"""
+        WITH emb AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+          FROM embeddings),
+        bucketed AS (
+          SELECT vec_id, vec, ${lshBucketDuck("vec", DIM, 8)} AS bucket FROM emb)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(${cosineDuck("a.vec", "b.vec")}, 4) AS cos_sim
+        FROM bucketed a JOIN bucketed b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE round(${cosineDuck("a.vec", "b.vec")}, 4) >= 0.35""")),
+
     // ---- K-Means clustering (MLlib) over embeddings — no SQL oracle
     // (iterative ML); determinism pinned by seed, structure tested in
     // KMeansSpec.

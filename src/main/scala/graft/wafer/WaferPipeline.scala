@@ -118,37 +118,60 @@ object WaferPipeline {
       k: Int = 2,
       seed: Long = 42L,
       features: Seq[String] = WaferSchema.clusterFeatures): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val withId = df.withColumn("__row_id", monotonically_increasing_id()).cache()
-    val labelParts = steps.flatMap { step =>
+    withId.count() // materialize once before the per-step jobs race for it
+    // steps are independent → fit them concurrently; the scheduler
+    // interleaves their jobs (on a cluster this also overlaps the
+    // iteration barriers of the three small fits)
+    def fitStep(step: String): Option[DataFrame] = {
       val subset = withId
         .filter(col("IS_DEFECT") === "REAL" && col("Step_desc") === step)
         .na.drop("any", features)
+      val aggs = features.flatMap(f => Seq(
+        (Num.dsum(col(f)) / count(col(f))).as(s"__m_$f"),
+        (Num.dsum(col(f) * col(f)) / count(col(f))).as(s"__msq_$f")))
+      val zCols = features.map { f =>
+        val m = col(s"__m_$f")
+        val sd = sqrt(col(s"__msq_$f") - col(s"__m_$f") * col(s"__m_$f"))
+        ((col(f) - m) / when(sd === 0.0 || sd.isNull, lit(1.0)).otherwise(sd)).as(s"__z_$f")
+      }
+      // cache the z-scored vectors: KMeans.fit is iterative and would
+      // otherwise re-evaluate the whole upstream plan once per pass
+      val scaled = subset.crossJoin(broadcast(subset.agg(aggs.head, aggs.tail: _*)))
+        .select((col("__row_id") +: zCols): _*)
+        .withColumn("__fv",
+          array_to_vector(array(features.map(f => col(s"__z_$f")): _*)))
         .cache()
       try {
-        if (subset.isEmpty) None
+        val cnt = scaled.count()
+        if (cnt == 0) None
         else {
-          val aggs = features.flatMap(f => Seq(
-            (Num.dsum(col(f)) / count(col(f))).as(s"__m_$f"),
-            (Num.dsum(col(f) * col(f)) / count(col(f))).as(s"__msq_$f")))
-          val stats = subset.agg(aggs.head, aggs.tail: _*)
-          val zCols = features.map { f =>
-            val m = col(s"__m_$f")
-            val sd = sqrt(col(s"__msq_$f") - col(s"__m_$f") * col(s"__m_$f"))
-            ((col(f) - m) / when(sd === 0.0 || sd.isNull, lit(1.0)).otherwise(sd)).as(s"__z_$f")
-          }
-          val scaled = subset.crossJoin(broadcast(stats))
-            .select((col("__row_id") +: zCols): _*)
-            .withColumn("__fv",
-              array_to_vector(array(features.map(f => col(s"__z_$f")): _*)))
-          val model = new KMeans()
-            .setK(k).setSeed(seed)
-            .setFeaturesCol("__fv").setPredictionCol("__cluster")
-            .fit(scaled)
-          Some(model.transform(scaled).select(col("__row_id"),
-            col("__cluster").cast(IntegerType).as("KMeans_Cluster")))
+          // KMeans.fit runs ~20 iterative jobs; on small per-step subsets
+          // the cost is task scheduling, not compute — shrink to one
+          // partition per ~500k rows (floor 1) so each iteration is a
+          // handful of tasks. Large subsets keep their parallelism.
+          val parts = math.max(1L, math.min(
+            scaled.rdd.getNumPartitions.toLong, cnt / 500000L + 1)).toInt
+          val fitInput = scaled.coalesce(parts).cache()
+          try {
+            val model = new KMeans()
+              .setK(k).setSeed(seed)
+              .setFeaturesCol("__fv").setPredictionCol("__cluster")
+              .fit(fitInput)
+            val labels = model.transform(fitInput).select(col("__row_id"),
+              col("__cluster").cast(IntegerType).as("KMeans_Cluster"))
+              .localCheckpoint() // materialize so fit input can be freed
+            Some(labels)
+          } finally fitInput.unpersist()
         }
-      } finally subset.unpersist()
+      } finally scaled.unpersist()
     }
+    val labelParts = Await.result(
+      Future.sequence(steps.map(step => Future(fitStep(step)))),
+      Duration.Inf).flatten
     val out =
       if (labelParts.isEmpty)
         withId.withColumn("KMeans_Cluster", lit(null).cast(IntegerType))
