@@ -91,3 +91,22 @@ class TextOpsSpec extends SparkSpec {
     assert(hs(0) !== hs(2))
   }
 }
+
+class SaltedJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join equals plain join on skewed keys") {
+    // hot key: 10k rows of "hot", a few of others
+    val left = ((1 to 10000).map(i => ("hot", i)) ++ Seq(("a", 1), ("b", 2)))
+      .toDF("k", "v")
+    val right = Seq(("hot", 100), ("a", 200), ("c", 300)).toDF("k", "w")
+    val plain = left.join(right, Seq("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("w").as("sw"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = SaltedJoin(left, right, Seq("k"), saltFactor = 8)
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("w").as("sw"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted === plain)
+    assert(salted.exists(_._1 == "hot"))
+  }
+}

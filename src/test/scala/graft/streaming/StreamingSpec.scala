@@ -48,6 +48,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream inner join with watermarks and a time bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp)]
+    val c = clicks.toDF().toDF("user_c", "ts_c").withWatermark("ts_c", "1 hour")
+    val p = purchases.toDF().toDF("user_p", "ts_p").withWatermark("ts_p", "1 hour")
+    val joined = p.join(c, expr(
+      "user_p = user_c AND ts_c <= ts_p AND ts_c >= ts_p - INTERVAL 30 minutes"))
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ss_sink").start()
+    try {
+      clicks.addData((1L, ts("2024-01-01 10:00:00")), (3L, ts("2024-01-01 09:00:00")))
+      purchases.addData(
+        (1L, ts("2024-01-01 10:15:00")), // within 30min of u1 click → joins
+        (2L, ts("2024-01-01 10:20:00")), // no click → dropped
+        (3L, ts("2024-01-01 10:30:00"))) // click 90min earlier → outside bound
+      q.processAllAvailable()
+      val users = spark.table("ss_sink").select("user_p").collect().map(_.getLong(0)).toSeq
+      assert(users === Seq(1L))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState: custom per-key running state") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Double)]
