@@ -48,6 +48,12 @@ object IqrOutlierFilter {
       val pct =
         if (exact) (p: String) => expr(s"percentile($c, $p)")
         else (p: String) => expr(s"approx_percentile($c, $p, 10000)")
+      // The per-group bounds are <= #groups rows: collect them eagerly and
+      // rejoin as a literal LocalRelation. Keeping them lazy instead would
+      // embed pass N-1's whole join subtree inside pass N's aggregate —
+      // the final plan then re-executes every earlier pass per pass
+      // (O(cols²) scans); with literal bounds the final plan is one scan
+      // plus a linear chain of broadcast-local joins and filters.
       val bounds = cur
         .groupBy(groupCols.map(col): _*)
         .agg(
@@ -55,8 +61,15 @@ object IqrOutlierFilter {
           pct("0.75").as("__q3"),
           count(col(c)).as("__cnt"))
         .withColumn("__ub", col("__q3") + lit(k) * (col("__q3") - col("__q1")))
+      val boundsLocal = {
+        val rows = bounds.collect().toList
+        df.sparkSession.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+          bounds.schema)
+      }
       cur = cur
-        .join(broadcast(bounds), groupCols, "inner")
+        .join(broadcast(boundsLocal), groupCols, "inner")
         .filter(
           col("__cnt") < 2 ||
             (col("__q3") - col("__q1")) === 0.0 ||

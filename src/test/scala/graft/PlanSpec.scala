@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan regression gate: the properties that make these plans
+  * survive a 100x scale-up — filter pushdown into parquet, column
+  * pruning, broadcast dimension joins, keyed (never single-partition)
+  * windows — asserted against .explain output so a refactor can't
+  * silently lose them.
+  */
+class PlanSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q01: shipdate filter is pushed into the parquet scan") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q01: scan reads only the needed columns") {
+    val p = plan("q01_pricing_summary")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_orderkey"), readSchema) // unused key pruned
+    assert(readSchema.contains("l_quantity") && readSchema.contains("l_shipdate"), readSchema)
+  }
+
+  test("q03: dimension joins broadcast") {
+    val p = plan("q03_revenue_by_nation")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q22: final plan is ONE scan + literal-bounds broadcast joins (no pass recompute)") {
+    // simple mode lists each node once (formatted repeats them in the detail section)
+    val p = SparkEntry.queries("q22_iqr_outlier_filter")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("Scan parquet".r.findAllIn(p).size === 1, p)
+    assert("LocalTableScan".r.findAllIn(p).size === 2, p)
+  }
+
+  test("windows are keyed — no single-partition exchange anywhere") {
+    for (q <- Seq("q07_window_topk", "q08_running_total", "q28_asof_join", "q30_sessionization")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange SinglePartition"), s"$q:\n$p")
+    }
+  }
+
+  test("q46: LSH pair join is an equi-join (shuffle on band key), not nested-loop") {
+    val p = plan("q46_minhash_pairs")
+    assert(!p.contains("NestedLoop"), p)
+  }
+
+  test("q49 native cosine stays inside whole-stage codegen spans") {
+    val df = SparkEntry.queries("q49_cosine_topk")(spark, dir)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(p.contains("graft_cosine"), p)
+  }
+}
