@@ -12,6 +12,7 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     graft.queries.Relational.defs ++
       graft.queries.Relational2.defs ++
+      graft.queries.Relational3.defs ++
       graft.queries.WaferOps.defs ++
       graft.queries.Events.defs ++
       graft.queries.Text.defs ++

@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Num, QueryDef, Tables}
+import graft.functions.GeometricMean
+
+/** Third relational batch: RANGE window frames, array functions, and a
+  * custom typed aggregate (UDAF surface).
+  */
+object Relational3 {
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- RANGE window frame: trailing-7-day order total per customer
+    QueryDef(
+      "q38_range_frame",
+      (s, d) => {
+        val days = datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp"))
+        val w = Window.partitionBy("o_custkey").orderBy(days)
+          .rangeBetween(-6, Window.currentRow)
+        t(s, d, "orders")
+          .withColumn("trail7_total",
+            sum(col("o_totalprice").cast("decimal(28,6)")).over(w).cast("double"))
+          .select("o_orderkey", "o_custkey", "trail7_total")
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trail7_total
+        FROM orders""")),
+
+    // ---- array construction/aggregation functions (string-joined for a
+    // stable cross-engine representation)
+    QueryDef(
+      "q39_array_funcs",
+      (s, d) =>
+        t(s, d, "events")
+          .groupBy("user_id")
+          .agg(
+            concat_ws(",", sort_array(collect_set(col("event_type")))).as("types"),
+            size(collect_set(col("event_type"))).cast("long").as("n_types"),
+            count(lit(1)).as("n_events")),
+      Some("""
+        SELECT user_id,
+               array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+               CAST(len(list(DISTINCT event_type)) AS BIGINT) AS n_types,
+               count(*) AS n_events
+        FROM events GROUP BY user_id""")),
+
+    // ---- custom typed Aggregator (UDAF): geometric mean of prices
+    QueryDef(
+      "q54_custom_agg_geomean",
+      (s, d) => {
+        val geomean = udaf(GeometricMean)
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            round(geomean(col("l_extendedprice")), 4).as("geo_price"),
+            count(lit(1)).as("n"))
+      },
+      Some("""
+        SELECT l_returnflag,
+               round(exp(avg(ln(l_extendedprice))), 4) AS geo_price,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag""")),
+  )
+}

@@ -174,33 +174,50 @@ object Text {
           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
          AND a.doc_id < b.doc_id""")),
 
-    // ---- word-3-gram Jaccard similarity within (lang, source) blocks
+    // ---- word-3-gram Jaccard similarity of overlapping doc pairs.
+    // Explode-join formulation: |A∩B| comes from a self-join on the
+    // shingle hash (grouped per pair), |A∪B| = |A|+|B|-|A∩B|. Unlike a
+    // block-cross-join with a per-pair array intersection, work scales
+    // with actual shingle co-occurrence, not with pairs² — the shape
+    // that survives a web-scale corpus. Pairs sharing zero shingles
+    // (jaccard 0) are by definition not emitted.
     QueryDef(
       "q47_ngram_jaccard",
       (s, d) => {
         val docs = t(s, d, "documents")
           .withColumn("wh", expr(wordHashesSpark()))
-          .select(col("doc_id"), col("lang"), col("source"),
+          .select(col("doc_id"),
             expr(ngramHashesSpark(3, "wh")).as("ngrams"))
-        val a = docs.as("a")
-        val b = docs.as("b")
-        a.join(b,
-          col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
-            col("a.doc_id") < col("b.doc_id"))
-          .select(
-            col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            round(expr(jaccardSpark("a.ngrams", "b.ngrams")), 6).as("jaccard"))
+          .cache()
+        val sizes = docs.select(col("doc_id"), size(col("ngrams")).as("n"))
+        val ex = docs.select(col("doc_id"), explode(col("ngrams")).as("h"))
+        val shared = ex.as("a").join(ex.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("c"))
+        shared
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6)
+              .as("jaccard"))
       },
       Some(s"""
         WITH wh AS (
-          SELECT doc_id, lang, source, ${wordHashesDuck()} AS wh FROM documents),
+          SELECT doc_id, ${wordHashesDuck()} AS wh FROM documents),
         docs AS (
-          SELECT doc_id, lang, source, ${ngramHashesDuck(3, "wh")} AS ngrams
-          FROM wh)
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               round(${jaccardDuck("a.ngrams", "b.ngrams")}, 6) AS jaccard
-        FROM docs a JOIN docs b
-          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id""")),
+          SELECT doc_id, ${ngramHashesDuck(3, "wh")} AS ngrams FROM wh),
+        sizes AS (SELECT doc_id, len(ngrams) AS n FROM docs),
+        ex AS (SELECT doc_id, unnest(ngrams) AS h FROM docs),
+        shared AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+          FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+        FROM shared
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id""")),
 
     // ---- SimHash (16-bit) near-dup signature
     QueryDef(
