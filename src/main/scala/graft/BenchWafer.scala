@@ -17,9 +17,11 @@ object BenchWafer {
       val t0 = System.nanoTime(); val r = f
       println(f"[stage] $n: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    val in = wafer.WaferDataGen.generate(spark, 63909L, parts = cpus.toInt).cache()
+    val n = args.headOption.map(_.toLong).getOrElse(63909L)
+    val exact = !args.contains("approx")
+    val in = wafer.WaferDataGen.generate(spark, n, parts = cpus.toInt * 4).cache()
     in.count()
-    val o = time("outlier")(wafer.WaferPipeline.removeOutliersByClass(in))
+    val o = time("outlier")(wafer.WaferPipeline.removeOutliersByClass(in, exact = exact))
     time("outlier-materialize")(o.count())
     val f = wafer.WaferPipeline.addEngineeredFeatures(o)
     time("features-materialize")(f.count())
@@ -54,7 +56,8 @@ object BenchWafer {
     val l = wafer.WaferPipeline.labelKillerDefects(k)
     time("label+noop-write")(l.write.format("noop").mode("overwrite").save())
     time("full-pipeline-2nd-run")(
-      wafer.WaferPipeline.preprocess(in).write.format("noop").mode("overwrite").save())
+      wafer.WaferPipeline.preprocess(in, exactQuantiles = exact)
+        .write.format("noop").mode("overwrite").save())
     spark.stop()
   }
 }

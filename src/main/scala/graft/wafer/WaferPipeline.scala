@@ -60,8 +60,12 @@ object WaferPipeline {
     * size columns. Null-Class rows are dropped (pandas groupby
     * semantics, preprocessing.py:93 — documented reference behavior).
     */
-  def removeOutliersByClass(df: DataFrame, iqrMultiplier: Double = 1.5): DataFrame =
-    IqrOutlierFilter(df, Seq("Class"), WaferSchema.sizeCols, k = iqrMultiplier)
+  def removeOutliersByClass(
+      df: DataFrame,
+      iqrMultiplier: Double = 1.5,
+      exact: Boolean = true): DataFrame =
+    IqrOutlierFilter(df, Seq("Class"), WaferSchema.sizeCols, k = iqrMultiplier,
+      exact = exact)
 
   /** IEEE division semantics matching pandas: x/0 → ±inf (or NaN for
     * 0/0), null propagates. Spark ANSI mode would throw on /0, and
@@ -197,14 +201,20 @@ object WaferPipeline {
   }
 
   /** G6: togglable 4-stage composer (preprocessing.py:245-283). */
+  /** exactQuantiles=false switches the outlier stage to t-digest
+    * approx_percentile — the 100 TB path: single-pass, mergeable,
+    * bounded memory, vs exact percentile which buffers every group
+    * value (measured 55s of a 68s run at 6.4M rows, <2s approx).
+    */
   def preprocess(
       df: DataFrame,
       removeOutliers: Boolean = true,
       addFeatures: Boolean = true,
       runClustering: Boolean = true,
-      labelKiller: Boolean = true): DataFrame = {
+      labelKiller: Boolean = true,
+      exactQuantiles: Boolean = true): DataFrame = {
     var out = df
-    if (removeOutliers) out = removeOutliersByClass(out)
+    if (removeOutliers) out = removeOutliersByClass(out, exact = exactQuantiles)
     if (addFeatures) out = addEngineeredFeatures(out)
     if (runClustering) out = runKMeansByStep(out)
     if (labelKiller) out = labelKillerDefects(out)

@@ -48,6 +48,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup: dropDuplicates keeps first occurrence across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val dd = input.toDF().toDF("id", "ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("id")
+    val q = dd.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dd_sink").start()
+    try {
+      input.addData((1L, ts("2024-01-01 10:00:00"), 1.0), (2L, ts("2024-01-01 10:01:00"), 2.0))
+      q.processAllAvailable()
+      input.addData((1L, ts("2024-01-01 10:02:00"), 99.0)) // duplicate id → dropped
+      q.processAllAvailable()
+      val rows = spark.table("dd_sink").collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(rows === Map(1L -> 1.0, 2L -> 2.0))
+    } finally q.stop()
+  }
+
   test("stream-stream inner join with watermarks and a time bound") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Timestamp)]

@@ -148,6 +148,28 @@ class WaferPipelineSpec extends SparkSpec {
     assert(s.clusterDist.values.sum === s.rows)
   }
 
+  test("loadCsv fails fast on missing path and on empty input (data_loader.py:42-48)") {
+    intercept[org.apache.spark.sql.AnalysisException] {
+      WaferPipeline.loadCsv(spark, "/tmp/graft_no_such_dir_12345")
+    }
+    val emptyDir = java.nio.file.Files.createTempDirectory("graft_empty_csv")
+    java.nio.file.Files.writeString(
+      emptyDir.resolve("part-0.csv"),
+      WaferSchema.inputSchema.fieldNames.mkString(",") + "\n") // header only
+    intercept[IllegalArgumentException] {
+      WaferPipeline.loadCsv(spark, emptyDir.toString)
+    }
+  }
+
+  test("schema validator flags missing and mismatched columns") {
+    import spark.implicits._
+    WaferPipeline.validateSchema(fixture, WaferSchema.inputSchema) // passes
+    val wrong = Seq(("a", 1)).toDF("Class", "SIZE_X") // SIZE_X int, not double
+    intercept[IllegalArgumentException] {
+      WaferPipeline.validateSchema(wrong, WaferSchema.inputSchema)
+    }
+  }
+
   test("csv round trip preserves rows (A1/A5)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_wafer_csv").toString
     WaferPipeline.writeCsv(fixture.select(WaferSchema.inputSchema.fieldNames.map(col): _*), dir)
