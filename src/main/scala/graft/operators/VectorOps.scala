@@ -29,24 +29,26 @@ object VectorOps {
     * deterministic, no RNG state, identical across runs and engines.
     * Bucket = integer whose bit p is sign(v · plane_p).
     */
-  def lshBucketDuck(vec: String, dim: Int, planes: Int): String = {
-    val terms = (0 until planes).map { p =>
+  def lshBucketDuck(vec: String, dim: Int, planes: Int, offset: Int = 0): String = {
+    val terms = (0 until planes).map { p0 =>
+      val p = p0 + offset
       val dot =
         s"""list_sum(list_transform(range(0, $dim),
            | d -> $vec[d + 1] * (((${TextOps.hash60Duck(s"'$p:' || d::VARCHAR")} % 1000003) / 1000003.0) - 0.5)))""".stripMargin
-      s"(CASE WHEN $dot > 0 THEN 1::BIGINT ELSE 0::BIGINT END << $p)"
+      s"(CASE WHEN $dot > 0 THEN 1::BIGINT ELSE 0::BIGINT END << $p0)"
     }
     terms.mkString("(", " + ", ")")
   }
 
-  def lshBucketSpark(vec: String, dim: Int, planes: Int): String = {
-    val terms = (0 until planes).map { p =>
+  def lshBucketSpark(vec: String, dim: Int, planes: Int, offset: Int = 0): String = {
+    val terms = (0 until planes).map { p0 =>
+      val p = p0 + offset
       // component d of plane p: (hash60("p:d") % 1000003) / 1000003.0 - 0.5
       val dot =
         s"""aggregate(zip_with($vec, transform(sequence(0, ${dim - 1}),
            | d -> (pmod(${TextOps.hash60Spark(s"concat('$p:', cast(d as string))")}, 1000003) / 1000003.0D) - 0.5D),
            | (x, y) -> x * y), 0D, (acc, v) -> acc + v)""".stripMargin
-      s"shiftleft(CASE WHEN $dot > 0 THEN cast(1 as bigint) ELSE cast(0 as bigint) END, $p)"
+      s"shiftleft(CASE WHEN $dot > 0 THEN cast(1 as bigint) ELSE cast(0 as bigint) END, $p0)"
     }
     terms.mkString("(", " + ", ")")
   }

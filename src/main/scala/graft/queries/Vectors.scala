@@ -59,39 +59,59 @@ object Vectors {
               FROM sims) t
         WHERE rnk <= 3""")),
 
-    // ---- LSH-bucketed ANN: deterministic hyperplanes, same-bucket top-3.
-    // Oracled too: the bucket expression is md5-derived, identical in both
-    // engines.
+    // ---- LSH-bucketed ANN, multi-table: 2 independent hash tables of 4
+    // hyperplanes each (16 buckets/table). Candidates are the union of
+    // same-bucket neighbors across tables — the standard recall lever
+    // (one table of many planes gives singleton buckets and near-zero
+    // recall). Deterministic md5-derived planes → oracled in DuckDB.
     QueryDef(
       "q50_ann_lsh",
       (s, d) => {
         CosineSimilarity.register(s)
         val emb = embDouble(t(s, d, "embeddings"))
-          .withColumn("bucket", expr(lshBucketSpark("vec", DIM, 8)))
-        val queries = emb.filter(col("vec_id") < 20)
-          .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("bucket"))
-        val corpus = emb.select(col("vec_id").as("cand_id"), col("vec").as("cvec"), col("bucket"))
-        val sims = queries.join(corpus,
-          Seq("bucket")).filter(col("query_id") =!= col("cand_id"))
+          .withColumn("b0", expr(lshBucketSpark("vec", DIM, 4, offset = 0)))
+          .withColumn("b1", expr(lshBucketSpark("vec", DIM, 4, offset = 4)))
+          .cache()
+        val cands = (0 until 2).map { tb =>
+          val q = emb.filter(col("vec_id") < 20)
+            .select(col("vec_id").as("query_id"), col(s"b$tb").as("bucket"))
+          val c = emb.select(col("vec_id").as("cand_id"), col(s"b$tb").as("bucket"))
+          q.join(c, Seq("bucket")).filter(col("query_id") =!= col("cand_id"))
+            .select("query_id", "cand_id")
+        }.reduce(_ unionByName _).distinct()
+        val qv = emb.select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+        val cv = emb.select(col("vec_id").as("cand_id"), col("vec").as("cvec"))
+        val sims = cands.join(broadcast(qv), "query_id").join(cv, "cand_id")
           .withColumn("cos_sim", round(expr("graft_cosine(qvec, cvec)"), 4))
         val w = Window.partitionBy("query_id")
           .orderBy(col("cos_sim").desc, col("cand_id").asc)
         sims.withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= 3)
-          .select("query_id", "cand_id", "bucket", "cos_sim", "rnk")
+          .select("query_id", "cand_id", "cos_sim", "rnk")
       },
       Some(s"""
         WITH emb AS (
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
           FROM embeddings),
         bucketed AS (
-          SELECT vec_id, vec, ${lshBucketDuck("vec", DIM, 8)} AS bucket FROM emb),
-        sims AS (
-          SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.bucket,
-                 round(${cosineDuck("q.vec", "c.vec")}, 4) AS cos_sim
+          SELECT vec_id, vec,
+                 ${lshBucketDuck("vec", DIM, 4, 0)} AS b0,
+                 ${lshBucketDuck("vec", DIM, 4, 4)} AS b1
+          FROM emb),
+        cand AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id
           FROM bucketed q JOIN bucketed c
-            ON q.bucket = c.bucket AND q.vec_id < 20 AND q.vec_id <> c.vec_id)
-        SELECT query_id, cand_id, bucket, cos_sim, rnk
+            ON q.b0 = c.b0 AND q.vec_id < 20 AND q.vec_id <> c.vec_id
+          UNION
+          SELECT q.vec_id, c.vec_id
+          FROM bucketed q JOIN bucketed c
+            ON q.b1 = c.b1 AND q.vec_id < 20 AND q.vec_id <> c.vec_id),
+        sims AS (
+          SELECT query_id, cand_id,
+                 round(${cosineDuck("q.vec", "c.vec")}, 4) AS cos_sim
+          FROM cand JOIN emb q ON cand.query_id = q.vec_id
+                    JOIN emb c ON cand.cand_id = c.vec_id)
+        SELECT query_id, cand_id, cos_sim, rnk
         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                            ORDER BY cos_sim DESC, cand_id) AS rnk
               FROM sims) t
