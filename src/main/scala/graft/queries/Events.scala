@@ -31,6 +31,27 @@ object Events {
                ${dsumSql("value")} AS sum_value
         FROM events GROUP BY 1, 2""")),
 
+    // ---- structured JSON parsing: from_json with a declared schema
+    // (vs q27's path extraction) — nested field access + null-safety for
+    // malformed rows
+    QueryDef(
+      "q55_from_json_struct",
+      (s, d) =>
+        t(s, d, "events")
+          .withColumn("p", from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+          .groupBy((col("p.k") % 5).as("k_mod5"))
+          .agg(
+            count(lit(1)).as("n"),
+            count(col("p.k")).as("n_parsed"),
+            Num.dsum(col("value")).as("sum_value")),
+      Some(s"""
+        SELECT CAST(json_extract_string(props, '$$.k') AS INTEGER) % 5 AS k_mod5,
+               count(*) AS n,
+               count(json_extract_string(props, '$$.k')) AS n_parsed,
+               ${dsumSql("value")} AS sum_value
+        FROM events GROUP BY 1""")),
+
     // ---- as-of join: each purchase matched to the user's most recent
     // prior (or simultaneous) click. Union + per-key window sort — one
     // shuffle, no inequality nested-loop join; scales with key count.

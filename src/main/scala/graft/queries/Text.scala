@@ -51,34 +51,56 @@ object Text {
                             / len(string_split(text, ' '))) * 0.5, 6) AS quality_score
         FROM documents""")),
 
-    // ---- language-ID heuristic: stopword-marker hit counts + argmax
+    // ---- language-ID heuristic: per-language marker-word hit counts +
+    // deterministic argmax (ties resolve in fixed language order)
     QueryDef(
       "q41_lang_guess",
       (s, d) => {
+        val markers = Seq(
+          "en" -> Seq("the", "a", "and", "of"),
+          "es" -> Seq("el", "los", "las", "una"),
+          "de" -> Seq("der", "die", "und", "das"),
+          "fr" -> Seq("les", "et", "dans", "une"))
         def hits(words: Seq[String]) = {
           val list = words.map(w => s"'$w'").mkString(", ")
-          expr(s"size(filter(split(text, ' '), w -> w IN ($list)))")
+          expr(s"cast(size(filter(split(text, ' '), w -> w IN ($list))) as bigint)")
         }
-        t(s, d, "documents")
-          .withColumn("en_score", hits(Seq("the", "a", "and", "of")))
-          .withColumn("noise_score", hits(Seq("zz", "qq")))
-          .select(
-            col("doc_id"), col("lang"),
-            col("en_score").cast("long").as("en_score"),
-            when(col("en_score") > col("noise_score") && col("en_score") >= 1, lit("en"))
-              .otherwise(lit("unknown")).as("lang_guess"))
+        val scored = markers.foldLeft(t(s, d, "documents")) {
+          case (df, (l, ws)) => df.withColumn(s"${l}_score", hits(ws))
+        }
+        scored.select(
+          col("doc_id"), col("lang"),
+          col("en_score"), col("es_score"), col("de_score"), col("fr_score"),
+          when(col("en_score") >= greatest(col("es_score"), col("de_score"), col("fr_score"))
+            && col("en_score") >= 1, lit("en"))
+            .when(col("es_score") >= greatest(col("de_score"), col("fr_score"))
+              && col("es_score") >= 1, lit("es"))
+            .when(col("de_score") >= col("fr_score") && col("de_score") >= 1, lit("de"))
+            .when(col("fr_score") >= 1, lit("fr"))
+            .otherwise(lit("unknown")).as("lang_guess"))
       },
-      Some("""
-        SELECT doc_id, lang,
-               CAST(len(list_filter(string_split(text, ' '),
-                    w -> w IN ('the', 'a', 'and', 'of'))) AS BIGINT) AS en_score,
-               CASE WHEN len(list_filter(string_split(text, ' '),
-                             w -> w IN ('the', 'a', 'and', 'of')))
-                         > len(list_filter(string_split(text, ' '), w -> w IN ('zz', 'qq')))
-                     AND len(list_filter(string_split(text, ' '),
-                             w -> w IN ('the', 'a', 'and', 'of'))) >= 1
-                    THEN 'en' ELSE 'unknown' END AS lang_guess
-        FROM documents""")),
+      Some {
+        def h(ws: Seq[String]) = {
+          val list = ws.map(w => s"'$w'").mkString(", ")
+          s"CAST(len(list_filter(string_split(text, ' '), w -> w IN ($list))) AS BIGINT)"
+        }
+        val en = h(Seq("the", "a", "and", "of"))
+        val es = h(Seq("el", "los", "las", "una"))
+        val de = h(Seq("der", "die", "und", "das"))
+        val fr = h(Seq("les", "et", "dans", "une"))
+        s"""
+        WITH scored AS (
+          SELECT doc_id, lang,
+                 $en AS en_score, $es AS es_score, $de AS de_score, $fr AS fr_score
+          FROM documents)
+        SELECT doc_id, lang, en_score, es_score, de_score, fr_score,
+               CASE WHEN en_score >= greatest(es_score, de_score, fr_score) AND en_score >= 1 THEN 'en'
+                    WHEN es_score >= greatest(de_score, fr_score) AND es_score >= 1 THEN 'es'
+                    WHEN de_score >= fr_score AND de_score >= 1 THEN 'de'
+                    WHEN fr_score >= 1 THEN 'fr'
+                    ELSE 'unknown' END AS lang_guess
+        FROM scored"""
+      }),
 
     // ---- token counting: whitespace + regex (BPE-ish greedy chunks)
     QueryDef(

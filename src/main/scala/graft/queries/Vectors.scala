@@ -176,8 +176,8 @@ object Vectors {
         WHERE round(${cosineDuck("a.vec", "b.vec")}, 4) >= 0.35""")),
 
     // ---- K-Means clustering (MLlib) over embeddings — no SQL oracle
-    // (iterative ML); determinism pinned by seed, structure tested in
-    // KMeansSpec.
+    // (iterative ML); seed-pinned determinism, structural correctness
+    // covered by WaferPipelineSpec's kmeans test.
     QueryDef(
       "q52_kmeans_embeddings",
       (s, d) => {
