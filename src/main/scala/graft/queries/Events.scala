@@ -88,19 +88,9 @@ object Events {
     QueryDef(
       "q29_stream_tumbling",
       (s, d) => {
-        val stream = Tables.eventsStream(s, d)
-        val agg = stream
-          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-          .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("sum_value"))
-        val sinkName = s"graft_stream_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-        val q = agg.writeStream
-          .outputMode("complete")
-          .format("memory")
-          .queryName(sinkName)
-          .start()
-        try q.processAllAvailable()
-        finally q.stop()
-        s.table(sinkName).select(
+        import graft.streaming.EventStreams
+        val agg = EventStreams.tumblingAgg(Tables.eventsStream(s, d), "1 hour")
+        EventStreams.runToMemorySink(agg).select(
           date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
           col("event_type"), col("n"), col("sum_value"))
       },
@@ -113,14 +103,9 @@ object Events {
     QueryDef(
       "q30_sessionization",
       (s, d) => {
-        val sessions = t(s, d, "events")
-          .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
-          .agg(count(lit(1)).as("n_ev"))
-        sessions.groupBy("user_id")
-          .agg(
-            count(lit(1)).as("n_sessions"),
-            sum("n_ev").as("n_events"),
-            max("n_ev").as("max_session_events"))
+        import graft.streaming.EventStreams
+        EventStreams.sessionStats(
+          EventStreams.sessionize(t(s, d, "events"), "30 minutes"))
       },
       Some("""
         WITH flagged AS (
