@@ -52,6 +52,37 @@ object Relational3 {
                count(*) AS n_events
         FROM events GROUP BY user_id""")),
 
+    // ---- argmax/argmin aggregates
+    QueryDef(
+      "q56_arg_max_min",
+      (s, d) =>
+        t(s, d, "orders")
+          .groupBy("o_orderstatus")
+          .agg(
+            expr("max_by(o_orderkey, o_totalprice)").as("priciest_order"),
+            expr("min_by(o_orderkey, o_totalprice)").as("cheapest_order"),
+            max("o_totalprice").as("max_price"),
+            min("o_totalprice").as("min_price")),
+      Some("""
+        SELECT o_orderstatus,
+               max_by(o_orderkey, o_totalprice) AS priciest_order,
+               min_by(o_orderkey, o_totalprice) AS cheapest_order,
+               max(o_totalprice) AS max_price,
+               min(o_totalprice) AS min_price
+        FROM orders GROUP BY o_orderstatus""")),
+
+    // ---- fixed-width histogram (bucketed distribution)
+    QueryDef(
+      "q57_histogram",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy(floor(col("l_extendedprice") / 10000.0).cast("long").as("bucket_10k"))
+          .agg(count(lit(1)).as("n"), Num.dsum(col("l_extendedprice")).as("total")),
+      Some(s"""
+        SELECT CAST(floor(l_extendedprice / 10000.0) AS BIGINT) AS bucket_10k,
+               count(*) AS n, ${Num.dsumSql("l_extendedprice")} AS total
+        FROM lineitem GROUP BY 1""")),
+
     // ---- custom typed Aggregator (UDAF): geometric mean of prices
     QueryDef(
       "q54_custom_agg_geomean",
