@@ -83,6 +83,48 @@ object Relational3 {
                count(*) AS n, ${Num.dsumSql("l_extendedprice")} AS total
         FROM lineitem GROUP BY 1""")),
 
+    // ---- window distribution functions: ntile / percent_rank / cume_dist
+    QueryDef(
+      "q58_window_distribution",
+      (s, d) => {
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        t(s, d, "lineitem")
+          .withColumn("quartile", ntile(4).over(w))
+          .withColumn("pct_rank", round(percent_rank().over(w), 6))
+          .withColumn("cume", round(cume_dist().over(w), 6))
+          .select("l_orderkey", "l_linenumber", "l_returnflag", "quartile", "pct_rank", "cume")
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_returnflag,
+               ntile(4) OVER w AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_returnflag
+                     ORDER BY l_extendedprice, l_orderkey, l_linenumber)""")),
+
+    // ---- sliding (hopping) event-time windows: 1h length, 30m hop —
+    // each event lands in two windows
+    QueryDef(
+      "q59_sliding_window",
+      (s, d) =>
+        Tables(s, d, "events")
+          .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+            col("event_type"), col("n")),
+      Some("""
+        SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+               count(*) AS n
+        FROM (SELECT event_type,
+                     unnest([time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)),
+                             time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+                               - INTERVAL '30 minutes']) AS ws
+              FROM events) t
+        GROUP BY 1, 2""")),
+
     // ---- custom typed Aggregator (UDAF): geometric mean of prices
     QueryDef(
       "q54_custom_agg_geomean",
