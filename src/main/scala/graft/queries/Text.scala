@@ -135,9 +135,7 @@ object Text {
     QueryDef(
       "q44_dedup_exact",
       (s, d) =>
-        t(s, d, "documents")
-          .groupBy(md5(col("text")).as("text_md5"))
-          .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies")),
+        graft.operators.Dedup.exactGroups(t(s, d, "documents"), "doc_id", "text"),
       Some("""
         SELECT md5(text) AS text_md5, min(doc_id) AS keeper_doc_id,
                count(*) AS n_copies
@@ -147,12 +145,7 @@ object Text {
     QueryDef(
       "q45_minhash_bands",
       (s, d) =>
-        t(s, d, "documents")
-          .withColumn("wh", expr(wordHashesSpark()))
-          .withColumn("hh", expr(ngramHashesSpark(3, "wh")))
-          .select(
-            (col("doc_id") +:
-              (0 until 4).map(b => expr(bandSpark(b, 2, "hh")).as(s"band$b"))): _*),
+        graft.operators.Dedup.minhashBands(t(s, d, "documents"), "doc_id", "text"),
       Some(s"""
         WITH wh AS (SELECT doc_id, ${wordHashesDuck()} AS wh FROM documents),
         hashed AS (SELECT doc_id, ${ngramHashesDuck(3, "wh")} AS hh FROM wh)
@@ -164,22 +157,11 @@ object Text {
     QueryDef(
       "q46_minhash_pairs",
       (s, d) => {
-        val sig = t(s, d, "documents")
-          .withColumn("wh", expr(wordHashesSpark()))
-          .withColumn("hh", expr(ngramHashesSpark(3, "wh")))
-          .select(
-            (col("doc_id") +:
-              (0 until 4).map(b => expr(bandSpark(b, 2, "hh")).as(s"band$b"))): _*)
-        val stacked = sig.select(col("doc_id"),
-          posexplode(array((0 until 4).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band_key")))
-        val a = stacked.as("a")
-        val b = stacked.as("b")
-        a.join(b,
-          col("a.band_idx") === col("b.band_idx") &&
-            col("a.band_key") === col("b.band_key") &&
-            col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
+        import graft.operators.Dedup
+        Dedup.minhashCandidatePairs(
+          Dedup.minhashBands(t(s, d, "documents"), "doc_id", "text"), "doc_id")
+          .withColumnRenamed("doc_id_a", "doc_a")
+          .withColumnRenamed("doc_id_b", "doc_b")
       },
       Some(s"""
         WITH wh AS (SELECT doc_id, ${wordHashesDuck()} AS wh FROM documents),
@@ -245,9 +227,7 @@ object Text {
     QueryDef(
       "q48_simhash",
       (s, d) =>
-        t(s, d, "documents")
-          .withColumn("hs", expr(wordHashesSpark()))
-          .select(col("doc_id"), expr(simhashSpark("hs", 16)).as("simhash16")),
+        graft.operators.Dedup.simhash(t(s, d, "documents"), "doc_id", "text"),
       Some(s"""
         WITH h AS (SELECT doc_id, ${wordHashesDuck()} AS hs FROM documents)
         SELECT doc_id, ${simhashDuck("hs", 16)} AS simhash16
