@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.CosineSimilarity
+
+/** User-facing similarity-search API over (id, array<double> vector)
+  * frames: exact brute-force top-k (the oracle/baseline) and
+  * multi-table random-hyperplane LSH ANN (the scale path). Cosine is
+  * the native codegen expression graft_cosine.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors of `queries` against `corpus`
+    * (broadcast cross join — O(Q·N); correct baseline, not the
+    * production path for large Q).
+    */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    CosineSimilarity.register(queries.sparkSession)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("__cv"))
+    val sims = broadcast(q).join(c, col("query_id") =!= col("cand_id"))
+      .withColumn("cos_sim", round(expr("graft_cosine(__qv, __cv)"), 4))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("cand_id").asc)
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "cand_id", "cos_sim", "rnk")
+  }
+
+  /** Attach `tables` LSH bucket columns (b0..b{tables-1}) of
+    * `planesPerTable` hyperplanes each.
+    */
+  def withLshBuckets(
+      df: DataFrame, vecCol: String, dim: Int,
+      tables: Int = 2, planesPerTable: Int = 4): DataFrame =
+    (0 until tables).foldLeft(df) { (d, t) =>
+      d.withColumn(s"b$t",
+        expr(VectorOps.lshBucketSpark(vecCol, dim, planesPerTable, offset = t * planesPerTable)))
+    }
+
+  /** ANN top-k: candidates are the union of same-bucket neighbors
+    * across the LSH tables; exact cosine ranks within candidates.
+    */
+  def annTopK(
+      df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      queryFilter: org.apache.spark.sql.Column, k: Int,
+      tables: Int = 2, planesPerTable: Int = 4): DataFrame = {
+    CosineSimilarity.register(df.sparkSession)
+    val bucketed = withLshBuckets(df, vecCol, dim, tables, planesPerTable).cache()
+    val cands = (0 until tables).map { t =>
+      val q = bucketed.filter(queryFilter)
+        .select(col(idCol).as("query_id"), col(s"b$t").as("bucket"))
+      val c = bucketed.select(col(idCol).as("cand_id"), col(s"b$t").as("bucket"))
+      q.join(c, Seq("bucket")).filter(col("query_id") =!= col("cand_id"))
+        .select("query_id", "cand_id")
+    }.reduce(_ unionByName _).distinct()
+    val qv = bucketed.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val cv = bucketed.select(col(idCol).as("cand_id"), col(vecCol).as("__cv"))
+    val sims = cands.join(broadcast(qv), "query_id").join(cv, "cand_id")
+      .withColumn("cos_sim", round(expr("graft_cosine(__qv, __cv)"), 4))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("cand_id").asc)
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "cand_id", "cos_sim", "rnk")
+  }
+
+  /** All vector pairs with cosine >= threshold, through single-table
+    * LSH buckets (embedding near-dup).
+    */
+  def nearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      threshold: Double, planes: Int = 8): DataFrame = {
+    CosineSimilarity.register(df.sparkSession)
+    val bucketed = df.withColumn("bucket",
+      expr(VectorOps.lshBucketSpark(vecCol, dim, planes)))
+    val a = bucketed.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = bucketed.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", round(expr("graft_cosine(__va, __vb)"), 4))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+  }
+}

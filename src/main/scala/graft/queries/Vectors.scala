@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{QueryDef, Tables}
 import graft.functions.CosineSimilarity
+import graft.operators.Similarity
 import graft.operators.VectorOps._
 
 /** Similarity search over the embeddings table (`array<float>` vectors):
@@ -32,18 +33,9 @@ object Vectors {
     QueryDef(
       "q49_cosine_topk",
       (s, d) => {
-        CosineSimilarity.register(s)
         val emb = embDouble(t(s, d, "embeddings"))
-        val queries = emb.filter(col("vec_id") < 20)
-          .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
-        val corpus = emb.select(col("vec_id").as("cand_id"), col("vec").as("cvec"))
-        val sims = broadcast(queries).join(corpus, col("query_id") =!= col("cand_id"))
-          .withColumn("cos_sim", round(expr("graft_cosine(qvec, cvec)"), 4))
-        val w = Window.partitionBy("query_id")
-          .orderBy(col("cos_sim").desc, col("cand_id").asc)
-        sims.withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") <= 3)
-          .select("query_id", "cand_id", "cos_sim", "rnk")
+        Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < 20), emb, "vec_id", "vec", k = 3)
       },
       Some(s"""
         WITH emb AS (
@@ -66,29 +58,11 @@ object Vectors {
     // recall). Deterministic md5-derived planes → oracled in DuckDB.
     QueryDef(
       "q50_ann_lsh",
-      (s, d) => {
-        CosineSimilarity.register(s)
-        val emb = embDouble(t(s, d, "embeddings"))
-          .withColumn("b0", expr(lshBucketSpark("vec", DIM, 4, offset = 0)))
-          .withColumn("b1", expr(lshBucketSpark("vec", DIM, 4, offset = 4)))
-          .cache()
-        val cands = (0 until 2).map { tb =>
-          val q = emb.filter(col("vec_id") < 20)
-            .select(col("vec_id").as("query_id"), col(s"b$tb").as("bucket"))
-          val c = emb.select(col("vec_id").as("cand_id"), col(s"b$tb").as("bucket"))
-          q.join(c, Seq("bucket")).filter(col("query_id") =!= col("cand_id"))
-            .select("query_id", "cand_id")
-        }.reduce(_ unionByName _).distinct()
-        val qv = emb.select(col("vec_id").as("query_id"), col("vec").as("qvec"))
-        val cv = emb.select(col("vec_id").as("cand_id"), col("vec").as("cvec"))
-        val sims = cands.join(broadcast(qv), "query_id").join(cv, "cand_id")
-          .withColumn("cos_sim", round(expr("graft_cosine(qvec, cvec)"), 4))
-        val w = Window.partitionBy("query_id")
-          .orderBy(col("cos_sim").desc, col("cand_id").asc)
-        sims.withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") <= 3)
-          .select("query_id", "cand_id", "cos_sim", "rnk")
-      },
+      (s, d) =>
+        Similarity.annTopK(
+          embDouble(t(s, d, "embeddings")), "vec_id", "vec", DIM,
+          queryFilter = col("vec_id") < 20, k = 3,
+          tables = 2, planesPerTable = 4),
       Some(s"""
         WITH emb AS (
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
@@ -152,17 +126,10 @@ object Vectors {
     // scale shape as q50: the only join is per-bucket.
     QueryDef(
       "q53_embedding_neardup",
-      (s, d) => {
-        CosineSimilarity.register(s)
-        val emb = embDouble(t(s, d, "embeddings"))
-          .withColumn("bucket", expr(lshBucketSpark("vec", DIM, 8)))
-        val a = emb.select(col("bucket"), col("vec_id").as("id_a"), col("vec").as("vec_a"))
-        val b = emb.select(col("bucket"), col("vec_id").as("id_b"), col("vec").as("vec_b"))
-        a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
-          .withColumn("cos_sim", round(expr("graft_cosine(vec_a, vec_b)"), 4))
-          .filter(col("cos_sim") >= 0.35)
-          .select("id_a", "id_b", "cos_sim")
-      },
+      (s, d) =>
+        Similarity.nearDupPairs(
+          embDouble(t(s, d, "embeddings")), "vec_id", "vec", DIM,
+          threshold = 0.35, planes = 8),
       Some(s"""
         WITH emb AS (
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
