@@ -45,9 +45,12 @@ object IqrOutlierFilter {
       if (dropNullKeys) df.filter(groupCols.map(col(_).isNotNull).reduce(_ && _))
       else df
     for (c <- valueCols) {
-      val pct =
-        if (exact) (p: String) => expr(s"percentile($c, $p)")
-        else (p: String) => expr(s"approx_percentile($c, $p, 10000)")
+      // Both quartiles come from ONE percentile(col, array(...)) aggregate
+      // so the group's values are buffered (exact) / sketched (approx)
+      // once, not once per quantile.
+      val pcts =
+        if (exact) expr(s"percentile($c, array(0.25D, 0.75D))")
+        else expr(s"approx_percentile($c, array(0.25D, 0.75D), 10000)")
       // The per-group bounds are <= #groups rows: collect them eagerly and
       // rejoin as a literal LocalRelation. Keeping them lazy instead would
       // embed pass N-1's whole join subtree inside pass N's aggregate —
@@ -56,10 +59,10 @@ object IqrOutlierFilter {
       // plus a linear chain of broadcast-local joins and filters.
       val bounds = cur
         .groupBy(groupCols.map(col): _*)
-        .agg(
-          pct("0.25").as("__q1"),
-          pct("0.75").as("__q3"),
-          count(col(c)).as("__cnt"))
+        .agg(pcts.as("__qs"), count(col(c)).as("__cnt"))
+        .withColumn("__q1", element_at(col("__qs"), 1).cast("double"))
+        .withColumn("__q3", element_at(col("__qs"), 2).cast("double"))
+        .drop("__qs")
         .withColumn("__ub", col("__q3") + lit(k) * (col("__q3") - col("__q1")))
       val boundsLocal = {
         val rows = bounds.collect().toList

@@ -148,14 +148,20 @@ object Vectors {
     QueryDef(
       "q52_kmeans_embeddings",
       (s, d) => {
+        // cache the assembled vectors: KMeans.fit is iterative and would
+        // re-execute the scan+transform chain once per iteration otherwise
         val emb = embDouble(t(s, d, "embeddings"))
           .withColumn("features", org.apache.spark.ml.functions.array_to_vector(col("vec")))
-        val model = new org.apache.spark.ml.clustering.KMeans()
-          .setK(8).setSeed(42).setFeaturesCol("features").setPredictionCol("cluster")
-          .fit(emb)
-        model.transform(emb)
-          .groupBy("cluster")
-          .agg(count(lit(1)).as("n"))
+          .cache()
+        try {
+          val model = new org.apache.spark.ml.clustering.KMeans()
+            .setK(8).setSeed(42).setFeaturesCol("features").setPredictionCol("cluster")
+            .fit(emb)
+          model.transform(emb)
+            .groupBy("cluster")
+            .agg(count(lit(1)).as("n"))
+            .localCheckpoint() // materialize so the cache can be freed
+        } finally emb.unpersist()
       },
       None),
   )

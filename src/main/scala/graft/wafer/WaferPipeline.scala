@@ -161,8 +161,12 @@ object WaferPipeline {
             scaled.rdd.getNumPartitions.toLong, cnt / 500000L + 1)).toInt
           val fitInput = scaled.coalesce(parts).cache()
           try {
+            // random init (seed-pinned): k-means||'s multi-round
+            // distributed seeding is pure scheduling overhead at per-step
+            // subset sizes, and cluster ids are permutation-arbitrary
+            // either way (correctness is structural, §5.3)
             val model = new KMeans()
-              .setK(k).setSeed(seed)
+              .setK(k).setSeed(seed).setInitMode("random")
               .setFeaturesCol("__fv").setPredictionCol("__cluster")
               .fit(fitInput)
             val labels = model.transform(fitInput).select(col("__row_id"),
