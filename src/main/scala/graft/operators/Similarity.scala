@@ -68,6 +68,68 @@ object Similarity {
       .select("query_id", "cand_id", "cos_sim", "rnk")
   }
 
+  /** IVF (inverted-file) ANN — the k-means-quantizer scale path beside
+    * LSH: fit `nlist` coarse centroids over the corpus (MLlib KMeans,
+    * seed-pinned), assign every vector to its nearest list, then answer
+    * queries by probing only the `nprobe` nearest lists and re-ranking
+    * those candidates with exact cosine.
+    *
+    * Scale shape: the corpus shuffles once on list id (or is written
+    * bucketed by it); a query touches nprobe/nlist of the data instead
+    * of all of it. Centroids are tiny (nlist×dim) → always broadcast.
+    */
+  def ivfTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      queryFilter: org.apache.spark.sql.Column, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    CosineSimilarity.register(df.sparkSession)
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val assembled = df
+      .select(col(idCol), col(vecCol))
+      .withColumn("__fv", array_to_vector(col(vecCol)))
+      .cache() // KMeans.fit is iterative — never recompute upstream per pass
+    try {
+      val model = new KMeans()
+        .setK(nlist).setSeed(seed)
+        .setFeaturesCol("__fv").setPredictionCol("__list")
+        .fit(assembled)
+      val listed = model.transform(assembled)
+        .select(col(idCol), col(vecCol), col("__list")).cache()
+      try {
+        listed.count()
+        val centroids = {
+          import df.sparkSession.implicits._
+          model.clusterCenters.zipWithIndex.toSeq
+            .map { case (c, i) => (i, c.toArray.toSeq) }
+            .toDF("__list", "__centroid")
+        }
+        // nprobe nearest lists per query by L2 distance to the centroid
+        val l2 = expr(
+          "aggregate(zip_with(__qv, __centroid, (a, b) -> (a - b) * (a - b)), 0D, (acc, v) -> acc + v)")
+        val queries = listed.filter(queryFilter)
+          .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+        val probeW = Window.partitionBy("query_id").orderBy(col("__d2").asc, col("__list").asc)
+        val probes = queries.crossJoin(broadcast(centroids))
+          .withColumn("__d2", l2)
+          .withColumn("__pr", row_number().over(probeW))
+          .filter(col("__pr") <= nprobe)
+          .select("query_id", "__qv", "__list")
+        val cands = probes.join(
+          listed.select(col(idCol).as("cand_id"), col(vecCol).as("__cv"), col("__list")),
+          Seq("__list"))
+          .filter(col("query_id") =!= col("cand_id"))
+        val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("cand_id").asc)
+        cands
+          .withColumn("cos_sim", round(expr("graft_cosine(__qv, __cv)"), 4))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= k)
+          .select("query_id", "cand_id", "cos_sim", "rnk")
+          .localCheckpoint() // materialize so the caches can be freed
+      } finally listed.unpersist()
+    } finally assembled.unpersist()
+  }
+
   /** All vector pairs with cosine >= threshold, through single-table
     * LSH buckets (embedding near-dup).
     */

@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Num, QueryDef, Tables}
+import graft.operators.TextOps
+
+/** Round-2 additions: deterministic distributed statistics, reproducible
+  * hash sampling, skew-salted join, IVF ANN, explode word counts, dedup
+  * survivorship, and stride frame-sampling over sequential payloads.
+  *
+  * Scale notes: every aggregate here is a partial+final hash agg (one
+  * shuffle); the stats in q60 are single-pass moment sums — the shape
+  * that survives 100 TB, unlike two-pass mean-then-residual formulas.
+  */
+object Advanced {
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+  import Num.{dsum, dsumSql}
+
+  /** null when zero — ANSI-safe denominator guard. */
+  private def nz(c: org.apache.spark.sql.Column) = when(c === 0.0, lit(null)).otherwise(c)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- per-group correlation + least-squares regression from exact
+    // decimal moment sums. Built-in corr()/regr_slope() accumulate
+    // doubles in shuffle order (nondeterministic last bits, engine-
+    // dependent formulas); moments through dsum are bit-identical in any
+    // order and any engine, so the derived stats hash-match the oracle.
+    QueryDef(
+      "q60_deterministic_stats",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val x = col("l_quantity")
+        val y = col("l_extendedprice")
+        li.groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            dsum(x).as("sx"), dsum(y).as("sy"),
+            dsum(x * x).as("sxx"), dsum(y * y).as("syy"),
+            dsum(x * y).as("sxy"))
+          .withColumn("__cov_n", col("n") * col("sxy") - col("sx") * col("sy"))
+          .withColumn("__var_x", col("n") * col("sxx") - col("sx") * col("sx"))
+          .withColumn("__var_y", col("n") * col("syy") - col("sy") * col("sy"))
+          .withColumn("corr_qty_price",
+            round(col("__cov_n") / nz(sqrt(col("__var_x") * col("__var_y"))), 6))
+          .withColumn("slope", round(col("__cov_n") / nz(col("__var_x")), 6))
+          .withColumn("intercept",
+            round((col("sy") - (col("__cov_n") / nz(col("__var_x"))) * col("sx")) / col("n"), 6))
+          .select(col("l_returnflag"), col("n").cast("long").as("n"),
+            col("corr_qty_price"), col("slope"), col("intercept"))
+      },
+      Some(s"""
+        WITH m AS (
+          SELECT l_returnflag,
+                 CAST(count(*) AS DOUBLE) AS n,
+                 ${dsumSql("l_quantity")} AS sx,
+                 ${dsumSql("l_extendedprice")} AS sy,
+                 ${dsumSql("l_quantity * l_quantity")} AS sxx,
+                 ${dsumSql("l_extendedprice * l_extendedprice")} AS syy,
+                 ${dsumSql("l_quantity * l_extendedprice")} AS sxy
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+               round((n*sxy - sx*sy) / NULLIF(sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 0.0), 6)
+                 AS corr_qty_price,
+               round((n*sxy - sx*sy) / NULLIF(n*sxx - sx*sx, 0.0), 6) AS slope,
+               round((sy - ((n*sxy - sx*sy) / NULLIF(n*sxx - sx*sx, 0.0)) * sx) / n, 6)
+                 AS intercept
+        FROM m""")),
+
+    // ---- reproducible stratified sampling: md5-hash the key into [0,100)
+    // and keep a per-stratum rate. Unlike rand()-based sampling this is
+    // deterministic across runs, engines, and cluster sizes — the only
+    // sane way to sample a 100 TB table you'll need to resample
+    // identically next month. No shuffle: a codegen'd filter at the scan.
+    QueryDef(
+      "q61_hash_sample",
+      (s, d) => {
+        val bucket = expr(s"${TextOps.hash60Spark("cast(o_orderkey as string)")} % 100")
+        val rate = when(col("o_orderstatus") === "F", 10)
+          .when(col("o_orderstatus") === "O", 5)
+          .otherwise(50)
+        t(s, d, "orders")
+          .filter(bucket < rate)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      },
+      Some(s"""
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders
+        WHERE ${TextOps.hash60Duck("o_orderkey::VARCHAR")} % 100 <
+              CASE WHEN o_orderstatus = 'F' THEN 10
+                   WHEN o_orderstatus = 'O' THEN 5
+                   ELSE 50 END""")),
+
+    // ---- skew-salted fact join: SaltedJoin scatters the (possibly hot)
+    // left keys over saltFactor sub-keys and replicates the right side —
+    // result must equal the plain join, which IS the oracle.
+    QueryDef(
+      "q62_salted_join",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val o = t(s, d, "orders")
+          .withColumnRenamed("o_orderkey", "l_orderkey")
+          .select("l_orderkey", "o_orderpriority")
+        graft.operators.SaltedJoin(li, o, Seq("l_orderkey"), saltFactor = 8)
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_items"),
+            dsum(col("l_extendedprice")).as("revenue"))
+      },
+      Some(s"""
+        SELECT o_orderpriority, count(*) AS n_items,
+               ${dsumSql("l_extendedprice")} AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority""")),
+
+    // ---- IVF ANN (kmeans coarse quantizer, probe nprobe of nlist lists)
+    // — iterative ML inside, so no SQL oracle; recall vs brute force is
+    // pinned by IvfAnnSpec.
+    QueryDef(
+      "q63_ivf_ann",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+          .withColumn("vec", expr("transform(embedding, x -> cast(x as double))"))
+        graft.operators.Similarity.ivfTopK(
+          emb, "vec_id", "vec", queryFilter = col("vec_id") < 20, k = 3,
+          nlist = 8, nprobe = 3)
+      },
+      None),
+
+    // ---- classic explode + re-aggregate: per-word corpus frequency.
+    QueryDef(
+      "q64_word_count",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("word"))
+          .groupBy("word")
+          .agg(count(lit(1)).as("n")),
+      Some("""
+        SELECT word, count(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) w
+        GROUP BY word""")),
+
+    // ---- dedup survivorship: within each exact-duplicate group keep the
+    // "best" document (longest, then lowest id) — the keep-policy join
+    // every production dedup pipeline needs after candidate discovery.
+    QueryDef(
+      "q65_dedup_survivor",
+      (s, d) => {
+        val w = Window.partitionBy("text_md5")
+          .orderBy(col("n_chars").desc, col("doc_id").asc)
+        t(s, d, "documents")
+          .withColumn("text_md5", md5(col("text")))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") === 1)
+          .select("text_md5", "doc_id", "n_chars")
+      },
+      Some("""
+        SELECT text_md5, doc_id, n_chars
+        FROM (SELECT md5(text) AS text_md5, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY md5(text)
+                                        ORDER BY n_chars DESC, doc_id) AS rnk
+              FROM documents) t
+        WHERE rnk = 1""")),
+
+    // ---- stride frame-sampling over a sequential payload: one 32-char
+    // frame every 64 positions, fingerprinted. The multimodal shape —
+    // sample frames from a long media payload without materializing the
+    // rest — expressed as pure per-row array ops (codegen, no shuffle);
+    // the binary-typed decode slot itself is pinned by q51.
+    QueryDef(
+      "q66_frame_sample",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            explode(expr("sequence(0, cast(greatest(ceil(length(text) / 64.0), 1) as int) - 1)"))
+              .as("frame_idx"),
+            col("text"))
+          .select(col("doc_id"), col("frame_idx"),
+            md5(expr("substr(text, cast(frame_idx * 64 + 1 as int), 32)")).as("frame_md5")),
+      Some("""
+        WITH idx AS (
+          SELECT doc_id, text,
+                 unnest(range(0, GREATEST(CAST(ceil(length(text) / 64.0) AS BIGINT), 1)))
+                   AS frame_idx
+          FROM documents)
+        SELECT doc_id, frame_idx,
+               md5(substr(text, CAST(frame_idx * 64 + 1 AS INTEGER), 32)) AS frame_md5
+        FROM idx""")),
+  )
+}
