@@ -82,4 +82,16 @@ object CosineSimilarity {
       "graft_cosine",
       exprs => CosineSimilarity(exprs(0), exprs(1)),
       "built-in")
+
+  /** Injection triple for SparkSessionExtensions.injectFunction (the
+    * spark.sql.extensions activation path — see graft.plans.GraftExtensions).
+    */
+  def functionDescription: (
+      org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine"),
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[CosineSimilarity].getCanonicalName, "graft_cosine"),
+    exprs => CosineSimilarity(exprs(0), exprs(1)))
 }

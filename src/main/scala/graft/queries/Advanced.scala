@@ -164,6 +164,70 @@ object Advanced {
               FROM documents) t
         WHERE rnk = 1""")),
 
+    // ---- two-stage funnel over the event stream: per user, first click
+    // and the first purchase at-or-after it. Two grouped minima + one
+    // per-user join — no window over the raw event log, so it shuffles
+    // each event once and the join side is one row per user.
+    QueryDef(
+      "q67_funnel",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val firstClick = ev.filter(col("event_type") === "click")
+          .groupBy("user_id").agg(min(col("ts")).as("first_click"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user_id"), col("ts"))
+        // time bound inside the LEFT join condition: users with no
+        // qualifying purchase must survive with a null, not be filtered
+        firstClick
+          .join(purchases,
+            col("user_id") === col("p_user_id") && col("ts") >= col("first_click"),
+            "left")
+          .groupBy("user_id", "first_click")
+          .agg(min(col("ts")).as("first_purchase"))
+          .select(
+            col("user_id"),
+            col("first_purchase").isNotNull.as("converted"),
+            (unix_micros(col("first_purchase")) - unix_micros(col("first_click")))
+              .as("us_to_convert"))
+      },
+      Some("""
+        WITH fc AS (
+          SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS first_click
+          FROM events WHERE event_type = 'click' GROUP BY user_id),
+        fp AS (
+          SELECT fc.user_id, fc.first_click,
+                 min(CAST(p.ts AS TIMESTAMP)) AS first_purchase
+          FROM fc LEFT JOIN events p
+            ON p.user_id = fc.user_id AND p.event_type = 'purchase'
+           AND CAST(p.ts AS TIMESTAMP) >= fc.first_click
+          GROUP BY fc.user_id, fc.first_click)
+        SELECT user_id,
+               first_purchase IS NOT NULL AS converted,
+               epoch_us(first_purchase) - epoch_us(first_click) AS us_to_convert
+        FROM fp""")),
+
+    // ---- correlated scalar subquery, through the engine's SQL entry:
+    // orders above 2× their own customer's average order value.
+    QueryDef(
+      "q68_correlated_subquery",
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("graft_orders_corr")
+        s.sql(s"""
+          SELECT o_orderkey, o_custkey, o_totalprice
+          FROM graft_orders_corr o
+          WHERE o_totalprice >
+                2 * (SELECT ${dsumSql("o2.o_totalprice")} / count(*)
+                     FROM graft_orders_corr o2
+                     WHERE o2.o_custkey = o.o_custkey)""")
+      },
+      Some(s"""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice >
+              2 * (SELECT ${dsumSql("o2.o_totalprice")} / count(*)
+                   FROM orders o2
+                   WHERE o2.o_custkey = o.o_custkey)""")),
+
     // ---- stride frame-sampling over a sequential payload: one 32-char
     // frame every 64 positions, fingerprinted. The multimodal shape —
     // sample frames from a long media payload without materializing the
