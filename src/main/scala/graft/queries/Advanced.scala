@@ -228,6 +228,80 @@ object Advanced {
                    FROM orders o2
                    WHERE o2.o_custkey = o.o_custkey)""")),
 
+    // ---- chi-square independence statistic over a contingency table
+    // (order status × priority). Counts are exact longs, the statistic is
+    // IEEE double arithmetic over them — deterministic cross-engine with
+    // no decimal machinery needed. One groupBy + one tiny re-aggregation.
+    QueryDef(
+      "q69_chi_square",
+      (s, d) => {
+        val counts = t(s, d, "orders")
+          .groupBy("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+          .cache() // tiny (|status|×|priority| rows); reused three ways below
+        val rowTot = counts.groupBy("o_orderstatus")
+          .agg(sum("n").as("row_n"))
+        val colTot = counts.groupBy("o_orderpriority")
+          .agg(sum("n").as("col_n"))
+        val total = counts.agg(sum("n").as("tot_n"))
+        counts
+          .join(broadcast(rowTot), "o_orderstatus")
+          .join(broadcast(colTot), "o_orderpriority")
+          .crossJoin(broadcast(total))
+          .withColumn("e",
+            col("row_n").cast("double") * col("col_n") / col("tot_n"))
+          .agg(
+            round(Num.dsum((col("n") - col("e")) * (col("n") - col("e")) / col("e")), 6)
+              .as("chi2"),
+            count(lit(1)).as("n_cells"))
+      },
+      Some("""
+        WITH counts AS (
+          SELECT o_orderstatus, o_orderpriority, count(*) AS n
+          FROM orders GROUP BY 1, 2),
+        rt AS (SELECT o_orderstatus, sum(n) AS row_n FROM counts GROUP BY 1),
+        ct AS (SELECT o_orderpriority, sum(n) AS col_n FROM counts GROUP BY 1),
+        tot AS (SELECT sum(n) AS tot_n FROM counts),
+        cells AS (
+          SELECT n, CAST(row_n AS DOUBLE) * col_n / tot_n AS e
+          FROM counts JOIN rt USING (o_orderstatus)
+                      JOIN ct USING (o_orderpriority), tot)
+        SELECT round(CAST(SUM(CAST(((n - e) * (n - e) / e) AS DECIMAL(28,6))) AS DOUBLE), 6)
+                 AS chi2,
+               count(*) AS n_cells
+        FROM cells""")),
+
+    // ---- Gini impurity of the source distribution per language —
+    // category-diversity scoring for corpus curation. 1 - Σp² from exact
+    // counts is pure rational arithmetic (no log), so it is bit-identical
+    // across engines with no rounding gymnastics. (Shannon entropy would
+    // hinge on libm's log rounding, which IEEE does not pin down.)
+    QueryDef(
+      "q70_gini_diversity",
+      (s, d) => {
+        val counts = t(s, d, "documents")
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n"))
+        val byLang = counts.groupBy("lang").agg(sum("n").as("lang_n"))
+        counts.join(broadcast(byLang), "lang")
+          .withColumn("p", col("n").cast("double") / col("lang_n"))
+          .groupBy("lang")
+          .agg(
+            round(lit(1.0) - Num.dsum(col("p") * col("p")), 6).as("source_gini"),
+            count(lit(1)).as("n_sources"))
+      },
+      Some("""
+        WITH counts AS (
+          SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),
+        withp AS (
+          SELECT lang, CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang) AS p
+          FROM counts)
+        SELECT lang,
+               round(1.0 - CAST(SUM(CAST((p * p) AS DECIMAL(28,6))) AS DOUBLE), 6)
+                 AS source_gini,
+               count(*) AS n_sources
+        FROM withp GROUP BY lang""")),
+
     // ---- stride frame-sampling over a sequential payload: one 32-char
     // frame every 64 positions, fingerprinted. The multimodal shape —
     // sample frames from a long media payload without materializing the
