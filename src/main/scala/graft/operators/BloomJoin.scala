@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bloom-filter pre-filtered semi-join: build a compact Bloom filter
+  * over the (already filtered) dimension keys, broadcast it, and drop
+  * fact rows whose key cannot possibly match BEFORE the shuffle; the
+  * real semi-join afterwards removes the Bloom filter's false
+  * positives, so the result is exactly the plain semi-join.
+  *
+  * This is the runtime-filter shape big engines use for selective
+  * fact⋈dim joins at scale: at 100 TB the win is that the ~1% of
+  * surviving fact rows — not the full table — pay the shuffle write,
+  * network, and sort cost of the join. A ~1M-key filter at 1% fpp is
+  * ~1.2 MB — broadcastable to any cluster size. Spark's own AQE
+  * runtime filtering only kicks in for DPP-style partition pruning;
+  * this operator applies the same idea at row granularity under user
+  * control.
+  *
+  * The filter is built with `DataFrameStatFunctions.bloomFilter`
+  * (distributed aggregation of per-partition filters, merged on the
+  * driver) and shipped to executors as a broadcast variable read
+  * inside a deterministic UDF.
+  */
+object BloomJoin {
+
+  /** Exact semi-join of fact on dim (factKey == dimKey, long keys),
+    * Bloom-pre-filtered. `expectedKeys`/`fpp` size the filter.
+    */
+  def semiJoinLong(
+      fact: DataFrame, factKey: String,
+      dim: DataFrame, dimKey: String,
+      expectedKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val bloom = dim.stat.bloomFilter(dimKey, expectedKeys, fpp)
+    val bc = fact.sparkSession.sparkContext.broadcast(bloom)
+    // deterministic pure function of broadcast state — stays pushable
+    val mightContain = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+    fact.filter(mightContain(col(factKey)))
+      .join(dim.select(col(dimKey)), col(factKey) === col(dimKey), "left_semi")
+  }
+}

@@ -50,4 +50,55 @@ object Dedup {
   def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame =
     df.withColumn("__wh", expr(TextOps.wordHashesSpark(textCol)))
       .select(col(idCol), expr(TextOps.simhashSpark("__wh", bits)).as(s"simhash$bits"))
+
+  /** Connected components over an undirected candidate-pair edge list
+    * (e.g. minhashCandidatePairs output): returns (node, cluster_id)
+    * where cluster_id is the minimum node id in the component — the
+    * step that turns pairwise near-dup hits into whole duplicate
+    * clusters so one canonical document per cluster can survive.
+    *
+    * Algorithm: distributed min-label propagation. Every node starts
+    * labeled with its own id; each round every node adopts the minimum
+    * label among itself and its neighbors (one shuffle join on the
+    * edge list + one min-aggregation), until a round changes nothing.
+    * Rounds needed = graph diameter, and near-dup cluster graphs are
+    * shallow (dozens of docs sharing band keys), so this converges in
+    * a handful of rounds. Per round the work is one shuffle of the
+    * edge list — never a cross join, never driver-side graph state;
+    * the per-round result is localCheckpoint'd so lineage (and
+    * re-execution cost at 100 TB) stays constant across rounds.
+    *
+    * Deterministic: min() is order-independent, so the result is
+    * identical under any partitioning / executor count.
+    */
+  def connectedComponents(
+      pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
+    val half = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    // undirected: propagate both ways every round
+    val edges = half.union(half.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("cluster_id", col("node"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(min("cluster_id").as("nbr_min"))
+      val stepped = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"),
+          (col("nbr_min") < col("cluster_id")).as("__chg"))
+        .localCheckpoint(true)
+      val changed = stepped.filter(col("__chg")).limit(1).count()
+      labels = stepped.drop("__chg")
+      converged = changed == 0L
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
 }

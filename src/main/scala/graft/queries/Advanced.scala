@@ -326,5 +326,75 @@ object Advanced {
         SELECT doc_id, frame_idx,
                md5(substr(text, CAST(frame_idx * 64 + 1 AS INTEGER), 32)) AS frame_md5
         FROM idx""")),
+
+    // ---- Bloom-prefiltered semi-join (BloomJoin.semiJoinLong): fact
+    // rows that cannot match any selective-dim key are dropped before
+    // the shuffle; the exact semi-join then removes Bloom false
+    // positives, so the result equals the plain semi-join the oracle
+    // runs. See BloomJoin's scaladoc for the 100 TB rationale.
+    QueryDef(
+      "q72_bloom_semi_join",
+      (s, d) => {
+        val dim = t(s, d, "part").filter(col("p_size") >= 48)
+        graft.operators.BloomJoin
+          .semiJoinLong(t(s, d, "lineitem"), "l_partkey", dim, "p_partkey",
+            expectedKeys = 100000L)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      },
+      Some(s"""
+        SELECT l_returnflag, count(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 48)
+        GROUP BY l_returnflag""")),
+
+    // ---- calendar densification (gap fill): an explicit month spine
+    // from the data's own min/max month, crossed with the region dim,
+    // left-joined to actual monthly revenue, missing months zero-filled.
+    // Time-series training data needs dense, regular grids; at scale
+    // the spine is tiny (months × regions) and broadcast, the fact agg
+    // is the only shuffle.
+    QueryDef(
+      "q73_gap_fill_months",
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+          .select(date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+            col("r_name"), col("o_totalprice"))
+        val actual = o.groupBy("month", "r_name")
+          .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+        val bounds = o.agg(min("month").as("lo"), max("month").as("hi"))
+        val spine = bounds
+          .select(explode(expr("sequence(lo, hi, interval 1 month)")).as("month"))
+          .crossJoin(t(s, d, "region").select(col("r_name")))
+        spine.join(actual, Seq("month", "r_name"), "left")
+          .select(col("month"), col("r_name"),
+            coalesce(col("revenue"), lit(0.0)).as("revenue"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      },
+      Some(s"""
+        WITH o AS (
+          SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                 r_name, o_totalprice
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey),
+        actual AS (
+          SELECT month, r_name, ${dsumSql("o_totalprice")} AS revenue,
+                 count(*) AS n_orders
+          FROM o GROUP BY 1, 2),
+        bounds AS (SELECT min(month) AS lo, max(month) AS hi FROM o),
+        spine AS (
+          SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE)
+                   AS month, r_name
+          FROM bounds, region)
+        SELECT s.month, s.r_name,
+               coalesce(a.revenue, 0.0) AS revenue,
+               coalesce(a.n_orders, 0) AS n_orders
+        FROM spine s LEFT JOIN actual a
+          ON s.month = a.month AND s.r_name = a.r_name""")),
   )
 }

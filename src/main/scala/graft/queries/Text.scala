@@ -232,5 +232,56 @@ object Text {
         WITH h AS (SELECT doc_id, ${wordHashesDuck()} AS hs FROM documents)
         SELECT doc_id, ${simhashDuck("hs", 16)} AS simhash16
         FROM h""")),
+
+    // ---- duplicate clusters: connected components over the MinHash-LSH
+    // candidate-pair graph (min-label propagation, see
+    // Dedup.connectedComponents), then every document mapped to its
+    // cluster id (singletons cluster with themselves). The oracle walks
+    // the same graph with a recursive CTE — min reachable id per node
+    // is the component id.
+    QueryDef(
+      "q71_dedup_clusters",
+      (s, d) => {
+        import graft.operators.Dedup
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.minhashCandidatePairs(
+          Dedup.minhashBands(docs, "doc_id", "text"), "doc_id")
+        val comp = Dedup.connectedComponents(pairs, "doc_id_a", "doc_id_b")
+        docs.select(col("doc_id"))
+          .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+          .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+          .withColumn("cluster_size",
+            count(lit(1)).over(Window.partitionBy("cluster_id")))
+      },
+      Some(s"""
+        WITH RECURSIVE wh AS (
+          SELECT doc_id, ${wordHashesDuck()} AS wh FROM documents),
+        hashed AS (SELECT doc_id, ${ngramHashesDuck(3, "wh")} AS hh FROM wh),
+        sig AS (
+          SELECT doc_id,
+                 ${(0 until 4).map(b => s"${bandDuck(b, 2, "hh")} AS band$b").mkString(",\n                 ")}
+          FROM hashed),
+        stacked AS (
+          ${(0 until 4).map(b => s"SELECT doc_id, $b AS band_idx, band$b AS band_key FROM sig")
+        .mkString("\n          UNION ALL ")}),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+          FROM stacked a JOIN stacked b
+            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id),
+        edges AS (
+          SELECT a AS src, b AS dst FROM pairs
+          UNION ALL SELECT b AS src, a AS dst FROM pairs),
+        walk(node, lbl) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
+        comp AS (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node)
+        SELECT d.doc_id,
+               coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+               count(*) OVER (PARTITION BY coalesce(c.cluster_id, d.doc_id))
+                 AS cluster_size
+        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id"""))
   )
 }

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Dedup.connectedComponents on handcrafted graphs: component labels,
+  * multi-round convergence (chains longer than one hop), isolation of
+  * separate components, and the empty-edge-list edge case.
+  */
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def components(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Dedup.connectedComponents(pairs.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("two components: {1,2,3} and {5,6}") {
+    val got = components(Seq((1L, 2L), (2L, 3L), (5L, 6L)))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("long chain converges past one propagation round (diameter 7)") {
+    val chain = (1L until 8L).map(i => (i, i + 1))
+    val got = components(chain)
+    assert(got === (1L to 8L).map(_ -> 1L).toMap)
+  }
+
+  test("label flows against edge orientation (high id listed first)") {
+    // pairs as (big, small): propagation must still reach everyone
+    val got = components(Seq((9L, 4L), (4L, 2L), (7L, 9L)))
+    assert(got === Map(2L -> 2L, 4L -> 2L, 9L -> 2L, 7L -> 2L))
+  }
+
+  test("empty pair list yields empty labels") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Dedup.connectedComponents(empty, "a", "b").count() === 0L)
+  }
+
+  test("deterministic across repartitioning") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (3L, 5L), (10L, 11L))
+    val a = components(pairs)
+    val b = Dedup.connectedComponents(
+      pairs.toDF("a", "b").repartition(7, col("b")), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+}
