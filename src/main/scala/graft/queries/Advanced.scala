@@ -396,5 +396,220 @@ object Advanced {
                coalesce(a.n_orders, 0) AS n_orders
         FROM spine s LEFT JOIN actual a
           ON s.month = a.month AND s.r_name = a.r_name""")),
+
+    // ---- BM25 relevance scoring (k1=1.2, b=0.75) of every document
+    // against a fixed 3-term query. Term frequencies and doc lengths
+    // are per-row array ops (codegen, no shuffle); N / df / avgdl are
+    // one tiny global aggregate broadcast back — the full-corpus scan
+    // stays single-pass at any scale. Cross-engine float discipline:
+    // each idf is rounded to 6 dp at the source (libm ln is ≤1 ulp on
+    // both engines, not bit-pinned), after which every remaining term
+    // is exact-rational double arithmetic — identical everywhere.
+    QueryDef(
+      "q74_bm25",
+      (s, d) => {
+        val terms = Seq("spark", "data", "query")
+        val tf = t(s, d, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .select(
+            (col("doc_id") +: size(col("toks")).as("dl") +:
+              terms.map(w =>
+                expr(s"size(filter(toks, x -> x = '$w'))").as(s"tf_$w"))): _*)
+        val g = tf.agg(
+          count(lit(1)).as("n"),
+          ((dsum(col("dl")) / count(lit(1))).as("avgdl") +:
+            terms.map(w =>
+              sum(when(col(s"tf_$w") > 0, 1L).otherwise(0L)).as(s"df_$w"))): _*)
+        val scored = tf.crossJoin(broadcast(g))
+        val score = terms.map { w =>
+          val idf = round(
+            log((col("n") - col(s"df_$w") + lit(0.5)) / (col(s"df_$w") + lit(0.5)) + lit(1.0)), 6)
+          idf * col(s"tf_$w") * lit(2.2) /
+            (col(s"tf_$w") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+        }.reduce(_ + _)
+        scored.select(col("doc_id"), col("dl"), round(score, 6).as("bm25"))
+      },
+      Some {
+        val terms = Seq("spark", "data", "query")
+        s"""
+        WITH tf AS (
+          SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                 ${terms.map(w =>
+          s"len(list_filter(string_split(text, ' '), x -> x = '$w')) AS tf_$w")
+          .mkString(",\n                 ")}
+          FROM documents),
+        g AS (
+          SELECT count(*) AS n,
+                 ${dsumSql("dl")} / count(*) AS avgdl,
+                 ${terms.map(w =>
+          s"sum(CASE WHEN tf_$w > 0 THEN 1 ELSE 0 END) AS df_$w")
+          .mkString(",\n                 ")}
+          FROM tf)
+        SELECT doc_id, dl,
+               round(${terms.map(w =>
+          s"""round(ln((n - df_$w + 0.5) / (df_$w + 0.5) + 1.0), 6)
+                 * tf_$w * 2.2
+                 / (tf_$w + 1.2 * (0.25 + 0.75 * dl / avgdl))""").mkString("\n               + ")}, 6) AS bm25
+        FROM tf, g"""
+      }),
+
+    // ---- snapshot upsert (MERGE semantics): a change batch is applied
+    // onto a base snapshot — matched keys take the batch row, unmatched
+    // batch keys insert, everything else carries over. Expressed as a
+    // full outer join with batch-precedence coalesce: one shuffle on
+    // the key, the exact shape of a Delta/Iceberg MERGE rewrite. Batch
+    // here: every 3rd customer gets +100 balance and refreshed segment;
+    // synthetic new customers extend the keyspace.
+    QueryDef(
+      "q75_upsert_merge",
+      (s, d) => {
+        val base = t(s, d, "customer")
+          .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+        val batch = t(s, d, "customer")
+          .filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey"),
+            (col("c_acctbal") + 100.0).as("c_acctbal"),
+            lit("REFRESHED").as("c_mktsegment"))
+          .unionAll(
+            t(s, d, "customer")
+              .agg(max("c_custkey").as("mx"))
+              .select(explode(expr("sequence(mx + 1, mx + 50)")).as("c_custkey"),
+                lit(0.0).as("c_acctbal"), lit("NEW").as("c_mktsegment")))
+        base.as("b").join(batch.as("u"), Seq("c_custkey"), "full_outer")
+          .select(col("c_custkey"),
+            coalesce(col("u.c_acctbal"), col("b.c_acctbal")).as("acctbal"),
+            coalesce(col("u.c_mktsegment"), col("b.c_mktsegment")).as("mktsegment"),
+            when(col("u.c_acctbal").isNotNull && col("b.c_acctbal").isNotNull, "updated")
+              .when(col("u.c_acctbal").isNotNull, "inserted")
+              .otherwise("carried").as("merge_action"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+        batch AS (
+          SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal,
+                 'REFRESHED' AS c_mktsegment
+          FROM customer WHERE c_custkey % 3 = 0
+          UNION ALL
+          SELECT unnest(generate_series(mx + 1, mx + 50)) AS c_custkey,
+                 0.0 AS c_acctbal, 'NEW' AS c_mktsegment
+          FROM (SELECT max(c_custkey) AS mx FROM customer)),
+        m AS (
+          SELECT coalesce(b.c_custkey, u.c_custkey) AS c_custkey,
+                 coalesce(u.c_acctbal, b.c_acctbal) AS acctbal,
+                 coalesce(u.c_mktsegment, b.c_mktsegment) AS mktsegment,
+                 CASE WHEN u.c_acctbal IS NOT NULL AND b.c_acctbal IS NOT NULL
+                        THEN 'updated'
+                      WHEN u.c_acctbal IS NOT NULL THEN 'inserted'
+                      ELSE 'carried' END AS merge_action
+          FROM base b FULL OUTER JOIN batch u ON b.c_custkey = u.c_custkey)
+        SELECT * FROM m""")),
+
+    // ---- SCD2 validity intervals from an ordered change log: each
+    // customer's order stream becomes (attribute, valid_from, valid_to)
+    // rows, open-ended for the current one. One window (partition by
+    // entity, order by event time + key tiebreak) — no self-join, which
+    // is the trap formulation that dies at scale.
+    QueryDef(
+      "q76_scd2_intervals",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy("valid_from", "o_orderkey")
+        t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            col("o_orderpriority").as("status"),
+            col("o_orderdate").as("valid_from"))
+          .withColumn("valid_to", lead("valid_from", 1).over(w))
+          .withColumn("is_current", col("valid_to").isNull)
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey, o_orderpriority AS status,
+               o_orderdate AS valid_from,
+               lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey)
+                 AS valid_to,
+               (lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey))
+                 IS NULL AS is_current
+        FROM orders""")),
+
+    // ---- ML feature encoding: one-hot of the categorical segment plus
+    // per-segment min-max scaling of the balance (ANSI-safe nullif
+    // denominator). Pure window + per-row exprs — the standard "encode
+    // features for training" pass, zero joins.
+    QueryDef(
+      "q77_feature_encode",
+      (s, d) => {
+        val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+        val w = Window.partitionBy("c_mktsegment")
+        t(s, d, "customer")
+          .select(
+            (col("c_custkey") +: col("c_mktsegment") +: col("c_acctbal") +:
+              segs.map(g =>
+                (col("c_mktsegment") === g).cast("int").as(s"seg_${g.toLowerCase}"))): _*)
+          .withColumn("bal_minmax",
+            round((col("c_acctbal") - min("c_acctbal").over(w)) /
+              nz(max("c_acctbal").over(w) - min("c_acctbal").over(w)), 6))
+          .drop("c_mktsegment", "c_acctbal")
+      },
+      Some {
+        val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+        s"""
+        SELECT c_custkey,
+               ${segs.map(g =>
+          s"CAST(c_mktsegment = '$g' AS INTEGER) AS seg_${g.toLowerCase}")
+          .mkString(",\n               ")},
+               round((c_acctbal - min(c_acctbal) OVER w)
+                     / nullif(max(c_acctbal) OVER w - min(c_acctbal) OVER w, 0), 6)
+                 AS bal_minmax
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment)"""
+      }),
+
+    // ---- null imputation with the per-group exact median: nulls are
+    // planted deterministically (every 7th key), medians come from one
+    // tiny grouped percentile broadcast back over the scan. Linear-
+    // interpolated `percentile` ≡ DuckDB quantile_cont (pinned by q21).
+    QueryDef(
+      "q78_impute_median",
+      (s, d) => {
+        val base = t(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"),
+            when(col("c_custkey") % 7 === 0, lit(null)).otherwise(col("c_acctbal"))
+              .as("bal"))
+        val med = base.groupBy("c_mktsegment")
+          .agg(round(expr("percentile(bal, 0.5)"), 6).as("seg_median"))
+        base.join(broadcast(med), "c_mktsegment")
+          .select(col("c_custkey"),
+            coalesce(col("bal"), col("seg_median")).as("bal_imputed"),
+            col("bal").isNull.as("was_imputed"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT c_custkey, c_mktsegment,
+                 CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS bal
+          FROM customer),
+        med AS (
+          SELECT c_mktsegment, round(quantile_cont(bal, 0.5), 6) AS seg_median
+          FROM base GROUP BY 1)
+        SELECT c_custkey,
+               coalesce(bal, seg_median) AS bal_imputed,
+               bal IS NULL AS was_imputed
+        FROM base JOIN med USING (c_mktsegment)""")),
+
+    // ---- unpivot / melt (wide → long): the pandas-style reshape, via
+    // Spark's stack() generator — per-row expansion, no shuffle.
+    QueryDef(
+      "q79_unpivot",
+      (s, d) =>
+        t(s, d, "customer")
+          .select(col("c_custkey"),
+            expr("""stack(2, 'acctbal', c_acctbal,
+                             'nationkey', cast(c_nationkey as double))""")
+              .as(Seq("feature", "value"))),
+      Some("""
+        SELECT c_custkey, 'acctbal' AS feature, c_acctbal AS value FROM customer
+        UNION ALL
+        SELECT c_custkey, 'nationkey' AS feature, CAST(c_nationkey AS DOUBLE) AS value
+        FROM customer""")),
   )
 }
