@@ -60,4 +60,18 @@ class PlanSpec extends SparkSpec {
     val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
     assert(p.contains("graft_cosine"), p)
   }
+
+  test("q72: bloom pre-filter sits on the fact scan, semi-join is hash not NLJ") {
+    val df = SparkEntry.queries("q72_bloom_semi_join")(spark, dir)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("UDF"), s"bloom mightContain filter missing from plan:\n$p")
+    assert(!p.contains("NestedLoop"), p)
+  }
+
+  test("q74: corpus stats (N/df/avgdl) join back by broadcast, not shuffle") {
+    val df = SparkEntry.queries("q74_bm25")(spark, dir)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
 }
