@@ -126,5 +126,40 @@ object Events {
         SELECT user_id, count(*) AS n_sessions, CAST(SUM(n_ev) AS BIGINT) AS n_events,
                MAX(n_ev) AS max_session_events
         FROM per_session GROUP BY user_id""")),
+
+    // ---- streaming dedup: the event stream unioned with itself (every
+    // row a planted duplicate) through watermarked dropDuplicates —
+    // first occurrence survives, so the result is exactly the distinct
+    // batch table the oracle reads.
+    QueryDef(
+      "q80_stream_dedup",
+      (s, d) => {
+        import graft.streaming.EventStreams
+        val doubled = Tables.eventsStream(s, d).unionAll(Tables.eventsStream(s, d))
+        EventStreams.runToMemorySink(EventStreams.dedupById(doubled), "append")
+      },
+      Some("""
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+        FROM events""")),
+
+    // ---- stream-stream interval join: views joined to the same user's
+    // purchases within 24h, both sides watermarked (bounded state).
+    QueryDef(
+      "q81_stream_stream_join",
+      (s, d) => {
+        import graft.streaming.EventStreams
+        EventStreams.runToMemorySink(
+          EventStreams.viewToPurchase(Tables.eventsStream(s, d)), "append")
+      },
+      Some("""
+        SELECT a.event_id AS view_id, b.event_id AS purchase_id,
+               a.user_id,
+               epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP))
+                 AS lag_us
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'view' AND b.event_type = 'purchase'
+         AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+         AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 24 HOUR""")),
   )
 }

@@ -34,6 +34,42 @@ object EventStreams {
         sum("n_ev").as("n_events"),
         max("n_ev").as("max_session_events"))
 
+  /** Watermarked streaming dedup by event id: first occurrence wins,
+    * per-key state is dropped once the watermark passes it — bounded
+    * state at any stream length. On a batch frame the watermark is a
+    * no-op (EliminateEventTimeWatermark) and this is exact distinct.
+    */
+  def dedupById(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .withWatermark("ts", watermark)
+      .dropDuplicates("event_id")
+
+  /** Stream-stream interval join: each view joined to the same user's
+    * purchases within `within` after it. Both sides watermarked so the
+    * join state is evictable (Spark buffers only `within`+watermark of
+    * history per side); the time-bound condition is what makes the
+    * state bounded — an unbounded-condition stream-stream join would
+    * grow forever.
+    */
+  def viewToPurchase(events: DataFrame, within: String = "24 hours"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    views.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr(s"interval $within"))
+      .select(col("view_id"), col("purchase_id"), col("user_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts")))
+          .as("lag_us"))
+  }
+
   /** Drive a streaming frame to completion into an in-memory table and
     * return it as a batch DataFrame (used by the declared queries to
     * exercise the streaming engine inside a batch contract).
