@@ -596,6 +596,34 @@ object Advanced {
                bal IS NULL AS was_imputed
         FROM base JOIN med USING (c_mktsegment)""")),
 
+    // ---- generic column-profiling report (DataProfile.numericProfile):
+    // one-pass per-column counts/nulls/distincts/min/max/mean, wide →
+    // long. The reference's reporting stage as a reusable operator.
+    QueryDef(
+      "q82_profile",
+      (s, d) =>
+        graft.operators.DataProfile.numericProfile(
+          t(s, d, "customer")
+            .withColumn("bal_or_null",
+              when(col("c_custkey") % 11 === 0, lit(null)).otherwise(col("c_acctbal"))),
+          Seq("c_custkey", "c_nationkey", "bal_or_null")),
+      Some {
+        def one(c: String, src: String) = s"""
+          SELECT '$c' AS col_name,
+                 count($c) AS n_nonnull,
+                 CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                 count(DISTINCT $c) AS n_distinct,
+                 CAST(min($c) AS DOUBLE) AS min_value,
+                 CAST(max($c) AS DOUBLE) AS max_value,
+                 round(${dsumSql(s"CAST($c AS DOUBLE)")} / count($c), 6) AS mean_value
+          FROM $src"""
+        val src = """(SELECT *,
+            CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_acctbal END AS bal_or_null
+          FROM customer)"""
+        Seq("c_custkey", "c_nationkey", "bal_or_null")
+          .map(c => one(c, src)).mkString("\n          UNION ALL")
+      }),
+
     // ---- unpivot / melt (wide → long): the pandas-style reshape, via
     // Spark's stack() generator — per-row expansion, no shuffle.
     QueryDef(

@@ -150,12 +150,17 @@ object Vectors {
       (s, d) => {
         // cache the assembled vectors: KMeans.fit is iterative and would
         // re-execute the scan+transform chain once per iteration otherwise
+        // coalesce: the fit set is a few thousand rows — per-iteration
+        // task-launch overhead dominates 16-way parallelism at this
+        // size (a 100 TB fit set would keep its partitioning)
         val emb = embDouble(t(s, d, "embeddings"))
           .withColumn("features", org.apache.spark.ml.functions.array_to_vector(col("vec")))
+          .coalesce(4)
           .cache()
         try {
           val model = new org.apache.spark.ml.clustering.KMeans()
             .setK(8).setSeed(42).setFeaturesCol("features").setPredictionCol("cluster")
+            .setInitMode("random") // deterministic under the seed; skips the kmeans|| init passes
             .fit(emb)
           model.transform(emb)
             .groupBy("cluster")
