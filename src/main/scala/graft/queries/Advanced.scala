@@ -624,6 +624,37 @@ object Advanced {
           .map(c => one(c, src)).mkString("\n          UNION ALL")
       }),
 
+    // ---- equi-depth (decile) binning per segment: keyed ntile window
+    // (deterministic via unique-key tiebreak), then per-bin stats.
+    // Keyed — never a global single-partition window; for truly global
+    // equi-depth bins at 100 TB the path is percentile boundaries +
+    // comparison assignment instead.
+    QueryDef(
+      "q83_ntile_binning",
+      (s, d) => {
+        val w = Window.partitionBy("c_mktsegment")
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        t(s, d, "customer")
+          .withColumn("decile", ntile(10).over(w))
+          .groupBy("c_mktsegment", "decile")
+          .agg(
+            count(lit(1)).as("n"),
+            round(min("c_acctbal"), 6).as("lo"),
+            round(max("c_acctbal"), 6).as("hi"),
+            round(dsum(col("c_acctbal")) / count(lit(1)), 6).as("mean_bal"))
+      },
+      Some(s"""
+        WITH binned AS (
+          SELECT c_mktsegment, c_acctbal,
+                 ntile(10) OVER (PARTITION BY c_mktsegment
+                                 ORDER BY c_acctbal, c_custkey) AS decile
+          FROM customer)
+        SELECT c_mktsegment, decile, count(*) AS n,
+               round(min(c_acctbal), 6) AS lo,
+               round(max(c_acctbal), 6) AS hi,
+               round(${dsumSql("c_acctbal")} / count(*), 6) AS mean_bal
+        FROM binned GROUP BY 1, 2""")),
+
     // ---- unpivot / melt (wide → long): the pandas-style reshape, via
     // Spark's stack() generator — per-row expansion, no shuffle.
     QueryDef(

@@ -169,5 +169,33 @@ object Vectors {
         } finally emb.unpersist()
       },
       None),
+
+    // ---- per-dimension embedding statistics (normalization check /
+    // feature-drift monitoring): posexplode the vector column, group by
+    // dimension index. One shuffle keyed by dim (64 keys) with partial
+    // aggregation map-side — the per-row expansion never materializes
+    // beyond the exchange.
+    QueryDef(
+      "q84_embedding_dimstats",
+      (s, d) =>
+        embDouble(t(s, d, "embeddings"))
+          .select(col("vec_id"), posexplode(col("vec")).as(Seq("dim", "x")))
+          .groupBy(col("dim").cast("long").as("dim"))
+          .agg(
+            count(lit(1)).as("n"),
+            round(graft.Num.dsum(col("x")) / count(col("x")), 6).as("mean_x"),
+            round(min("x"), 6).as("min_x"),
+            round(max("x"), 6).as("max_x")),
+      Some(s"""
+        WITH ex AS (
+          SELECT vec_id,
+                 unnest(range(len(embedding))) AS dim,
+                 CAST(unnest(embedding) AS DOUBLE) AS x
+          FROM embeddings)
+        SELECT dim, count(*) AS n,
+               round(${graft.Num.dsumSql("x")} / count(x), 6) AS mean_x,
+               round(min(x), 6) AS min_x,
+               round(max(x), 6) AS max_x
+        FROM ex GROUP BY dim""")),
   )
 }

@@ -37,6 +37,32 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(Dedup.connectedComponents(empty, "a", "b").count() === 0L)
   }
 
+  test("random graphs match an in-test union-find oracle") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 10 + rnd.nextInt(20)
+      val pairs = Seq.fill(n) {
+        (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong)
+      }.filter { case (a, b) => a != b }
+      // union-find oracle
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      // canonicalize: component id = min member id
+      val expected = nodes.groupBy(find).flatMap { case (_, members) =>
+        val mn = members.min; members.map(_ -> mn)
+      }
+      assert(components(pairs) === expected, s"trial $trial pairs=$pairs")
+    }
+  }
+
   test("deterministic across repartitioning") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (3L, 5L), (10L, 11L))
     val a = components(pairs)
