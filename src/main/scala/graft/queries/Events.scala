@@ -161,5 +161,35 @@ object Events {
          AND a.event_type = 'view' AND b.event_type = 'purchase'
          AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
          AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 24 HOUR""")),
+
+    // ---- fact-fact interval join WITHOUT an equi-key (any user's
+    // click within 1h after any purchase), decomposed into a bucketed
+    // equi-join by RangeJoin.pointInInterval — one shuffle on the time
+    // bucket instead of the BroadcastNestedLoopJoin vanilla Spark plans
+    // for a pure range predicate. PlanSpec asserts no NLJ survives.
+    QueryDef(
+      "q85_interval_join",
+      (s, d) => {
+        import graft.operators.RangeJoin
+        val ev = t(s, d, "events")
+        val hourUs = 3600000000L
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), unix_micros(col("ts")).as("t"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"),
+            unix_micros(col("ts")).as("lo"),
+            (unix_micros(col("ts")) + hourUs).as("hi"))
+        RangeJoin.pointInInterval(clicks, "t", purchases, "lo", "hi", hourUs)
+          .select(col("click_id"), col("purchase_id"), (col("t") - col("lo")).as("lag_us"))
+      },
+      Some("""
+        SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+               epoch_us(CAST(c.ts AS TIMESTAMP)) - epoch_us(CAST(p.ts AS TIMESTAMP))
+                 AS lag_us
+        FROM events c JOIN events p
+          ON c.event_type = 'click' AND p.event_type = 'purchase'
+         AND epoch_us(CAST(c.ts AS TIMESTAMP)) >= epoch_us(CAST(p.ts AS TIMESTAMP))
+         AND epoch_us(CAST(c.ts AS TIMESTAMP))
+               < epoch_us(CAST(p.ts AS TIMESTAMP)) + 3600000000""")),
   )
 }

@@ -69,6 +69,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("NestedLoop"), p)
   }
 
+  test("q85: bucket-decomposed interval join is an equi-join, not NLJ") {
+    val df = SparkEntry.queries("q85_interval_join")(spark, dir)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("NestedLoop"), p)
+  }
+
   test("q74: corpus stats (N/df/avgdl) join back by broadcast, not shuffle") {
     val df = SparkEntry.queries("q74_bm25")(spark, dir)
     val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
