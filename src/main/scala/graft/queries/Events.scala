@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Num, QueryDef, Tables}
 import graft.operators.AsOfJoin
@@ -191,5 +192,58 @@ object Events {
          AND epoch_us(CAST(c.ts AS TIMESTAMP)) >= epoch_us(CAST(p.ts AS TIMESTAMP))
          AND epoch_us(CAST(c.ts AS TIMESTAMP))
                < epoch_us(CAST(p.ts AS TIMESTAMP)) + 3600000000""")),
+
+    // ---- sequence mining: per-user event-type transition (bigram)
+    // counts — the Markov-chain view of user journeys. One keyed window
+    // (user, time order) + one 25-key aggregate.
+    QueryDef(
+      "q86_transitions",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        t(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("prev_type", lag("event_type", 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy("prev_type", "event_type")
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                   AS prev_type
+          FROM events)
+        SELECT prev_type, event_type, count(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2""")),
+
+    // ---- cohort retention: users grouped by first-seen day, counted
+    // per days-elapsed offset. Two aggregations (first-seen per user,
+    // then cohort×offset distinct users) — both shuffle on bounded key
+    // spaces; the first-seen frame is the only per-user state.
+    QueryDef(
+      "q87_cohort_retention",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"),
+            date_trunc("day", col("ts")).cast("date").as("day"))
+        val first = ev.groupBy("user_id").agg(min("day").as("cohort"))
+        ev.distinct()
+          .join(first, "user_id")
+          .groupBy(col("cohort"),
+            datediff(col("day"), col("cohort")).cast("long").as("day_offset"))
+          .agg(countDistinct("user_id").as("n_users"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT DISTINCT user_id,
+                 CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+          FROM events),
+        first AS (SELECT user_id, min(day) AS cohort FROM ev GROUP BY 1)
+        SELECT cohort, CAST(datediff('day', cohort, day) AS BIGINT) AS day_offset,
+               count(DISTINCT user_id) AS n_users
+        FROM ev JOIN first USING (user_id)
+        GROUP BY 1, 2""")),
   )
 }
