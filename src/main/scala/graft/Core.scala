@@ -75,6 +75,22 @@ object Tables {
   * aggregates stay in Tungsten codegen and cost ~nothing relative to the
   * shuffle they ride on.
   */
+/** Session-level entry point for interactive / SQL-first use: register
+  * every harness table as a temp view (so the entire engine surface is
+  * reachable from `spark.sql`), with the GraftExtensions-injected
+  * function + rewrite rule available when the session was built with
+  * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+object Graft {
+  /** Register all tables under `dir` as temp views named as in
+    * TESTDATA.md (`lineitem`, `orders`, …). Returns the table names.
+    */
+  def registerTables(spark: SparkSession, dir: String): Seq[String] = {
+    Tables.all.foreach(n => Tables(spark, dir, n).createOrReplaceTempView(n))
+    Tables.all
+  }
+}
+
 object Num {
   /** Order-independent double sum: cast each term to DECIMAL(28,6), sum
     * exactly, cast back. SQL mirror: CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE).
