@@ -1,0 +1,93 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale-up check: build a key-consistent N× copy of the
+  * harness tables (fact keys shifted per replica so join multiplicities
+  * stay realistic — duplicating keys verbatim would quadratically
+  * inflate joins; dims stay as-is), then time representative queries at
+  * 1× and N× on the same session. Near-linear growth (ideally sub-
+  * linear wall-clock on idle cores) is the evidence a plan survives
+  * scale-up; anything super-linear is a red flag to fix.
+  *
+  *   runMain graft.tools.ScaleCheck [sfDir] [factor]
+  */
+object ScaleCheck {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val out = s"/tmp/graft_scale${factor}_${Integer.toHexString(sfDir.hashCode)}"
+
+    // key shift: large stride so replica keyspaces never collide
+    val S = 1000000000L
+    def shifted(name: String, keyCols: Seq[String], textSalt: Option[String] = None): DataFrame = {
+      val base = spark.read.parquet(s"$sfDir/$name.parquet")
+      (0 until factor).map { i =>
+        var df = base
+        keyCols.foreach(k => df = df.withColumn(k, col(k) + lit(i * S)))
+        textSalt.foreach(t =>
+          // prefix every WORD with a replica tag: shingle vocabularies
+          // are disjoint across replicas, so the near-dup pair
+          // structure stays per-replica realistic. (Salting only the
+          // end of the text makes all replicas near-dups of each other
+          // and measures pair-output explosion, not plan scaling.)
+          df = df.withColumn(t,
+            concat(lit(s"r${i}_"), regexp_replace(col(t), " ", s" r${i}_"))))
+        df
+      }.reduce(_ unionAll _)
+    }
+
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_DONE"))) {
+      Map(
+        "lineitem" -> shifted("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey")),
+        "orders" -> shifted("orders", Seq("o_orderkey", "o_custkey")),
+        "customer" -> shifted("customer", Seq("c_custkey")),
+        "part" -> shifted("part", Seq("p_partkey")),
+        "supplier" -> shifted("supplier", Seq("s_suppkey")),
+        "documents" -> shifted("documents", Seq("doc_id"), textSalt = Some("text")),
+        "embeddings" -> shifted("embeddings", Seq("vec_id")),
+        "region" -> spark.read.parquet(s"$sfDir/region.parquet"),
+        "nation" -> spark.read.parquet(s"$sfDir/nation.parquet"),
+      ).foreach { case (n, df) =>
+        df.repartition(16).write.mode("overwrite").parquet(s"$out/$n.parquet")
+      }
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+        java.nio.file.Paths.get(s"$out/events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(out, "_DONE"))
+    }
+
+    val queries = Seq(
+      "q01_pricing_summary", "q03_revenue_by_nation", "q06_outer_join_agg",
+      "q07_window_topk", "q22_iqr_outlier_filter", "q45_minhash_bands",
+      "q47_ngram_jaccard", "q49_cosine_topk", "q61_hash_sample",
+      "q72_bloom_semi_join", "q74_bm25", "q85_interval_join")
+    val qs = graft.SparkEntry.queries
+    def timeIt(dir: String, name: String): Double = {
+      val t0 = System.nanoTime()
+      try qs(name)(spark, dir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => println(s"[scale] $name FAILED: $e"); return -1 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"[scale] ${"query"}%-24s 1x_sec  ${factor}x_sec  ratio")
+    queries.foreach { q =>
+      timeIt(sfDir, q) // warm codegen/JIT on the small side
+      val t1 = timeIt(sfDir, q)
+      val tn = timeIt(out, q)
+      println(f"[scale] $q%-24s $t1%6.2f  $tn%7.2f  ${tn / t1}%5.1f")
+    }
+    spark.stop()
+  }
+}
