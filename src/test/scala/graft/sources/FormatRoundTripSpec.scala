@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{SparkSpec, Tables}
 
-/** Source/sink format breadth: parquet, CSV, and JSON round-trips with
+/** Source/sink format breadth: parquet, CSV, JSON, and ORC round-trips with
   * schema preservation (timestamps normalized — CSV/JSON carry less
   * type fidelity than parquet and must be read back with an explicit
   * schema, which is the engine's declared-schema policy anyway).
@@ -12,7 +12,7 @@ import graft.{SparkSpec, Tables}
 class FormatRoundTripSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
-  test("orders survive parquet, csv, and json round-trips") {
+  test("orders survive parquet, csv, json, and orc round-trips") {
     val orders = Tables(spark, dir, "orders")
     val n = orders.count()
     val checksum = orders.agg(
@@ -23,12 +23,15 @@ class FormatRoundTripSpec extends SparkSpec {
     orders.write.mode("overwrite").parquet(s"$base/p")
     orders.write.mode("overwrite").option("header", "true").csv(s"$base/c")
     orders.write.mode("overwrite").json(s"$base/j")
+    orders.write.mode("overwrite").orc(s"$base/o")
 
     val fromParquet = spark.read.parquet(s"$base/p")
     val fromCsv = spark.read.option("header", "true").schema(orders.schema).csv(s"$base/c")
     val fromJson = spark.read.schema(orders.schema).json(s"$base/j")
+    val fromOrc = spark.read.orc(s"$base/o")
 
-    for ((name, df) <- Seq("parquet" -> fromParquet, "csv" -> fromCsv, "json" -> fromJson)) {
+    for ((name, df) <- Seq("parquet" -> fromParquet, "csv" -> fromCsv, "json" -> fromJson,
+      "orc" -> fromOrc)) {
       assert(df.count() === n, name)
       val cs = df.agg(
         sum(col("o_orderkey")).as("keys"),
