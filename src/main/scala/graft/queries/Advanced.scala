@@ -655,6 +655,37 @@ object Advanced {
                round(${dsumSql("c_acctbal")} / count(*), 6) AS mean_bal
         FROM binned GROUP BY 1, 2""")),
 
+    // ---- nested (array) aggregation: per nation, the sorted list of
+    // its top-5 customers by balance. collect_list is shuffle-order-
+    // nondeterministic, so the list is built from an already-ranked
+    // input and sort_array'd — deterministic on any cluster; joined to
+    // a string for cross-engine hashing.
+    QueryDef(
+      "q88_collect_topk",
+      (s, d) => {
+        val w = Window.partitionBy("c_nationkey")
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        t(s, d, "customer")
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .groupBy("c_nationkey")
+          .agg(
+            array_join(sort_array(collect_list(col("c_custkey"))), ",")
+              .as("top_custkeys"),
+            round(dsum(col("c_acctbal")), 6).as("top_bal_sum"))
+      },
+      Some(s"""
+        WITH ranked AS (
+          SELECT c_nationkey, c_custkey, c_acctbal,
+                 row_number() OVER (PARTITION BY c_nationkey
+                                    ORDER BY c_acctbal DESC, c_custkey) AS rk
+          FROM customer)
+        SELECT c_nationkey,
+               array_to_string(list_sort(list(c_custkey)), ',') AS top_custkeys,
+               round(${dsumSql("c_acctbal")}, 6) AS top_bal_sum
+        FROM ranked WHERE rk <= 5
+        GROUP BY c_nationkey""")),
+
     // ---- unpivot / melt (wide → long): the pandas-style reshape, via
     // Spark's stack() generator — per-row expansion, no shuffle.
     QueryDef(
