@@ -282,6 +282,32 @@ object Text {
                coalesce(c.cluster_id, d.doc_id) AS cluster_id,
                count(*) OVER (PARTITION BY coalesce(c.cluster_id, d.doc_id))
                  AS cluster_size
-        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id"""))
+        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id""")),
+
+    // ---- fuzzy string matching (blocked edit-distance join): distinct
+    // part names, blocked on a cheap prefix key so the quadratic
+    // levenshtein only runs inside blocks — the classic entity-
+    // resolution shape (block → compare → survive). Works on the
+    // DISTINCT name table: at any scale the distinct-values frame is
+    // orders of magnitude smaller than the rows that carry them.
+    QueryDef(
+      "q89_fuzzy_name_pairs",
+      (s, d) => {
+        val names = t(s, d, "part").select(col("p_name")).distinct()
+        names.as("a").join(names.as("b"),
+          substring(col("a.p_name"), 1, 1) === substring(col("b.p_name"), 1, 1) &&
+            col("a.p_name") < col("b.p_name") &&
+            levenshtein(col("a.p_name"), col("b.p_name")) <= 4)
+          .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+            levenshtein(col("a.p_name"), col("b.p_name")).as("edit_dist"))
+      },
+      Some("""
+        WITH n AS (SELECT DISTINCT p_name FROM part)
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+        FROM n a JOIN n b
+          ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+         AND a.p_name < b.p_name
+         AND levenshtein(a.p_name, b.p_name) <= 4""")),
   )
 }
