@@ -36,7 +36,9 @@ object BloomJoin {
     val bc = fact.sparkSession.sparkContext.broadcast(bloom)
     // deterministic pure function of broadcast state — stays pushable
     val mightContain = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+    // alias the dim key so factKey == dimKey is unambiguous
+    val dimKeys = dim.select(col(dimKey).as("__graft_dim_key"))
     fact.filter(mightContain(col(factKey)))
-      .join(dim.select(col(dimKey)), col(factKey) === col(dimKey), "left_semi")
+      .join(dimKeys, col(factKey) === col("__graft_dim_key"), "left_semi")
   }
 }
