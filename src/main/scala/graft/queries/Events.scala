@@ -245,5 +245,57 @@ object Events {
                count(DISTINCT user_id) AS n_users
         FROM ev JOIN first USING (user_id)
         GROUP BY 1, 2""")),
+
+    // ---- time-decay weighted aggregate (half-life recency feature):
+    // per user, each event carries half the weight of the next-newer
+    // one; the weighted mean favors recent behavior. One keyed window
+    // for the recency rank + one aggregation — the naive recursive EMA
+    // is sequential, this closed form is embarrassingly parallel.
+    // Weights are INTEGER 2^(40-rank) (newest 2^39, halving per step,
+    // 0 past rank 40 — < 1e-12 of the newest, exhausted double
+    // precision anyway): an exact power-of-two multiply never rounds,
+    // and with 2-decimal inputs every product is an exact 2-decimal
+    // number, so the DECIMAL(28,6) accumulation is lossless on both
+    // engines. Fractional weights are NOT hash-comparable here: libm
+    // pow(0.9,k) straddles 6-dp boundaries (≤1 ulp ≠ bit-pinned), and
+    // even exact 1/2^k weights make products like value/64 land on
+    // exact 6-dp midpoints, where Spark's HALF_UP and DuckDB's cast
+    // rounding disagree — both observed as 1e-6 hash mismatches.
+    QueryDef(
+      "q90_time_decay",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        t(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+          .withColumn("rk", row_number().over(w))
+          .withColumn("wgt",
+            when(col("rk") <= 40,
+              expr("shiftleft(cast(1 as bigint), cast(40 - rk as int))"))
+              .otherwise(lit(0L)))
+          .groupBy("user_id")
+          .agg(
+            round(Num.dsum(col("wgt") * col("value")) / Num.dsum(col("wgt")), 6)
+              .as("decayed_value"),
+            count(lit(1)).as("n_events"))
+      },
+      Some(s"""
+        WITH ranked AS (
+          SELECT user_id, value,
+                 row_number() OVER (
+                     PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rk
+          FROM events),
+        weighted AS (
+          SELECT user_id, value,
+                 CASE WHEN rk <= 40
+                      THEN (CAST(1 AS BIGINT) << (40 - rk))
+                      ELSE 0 END AS wgt
+          FROM ranked)
+        SELECT user_id,
+               round(${Num.dsumSql("wgt * value")} / ${Num.dsumSql("wgt")}, 6)
+                 AS decayed_value,
+               count(*) AS n_events
+        FROM weighted GROUP BY user_id""")),
   )
 }
