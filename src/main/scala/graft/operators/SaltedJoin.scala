@@ -17,7 +17,12 @@ import org.apache.spark.sql.functions._
   * sized to the observed skew, ideally applied only to the hot keys
   * (filter + union with a plain join for the rest).
   *
-  * rand(seed) keeps the scatter deterministic for a fixed partitioning.
+  * The salt is pmod(hash(all left columns, seed), saltFactor) — a pure
+  * function of the row, so the scatter is identical under any
+  * partitioning, task retry, or AQE re-plan (rand(seed) is only stable
+  * for a fixed partitioning). Rows of a hot key spread across salts as
+  * long as they differ in any column; fully identical duplicate rows
+  * co-locate, which is the best any deterministic scheme can do.
   */
 object SaltedJoin {
   def apply(
@@ -27,7 +32,8 @@ object SaltedJoin {
       saltFactor: Int = 8,
       seed: Long = 42L): DataFrame = {
     require(saltFactor > 0)
-    val salted = left.withColumn("__salt", (rand(seed) * saltFactor).cast("int"))
+    val salted = left.withColumn("__salt",
+      pmod(hash(left.columns.map(col) :+ lit(seed): _*), lit(saltFactor)))
     val replicated = right.withColumn("__salt",
       explode(array((0 until saltFactor).map(lit): _*)))
     salted.join(replicated, keys :+ "__salt").drop("__salt")

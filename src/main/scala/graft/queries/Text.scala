@@ -172,47 +172,36 @@ object Text {
           FROM hashed),
         stacked AS (
           ${(0 until 4).map(b => s"SELECT doc_id, $b AS band_idx, band$b AS band_key FROM sig")
-        .mkString("\n          UNION ALL ")})
+        .mkString("\n          UNION ALL ")}),
+        ok AS (SELECT band_idx, band_key FROM stacked
+               GROUP BY 1, 2 HAVING count(*) <= 32),
+        kept AS (SELECT s.* FROM stacked s JOIN ok USING (band_idx, band_key))
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM stacked a JOIN stacked b
+        FROM kept a JOIN kept b
           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
          AND a.doc_id < b.doc_id""")),
 
     // ---- word-3-gram Jaccard similarity of overlapping doc pairs.
-    // Explode-join formulation: |A∩B| comes from a self-join on the
-    // shingle hash (grouped per pair), |A∪B| = |A|+|B|-|A∩B|. Unlike a
-    // block-cross-join with a per-pair array intersection, work scales
-    // with actual shingle co-occurrence, not with pairs² — the shape
-    // that survives a web-scale corpus. Pairs sharing zero shingles
-    // (jaccard 0) are by definition not emitted.
+    // Explode-join formulation with a hot-shingle document-frequency cap
+    // (see Dedup.jaccardPairs): work scales with shingle co-occurrence
+    // UNDER the cap, never with pairs² — the shape that survives a
+    // power-law web corpus. The oracle applies the identical cap, so the
+    // two sides agree at any cap value; at harness SFs no shingle
+    // reaches the cap, so results equal the uncapped form.
     QueryDef(
       "q47_ngram_jaccard",
-      (s, d) => {
-        val docs = t(s, d, "documents")
-          .withColumn("wh", expr(wordHashesSpark()))
-          .select(col("doc_id"),
-            expr(ngramHashesSpark(3, "wh")).as("ngrams"))
-          .cache()
-        val sizes = docs.select(col("doc_id"), size(col("ngrams")).as("n"))
-        val ex = docs.select(col("doc_id"), explode(col("ngrams")).as("h"))
-        val shared = ex.as("a").join(ex.as("b"),
-          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("c"))
-        shared
-          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-          .select(col("doc_a"), col("doc_b"),
-            round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6)
-              .as("jaccard"))
-      },
+      (s, d) =>
+        graft.operators.Dedup.jaccardPairs(
+          t(s, d, "documents"), "doc_id", "text", dfCap = 64),
       Some(s"""
         WITH wh AS (
           SELECT doc_id, ${wordHashesDuck()} AS wh FROM documents),
         docs AS (
           SELECT doc_id, ${ngramHashesDuck(3, "wh")} AS ngrams FROM wh),
-        sizes AS (SELECT doc_id, len(ngrams) AS n FROM docs),
-        ex AS (SELECT doc_id, unnest(ngrams) AS h FROM docs),
+        ex0 AS (SELECT doc_id, unnest(ngrams) AS h FROM docs),
+        hot AS (SELECT h FROM ex0 GROUP BY h HAVING count(*) > 64),
+        ex AS (SELECT * FROM ex0 WHERE h NOT IN (SELECT h FROM hot)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
         shared AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
           FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
@@ -265,9 +254,12 @@ object Text {
         stacked AS (
           ${(0 until 4).map(b => s"SELECT doc_id, $b AS band_idx, band$b AS band_key FROM sig")
         .mkString("\n          UNION ALL ")}),
+        ok AS (SELECT band_idx, band_key FROM stacked
+               GROUP BY 1, 2 HAVING count(*) <= 32),
+        kept AS (SELECT s.* FROM stacked s JOIN ok USING (band_idx, band_key)),
         pairs AS (
           SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-          FROM stacked a JOIN stacked b
+          FROM kept a JOIN kept b
             ON a.band_idx = b.band_idx AND a.band_key = b.band_key
            AND a.doc_id < b.doc_id),
         edges AS (
@@ -285,17 +277,25 @@ object Text {
         FROM documents d LEFT JOIN comp c ON c.node = d.doc_id""")),
 
     // ---- fuzzy string matching (blocked edit-distance join): distinct
-    // part names, blocked on a cheap prefix key so the quadratic
-    // levenshtein only runs inside blocks — the classic entity-
-    // resolution shape (block → compare → survive). Works on the
-    // DISTINCT name table: at any scale the distinct-values frame is
-    // orders of magnitude smaller than the rows that carry them.
+    // part names, blocked on a cheap key so the quadratic levenshtein
+    // only runs inside blocks — the classic entity-resolution shape
+    // (block → compare → survive). Works on the DISTINCT name table: at
+    // any scale the distinct-values frame is orders of magnitude smaller
+    // than the rows that carry them.
+    //
+    // Blocking key = 2-char prefix (vs 1-char: ~26× more blocks, so the
+    // within-block quadratic shrinks ~26× for uniformly-distributed
+    // names) + a |len(a)-len(b)| <= 4 band. The length band is LOSSLESS
+    // given the edit_dist <= 4 survivor predicate (edit distance lower-
+    // bounds the length difference); the 2-char prefix is the recall
+    // trade-off every blocking scheme makes, stated here explicitly.
     QueryDef(
       "q89_fuzzy_name_pairs",
       (s, d) => {
         val names = t(s, d, "part").select(col("p_name")).distinct()
         names.as("a").join(names.as("b"),
-          substring(col("a.p_name"), 1, 1) === substring(col("b.p_name"), 1, 1) &&
+          substring(col("a.p_name"), 1, 2) === substring(col("b.p_name"), 1, 2) &&
+            abs(length(col("a.p_name")) - length(col("b.p_name"))) <= 4 &&
             col("a.p_name") < col("b.p_name") &&
             levenshtein(col("a.p_name"), col("b.p_name")) <= 4)
           .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
@@ -306,7 +306,8 @@ object Text {
         SELECT a.p_name AS name_a, b.p_name AS name_b,
                CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
         FROM n a JOIN n b
-          ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+          ON substr(a.p_name, 1, 2) = substr(b.p_name, 1, 2)
+         AND abs(length(a.p_name) - length(b.p_name)) <= 4
          AND a.p_name < b.p_name
          AND levenshtein(a.p_name, b.p_name) <= 4""")),
   )
