@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd's k-means whose every number is computed in exact
+  * 64-bit integer arithmetic, so the result is bit-identical on any
+  * engine, any partitioning, any executor count — which is what lets a
+  * k-means query be checked by the cross-engine SQL oracle at all
+  * (MLlib's float accumulation is engine- and plan-order-specific).
+  *
+  * Domain trick: each vector component is scaled to micro-units
+  * (`round(x * 1e6)` as BIGINT — unambiguous for float inputs: no float
+  * lands exactly on a 6-dp midpoint, since 5·10⁻⁷ has no finite binary
+  * expansion). Distances are integer sums of squared differences
+  * (|x|≲1, 64 dims → ≤2⁴⁶, no overflow); centroid updates are half-up
+  * integer division `sign(s)·((2|s|+n) div (2n))`, identical in Spark,
+  * DuckDB, and JVM long math. Seeds are the k rows with the smallest
+  * 60-bit md5 hash of the id (deterministic pseudo-random, expressible
+  * in SQL). Fixed iteration count — no data-dependent convergence test.
+  *
+  * Scale shape (the production pattern for Lloyd's on a cluster):
+  * centroids are k·dim longs — always driver/broadcast-size. Each round
+  * is ONE map-side-combinable aggregation over the corpus: the
+  * assignment is a generated per-row integer fold over the (codegen'd)
+  * zip of the vector with k literal centroid arrays — no join, no
+  * shuffle of the N·k distance matrix, no window. The only shuffle per
+  * round is the k×(dim+2)-cell partial-aggregate exchange.
+  */
+object DeterministicKMeans {
+
+  private def hash60(e: String): String =
+    s"cast(conv(substr(md5($e), 1, 15), 16, 10) as bigint)"
+
+  /** (cluster, n_points, id_sum) after `iters` assignment rounds with
+    * `iters - 1` centroid updates between them; `cluster` is the seed
+    * rank (0..k-1), `id_sum` pins the exact membership. Only non-empty
+    * clusters appear.
+    */
+  def clusterSizes(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, iters: Int = 5): DataFrame = {
+    require(k > 0 && iters > 0)
+    val sp = df.sparkSession
+
+    // micro-unit integer vectors; cache: every round re-aggregates this
+    val base = df.select(
+      col(idCol).cast("long").as("__id"),
+      expr(s"transform($vecCol, x -> cast(round(cast(x as double) * 1000000, 0) as bigint))")
+        .as("__v6"))
+      .cache()
+    try {
+      val dim = base.select(size(col("__v6"))).head.getInt(0)
+
+      // deterministic seeds: k smallest (hash60(id), id)
+      var cents: Array[Array[Long]] = base
+        .orderBy(expr(hash60("cast(__id as string)")).asc, col("__id").asc)
+        .limit(k)
+        .select(col("__v6"))
+        .collect()
+        .map(_.getSeq[Long](0).toArray)
+
+      def distExpr(c: Array[Long]): String = {
+        val lits = c.mkString("array(", "L, ", "L)")
+        s"aggregate(zip_with(__v6, $lits, (x, c) -> (x - c) * (x - c)), 0L, (acc, d) -> acc + d)"
+      }
+      // argmin cluster: first position of the min distance = smallest
+      // cluster id among ties (array_position returns the first match)
+      def assignExpr(cs: Array[Array[Long]]): String = {
+        val ds = cs.map(distExpr).mkString("array(", ", ", ")")
+        s"cast(array_position($ds, array_min($ds)) - 1 as bigint)"
+      }
+
+      var r = 0
+      while (r < iters - 1) {
+        // one aggregation job: per-cluster count + per-dim micro-sums
+        val sumCols = (0 until dim).map(i =>
+          sum(element_at(col("__v6"), i + 1)).as(s"s$i"))
+        val agg = base
+          .withColumn("__c", expr(assignExpr(cents)))
+          .groupBy("__c")
+          .agg(count(lit(1)).as("n"), sumCols: _*)
+          .collect()
+        val next = cents.map(_.clone()) // empty cluster keeps its centroid
+        agg.foreach { r =>
+          val c = r.getAs[Long]("__c").toInt
+          val n = r.getAs[Long]("n")
+          var i = 0
+          while (i < dim) {
+            val s = r.getAs[Long](s"s$i")
+            // half-up integer mean, sign-symmetric; exact in long math
+            next(c)(i) = if (s < 0) -((2 * -s + n) / (2 * n)) else (2 * s + n) / (2 * n)
+            i += 1
+          }
+        }
+        cents = next
+        r += 1
+      }
+
+      base
+        .withColumn("cluster", expr(assignExpr(cents)))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_points"), sum("__id").as("id_sum"))
+        .localCheckpoint() // materialize so the cache can be freed
+    } finally base.unpersist()
+  }
+
+  /** The DuckDB oracle for clusterSizes on a table `emb(idCol, vecCol)`
+    * — the same fixed-point algorithm unrolled as CTE stages (SQL has no
+    * loop), emitted from the same code path so the two can't drift.
+    */
+  def clusterSizesDuck(
+      table: String, idCol: String, vecCol: String,
+      k: Int = 8, iters: Int = 5): String = {
+    val h = s"('0x' || substr(md5($idCol::VARCHAR), 1, 15))::BIGINT"
+    val header = s"""
+      WITH ex AS (
+        SELECT $idCol AS id,
+               unnest(range(len($vecCol))) AS dim,
+               CAST(round(CAST(unnest($vecCol) AS DOUBLE) * 1000000) AS BIGINT) AS x6
+        FROM $table),
+      seeds AS (
+        SELECT id, cluster FROM (
+          SELECT $idCol AS id,
+                 row_number() OVER (ORDER BY $h, $idCol) - 1 AS cluster
+          FROM $table) WHERE cluster < $k),
+      cent0 AS (
+        SELECT s.cluster, e.dim, e.x6 AS c6
+        FROM seeds s JOIN ex e ON e.id = s.id)"""
+    val rounds = (0 until iters - 1).map { t =>
+      s"""
+      dist$t AS (
+        SELECT e.id, c.cluster, sum((e.x6 - c.c6) * (e.x6 - c.c6)) AS d
+        FROM ex e JOIN cent$t c ON e.dim = c.dim
+        GROUP BY e.id, c.cluster),
+      assign$t AS (
+        SELECT id, cluster FROM (
+          SELECT id, cluster,
+                 row_number() OVER (PARTITION BY id ORDER BY d, cluster) AS rn
+          FROM dist$t) WHERE rn = 1),
+      sums$t AS (
+        SELECT a.cluster, e.dim, sum(e.x6) AS s, count(*) AS n
+        FROM assign$t a JOIN ex e ON e.id = a.id
+        GROUP BY a.cluster, e.dim),
+      cent${t + 1} AS (
+        SELECT c.cluster, c.dim,
+               CASE WHEN s.s IS NULL THEN c.c6
+                    WHEN s.s < 0 THEN -((2 * (-s.s) + s.n) // (2 * s.n))
+                    ELSE (2 * s.s + s.n) // (2 * s.n) END AS c6
+        FROM cent$t c LEFT JOIN sums$t s
+          ON s.cluster = c.cluster AND s.dim = c.dim)"""
+    }.mkString(",", ",", "")
+    val last = iters - 1
+    val footer = s"""
+      , distF AS (
+        SELECT e.id, c.cluster, sum((e.x6 - c.c6) * (e.x6 - c.c6)) AS d
+        FROM ex e JOIN cent$last c ON e.dim = c.dim
+        GROUP BY e.id, c.cluster),
+      assignF AS (
+        SELECT id, cluster FROM (
+          SELECT id, cluster,
+                 row_number() OVER (PARTITION BY id ORDER BY d, cluster) AS rn
+          FROM distF) WHERE rn = 1)
+      SELECT cluster, count(*) AS n_points, sum(id) AS id_sum
+      FROM assignF GROUP BY cluster"""
+    header + rounds + footer
+  }
+}

@@ -115,19 +115,38 @@ object Advanced {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority""")),
 
-    // ---- IVF ANN (kmeans coarse quantizer, probe nprobe of nlist lists)
-    // — iterative ML inside, so no SQL oracle; recall vs brute force is
-    // pinned by IvfAnnSpec.
+    // ---- IVF ANN (kmeans coarse quantizer, probe nprobe of nlist lists).
+    // Driver-oracled via the full-probe identity: with nprobe = nlist
+    // every list is searched, so the ENTIRE IVF machinery (quantizer
+    // fit, list assignment, per-query probe ranking, per-list candidate
+    // join, exact re-rank) must reproduce the brute-force top-k exactly
+    // — any bug in list routing or candidate union breaks the hash.
+    // DuckDB replays the brute-force side. The approximate trade-off
+    // (nprobe < nlist) stays pinned by IvfAnnSpec's recall bound —
+    // sketch-style outputs legitimately differ per engine, exact
+    // identities don't.
     QueryDef(
       "q63_ivf_ann",
       (s, d) => {
         val emb = t(s, d, "embeddings")
           .withColumn("vec", expr("transform(embedding, x -> cast(x as double))"))
         graft.operators.Similarity.ivfTopK(
-          emb, "vec_id", "vec", queryFilter = col("vec_id") < 20, k = 3,
-          nlist = 8, nprobe = 3)
+          emb, "vec_id", "vec", queryFilter = pmod(col("vec_id"), lit(50)) === 0, k = 5,
+          nlist = 8, nprobe = 8)
       },
-      None),
+      Some(s"""
+        WITH emb AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+          FROM embeddings),
+        sims AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                 round(${graft.operators.VectorOps.cosineDuck("q.vec", "c.vec")}, 4) AS cos_sim
+          FROM emb q JOIN emb c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id)
+        SELECT query_id, cand_id, cos_sim, rnk
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cos_sim DESC, cand_id) AS rnk
+              FROM sims) t
+        WHERE rnk <= 5""")),
 
     // ---- classic explode + re-aggregate: per-word corpus frequency.
     QueryDef(

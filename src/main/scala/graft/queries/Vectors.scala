@@ -142,33 +142,22 @@ object Vectors {
           ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         WHERE round(${cosineDuck("a.vec", "b.vec")}, 4) >= 0.35""")),
 
-    // ---- K-Means clustering (MLlib) over embeddings — no SQL oracle
-    // (iterative ML); seed-pinned determinism, structural correctness
-    // covered by WaferPipelineSpec's kmeans test.
+    // ---- K-Means clustering over embeddings, fully driver-oracled:
+    // DeterministicKMeans runs Lloyd's in exact integer micro-unit
+    // arithmetic (bit-identical on any engine / partitioning), so the
+    // DuckDB oracle replays the identical fixed-point algorithm as
+    // unrolled SQL and the hashes must agree — no more `no_oracle` gap
+    // for iterative clustering. (MLlib KMeans — float accumulation,
+    // engine-specific — remains the wafer-pipeline G2 path, pinned by
+    // WaferPipelineSpec; the IVF coarse quantizer also uses it.)
+    // Output pins membership, not just sizes: id_sum per cluster.
     QueryDef(
       "q52_kmeans_embeddings",
-      (s, d) => {
-        // cache the assembled vectors: KMeans.fit is iterative and would
-        // re-execute the scan+transform chain once per iteration otherwise
-        // coalesce: the fit set is a few thousand rows — per-iteration
-        // task-launch overhead dominates 16-way parallelism at this
-        // size (a 100 TB fit set would keep its partitioning)
-        val emb = embDouble(t(s, d, "embeddings"))
-          .withColumn("features", org.apache.spark.ml.functions.array_to_vector(col("vec")))
-          .coalesce(4)
-          .cache()
-        try {
-          val model = new org.apache.spark.ml.clustering.KMeans()
-            .setK(8).setSeed(42).setFeaturesCol("features").setPredictionCol("cluster")
-            .setInitMode("random") // deterministic under the seed; skips the kmeans|| init passes
-            .fit(emb)
-          model.transform(emb)
-            .groupBy("cluster")
-            .agg(count(lit(1)).as("n"))
-            .localCheckpoint() // materialize so the cache can be freed
-        } finally emb.unpersist()
-      },
-      None),
+      (s, d) =>
+        graft.operators.DeterministicKMeans.clusterSizes(
+          t(s, d, "embeddings"), "vec_id", "embedding", k = 8, iters = 5),
+      Some(graft.operators.DeterministicKMeans.clusterSizesDuck(
+        "embeddings", "vec_id", "embedding", k = 8, iters = 5))),
 
     // ---- per-dimension embedding statistics (normalization check /
     // feature-drift monitoring): posexplode the vector column, group by
