@@ -77,10 +77,13 @@ object Dedup {
     * near-dup signal. Shingles with document frequency > dfCap are
     * dropped before the join AND from the set sizes, i.e. Jaccard is
     * computed over the df≤cap shingle space — standard practice in
-    * near-dup mining. The hot set is tiny by construction (≤ corpus/cap
-    * distinct hashes), so it broadcasts. Default 64 is above any df the
-    * harness data produces (max observed: 25 at sf0.1), so small-SF
-    * results are byte-identical to the uncapped form.
+    * near-dup mining. The anti-join against the hot set is left
+    * unhinted: on typical corpora the df>cap set is small and AQE
+    * broadcasts it, but a worst-case corpus can have a non-broadcastable
+    * hot set, in which case it shuffles on the same key (h) as the pair
+    * join that follows. Default 64 is above any df the harness data
+    * produces (max observed: 25 at sf0.1), so small-SF results are
+    * byte-identical to the uncapped form.
     */
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String, dfCap: Int = 64): DataFrame = {
@@ -92,7 +95,7 @@ object Dedup {
       val ex0 = docs.select(col(idCol), explode(col("__ngrams")).as("h"))
       val hot = ex0.groupBy("h").agg(count(lit(1)).as("__df"))
         .filter(col("__df") > dfCap).drop("__df")
-      val ex = ex0.join(broadcast(hot), Seq("h"), "left_anti")
+      val ex = ex0.join(hot, Seq("h"), "left_anti")
       // post-cap set sizes (keyed agg; co-keyed with the pair grouping)
       val sizes = ex.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
       val shared = ex.as("a").join(ex.as("b"),
@@ -165,5 +168,59 @@ object Dedup {
     }
     edges.unpersist()
     labels
+  }
+
+  /** Connected components via alternating large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — same API and output as connectedComponents, different
+    * convergence envelope: O(log n) rounds on ANY graph vs min-label
+    * propagation's O(diameter). Near-dup cluster graphs are shallow, so
+    * propagation is the cheaper default; this is the variant for deep
+    * graphs (long chains — reference-linkage, session stitching), where
+    * a 10k-hop path costs propagation 10k shuffles and this ~14.
+    *
+    * Each round: large-star links every neighbor v > u to m = min(Γ⁺(u));
+    * small-star links every neighbor v < u (and u itself) to m. Edges are
+    * re-symmetrized between phases; fixed points are stars centered at
+    * the component minimum, from which labels read off as min(Γ⁺(node)).
+    * Per round the work is two keyed min-aggregations + two equi-joins on
+    * the edge list — no cross join, no driver graph state; per-round
+    * results are localCheckpoint'd so lineage stays flat.
+    */
+  def connectedComponentsStar(
+      pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 20): DataFrame = {
+    val half = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+    val nodes = half.select(col("u").as("node"))
+      .union(half.select(col("v").as("node")))
+      .distinct().localCheckpoint(true)
+    var edges = half.union(half.select(col("v").as("u"), col("u").as("v")))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+
+    def star(e: DataFrame, large: Boolean): DataFrame = {
+      val m = e.groupBy("u").agg(min("v").as("__mv"))
+        .select(col("u"), least(col("u"), col("__mv")).as("__m"))
+      val kept = e.join(m, "u")
+        .filter(if (large) col("v") > col("u") else col("v") < col("u"))
+        .select(col("v").as("u"), col("__m").as("v"))
+      val selfLink = m.select(col("u"), col("__m").as("v"))
+      val out = kept.union(selfLink).filter(col("u") =!= col("v"))
+      // re-symmetrize: Γ(u) must see both endpoints next phase
+      out.union(out.select(col("v").as("u"), col("u").as("v"))).distinct()
+    }
+
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = star(star(edges, large = true), large = false).localCheckpoint(true)
+      val diff = next.except(edges).union(edges.except(next)).limit(1).count()
+      edges = next
+      converged = diff == 0L
+      iter += 1
+    }
+
+    val lbl = edges.groupBy(col("u").as("node")).agg(min("v").as("__mv"))
+    nodes.join(lbl, Seq("node"), "left")
+      .select(col("node"),
+        least(col("node"), coalesce(col("__mv"), col("node"))).as("cluster_id"))
   }
 }

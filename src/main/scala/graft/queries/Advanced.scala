@@ -720,5 +720,18 @@ object Advanced {
         UNION ALL
         SELECT c_custkey, 'nationkey' AS feature, CAST(c_nationkey AS DOUBLE) AS value
         FROM customer""")),
+
+    // ---- GLOBAL equi-depth deciles: percentile boundaries + comparison
+    // assignment (see EquiDepthBins) — the companion to q83's keyed
+    // ntile. One boundary aggregation, a broadcast of 9 doubles, a
+    // per-row codegen'd fold, one 10-key agg; no global sort or
+    // single-partition window anywhere.
+    QueryDef(
+      "q91_global_equidepth",
+      (s, d) =>
+        graft.operators.EquiDepthBins.globalBins(
+          t(s, d, "customer"), "c_acctbal", bins = 10),
+      Some(graft.operators.EquiDepthBins.globalBinsDuck(
+        "customer", "c_acctbal", bins = 10))),
   )
 }

@@ -68,6 +68,53 @@ object Sinks {
       }
       .start()
 
+  /** Compact a parquet directory to ~`targetFileBytes` files — the
+    * maintenance pass every long-running upsert/streaming sink needs:
+    * each microbatch writes at least one file per task, so a snapshot
+    * accumulates small files and every downstream scan pays one task +
+    * one footer read per file. Rewrites through `coalesce` (a shuffle-
+    * free partition merge — compaction is IO-bound, never worth a
+    * shuffle) unless `sortCols` is given, in which case rows are
+    * re-clustered (repartition + sortWithinPartitions) so parquet
+    * row-group min/max stats skip again after the rewrite.
+    *
+    * Swap is write-aside-then-rename via the Hadoop FileSystem API (the
+    * same code path works on HDFS/S3A on a real cluster): the original
+    * directory is never overwritten in place while being read. Readers
+    * racing the final rename see the old or the new directory, not a
+    * mix — the offline stand-in for an ACID table format's commit, same
+    * caveat as streamUpsert.
+    *
+    * Returns (filesBefore, filesAfter); no-op if already at or below
+    * the target count.
+    */
+  def compactSnapshot(
+      spark: SparkSession, dir: String,
+      targetFileBytes: Long = 128L << 20,
+      sortCols: Seq[String] = Nil): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val target = new Path(dir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(target)
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+    val nBefore = dataFiles.length
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nAfter = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    if (nAfter >= nBefore) return (nBefore, nBefore)
+    val df = spark.read.parquet(dir)
+    val rewritten =
+      if (sortCols.nonEmpty)
+        df.repartition(nAfter).sortWithinPartitions(sortCols.map(col): _*)
+      else df.coalesce(nAfter)
+    val tmp = new Path(dir + "__compact_tmp")
+    rewritten.write.mode("overwrite").parquet(tmp.toString)
+    val old = new Path(dir + "__compact_old")
+    if (!fs.rename(target, old)) sys.error(s"compact: cannot move $dir aside")
+    if (!fs.rename(tmp, target)) { fs.rename(old, target); sys.error(s"compact: cannot swap in $tmp") }
+    fs.delete(old, true)
+    (nBefore, nAfter)
+  }
+
   def readLatestSnapshot(spark: SparkSession, snapshotRoot: String): DataFrame =
     spark.read.parquet(latestSnapshotDir(snapshotRoot)
       .getOrElse(sys.error(s"no snapshot under $snapshotRoot")))

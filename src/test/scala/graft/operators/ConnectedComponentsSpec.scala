@@ -63,6 +63,37 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  private def starComponents(pairs: Seq[(Long, Long)], maxIter: Int = 20): Map[Long, Long] =
+    Dedup.connectedComponentsStar(pairs.toDF("a", "b"), "a", "b", maxIter)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("star contraction: 10k-node path graph (min-label's worst case) in O(log n) rounds") {
+    // diameter 10_000: min-label propagation would need 10k rounds;
+    // star contraction must land inside maxIter = 20 ≈ log2(10k) + slack,
+    // or the labels come out wrong and the assertion fails.
+    val n = 10000L
+    val path = (0L until n - 1).map(i => (i, i + 1))
+    val got = starComponents(path, maxIter = 20)
+    assert(got.size === n)
+    assert(got.values.forall(_ == 0L), "single component labeled by its min node")
+  }
+
+  test("star contraction matches union-find and min-label on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val pairs = Seq.fill(25 + rnd.nextInt(15)) {
+        (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong)
+      }.filter { case (a, b) => a != b }
+      assert(starComponents(pairs) === components(pairs), s"trial $trial pairs=$pairs")
+    }
+  }
+
+  test("star contraction: empty and two-component graphs") {
+    assert(starComponents(Seq.empty).isEmpty)
+    assert(starComponents(Seq((1L, 2L), (2L, 3L), (5L, 6L))) ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("deterministic across repartitioning") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (3L, 5L), (10L, 11L))
     val a = components(pairs)

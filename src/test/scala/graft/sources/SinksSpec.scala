@@ -47,4 +47,41 @@ class SinksSpec extends SparkSpec {
         1L -> (2L, "a2"), 2L -> (1L, "b1"), 3L -> (1L, "c1")))
     } finally q.stop()
   }
+
+  test("compactSnapshot: file count drops to byte-target, reads identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/snap"
+    (1 to 20000).map(i => (i.toLong, s"payload_$i"))
+      .toDF("k", "payload").repartition(64) // the small-file pathology
+      .write.parquet(dir)
+    def files() = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.endsWith(".crc"))
+    val before = spark.read.parquet(dir).collect().map(_.toSeq).toSet
+    val nBefore = files().length
+    assert(nBefore === 64)
+    val total = files().map(_.length).sum
+    val (b, a) = Sinks.compactSnapshot(spark, dir, targetFileBytes = total / 4 + 1)
+    assert(b === 64 && a === 4)
+    assert(files().length === 4)
+    val after = spark.read.parquet(dir).collect().map(_.toSeq).toSet
+    assert(after === before)
+    // idempotent: already at target => no-op
+    assert(Sinks.compactSnapshot(spark, dir, targetFileBytes = total / 4 + 1) === (4, 4))
+  }
+
+  test("compactSnapshot with sortCols re-clusters for row-group skipping") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_s").toString + "/snap"
+    (1 to 10000).map(i => ((i * 2654435761L) % 9973, i))
+      .toDF("k", "v").repartition(32)
+      .write.parquet(dir)
+    val before = spark.read.parquet(dir).collect().map(_.toSeq).toSet
+    val (b, a) = Sinks.compactSnapshot(spark, dir, targetFileBytes = Long.MaxValue, sortCols = Seq("k"))
+    assert(b === 32 && a === 1)
+    val perFile = spark.read.parquet(dir)
+      .withColumn("f", input_file_name())
+      .withColumn("prev", lag("k", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("f").orderBy(
+          monotonically_increasing_id())))
+    assert(perFile.filter(col("prev") > col("k")).count() === 0L)
+    assert(spark.read.parquet(dir).collect().map(_.toSeq).toSet === before)
+  }
 }
