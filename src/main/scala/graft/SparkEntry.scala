@@ -17,7 +17,8 @@ object SparkEntry {
       graft.queries.Events.defs ++
       graft.queries.Text.defs ++
       graft.queries.Vectors.defs ++
-      graft.queries.Advanced.defs
+      graft.queries.Advanced.defs ++
+      graft.queries.Training.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

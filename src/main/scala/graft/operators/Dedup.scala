@@ -93,8 +93,13 @@ object Dedup {
       .cache()
     try {
       val ex0 = docs.select(col(idCol), explode(col("__ngrams")).as("h"))
+      // cache: the df aggregation would otherwise rerun for each of the
+      // three consumers of `ex` (sizes + both sides of the self-join);
+      // the hot set itself is the small side, the exploded stream is not
+      // cached — at scale recomputing the explode from cached docs is
+      // cheaper than materializing it
       val hot = ex0.groupBy("h").agg(count(lit(1)).as("__df"))
-        .filter(col("__df") > dfCap).drop("__df")
+        .filter(col("__df") > dfCap).drop("__df").cache()
       val ex = ex0.join(hot, Seq("h"), "left_anti")
       // post-cap set sizes (keyed agg; co-keyed with the pair grouping)
       val sizes = ex.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
@@ -102,13 +107,15 @@ object Dedup {
         col("a.h") === col("b.h") && col(s"a.$idCol") < col(s"b.$idCol"))
         .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
         .agg(count(lit(1)).as("c"))
-      shared
+      val result = shared
         .join(sizes.select(col(idCol).as("doc_a"), col("n").as("na")), "doc_a")
         .join(sizes.select(col(idCol).as("doc_b"), col("n").as("nb")), "doc_b")
         .select(col("doc_a"), col("doc_b"),
           round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6)
             .as("jaccard"))
-        .localCheckpoint() // materialize so the cache can be freed
+        .localCheckpoint() // materialize so the caches can be freed
+      hot.unpersist()
+      result
     } finally docs.unpersist()
   }
 

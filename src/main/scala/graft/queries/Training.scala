@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Training-data-preparation operators over the documents corpus — the
+  * steps between "raw crawl" and "tokenizer input" in an LLM pipeline:
+  * repetition-based quality filtering (Gopher/C4-style), deterministic
+  * stratified sampling for corpus mixing, and sequence packing into
+  * fixed token budgets.
+  *
+  * Scale shapes: q92 is explode → two keyed aggs (word keyed by doc,
+  * never global); q93 is a keyed window over strata; q94 is a keyed
+  * window over hash shards — no global sort or single-partition window
+  * anywhere, every number integer-exact or 6-dp-rounded for cross-engine
+  * parity.
+  */
+object Training {
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- repetition/quality filtering (the Gopher "repetition" family):
+    // duplicate-word and duplicate-3-gram fractions plus the most-
+    // frequent-word share, with a keep flag. Word stats via explode +
+    // (doc,word) agg + doc agg — co-keyed shuffles; 3-gram distinctness
+    // is a per-row codegen'd expression (no shuffle at all).
+    QueryDef(
+      "q92_repetition_filter",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val wordStats = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(
+            sum("c").as("n_words"),
+            count(lit(1)).as("n_distinct_words"),
+            max("c").as("top_word_n"))
+        val gramStats = docs.select(
+          col("doc_id"),
+          expr("greatest(size(split(text, ' ')) - 2, 1)").cast("long").as("n_grams"),
+          expr("""size(array_distinct(CASE WHEN size(split(text, ' ')) >= 3 THEN
+                    transform(sequence(0, size(split(text, ' ')) - 3), i ->
+                      concat_ws(' ', slice(split(text, ' '), i + 1, 3)))
+                  ELSE array(text) END))""").cast("long").as("n_distinct_grams"))
+        wordStats.join(gramStats, "doc_id")
+          .select(
+            col("doc_id"),
+            round(lit(1.0) - col("n_distinct_words").cast("double") / col("n_words"), 6)
+              .as("dup_word_frac"),
+            round(lit(1.0) - col("n_distinct_grams").cast("double") / col("n_grams"), 6)
+              .as("dup_3gram_frac"),
+            round(col("top_word_n").cast("double") / col("n_words"), 6)
+              .as("top_word_frac"),
+            (col("n_distinct_grams").cast("double") / col("n_grams") >= 0.5 &&
+              col("top_word_n").cast("double") / col("n_words") <= 0.2).as("keep"))
+      },
+      Some("""
+        WITH words AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        wc AS (
+          SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w),
+        ws AS (
+          SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct_words,
+                 max(c) AS top_word_n
+          FROM wc GROUP BY doc_id),
+        gs AS (
+          SELECT doc_id,
+                 CAST(greatest(len(string_split(text, ' ')) - 2, 1) AS BIGINT) AS n_grams,
+                 CAST(len(list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+                       list_transform(range(1, len(string_split(text, ' ')) - 1), i ->
+                         array_to_string(string_split(text, ' ')[i:i+2], ' '))
+                     ELSE [text] END)) AS BIGINT) AS n_distinct_grams
+          FROM documents)
+        SELECT ws.doc_id,
+               round(1.0 - CAST(n_distinct_words AS DOUBLE) / n_words, 6) AS dup_word_frac,
+               round(1.0 - CAST(n_distinct_grams AS DOUBLE) / n_grams, 6) AS dup_3gram_frac,
+               round(CAST(top_word_n AS DOUBLE) / n_words, 6) AS top_word_frac,
+               (CAST(n_distinct_grams AS DOUBLE) / n_grams >= 0.5 AND
+                CAST(top_word_n AS DOUBLE) / n_words <= 0.2) AS keep
+        FROM ws JOIN gs ON ws.doc_id = gs.doc_id""")),
+
+    // ---- deterministic stratified sampling for corpus mixing: within
+    // every (lang, source) stratum keep the ceil(n/5) docs with the
+    // smallest md5-derived rank — a 20% per-stratum sample that is
+    // byte-identical on any engine and any cluster size (contrast
+    // rand()-based sampling). Keyed window only; stratum sizes via one
+    // keyed agg.
+    QueryDef(
+      "q93_stratified_sample",
+      (s, d) => {
+        val h = expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)")
+        val w = Window.partitionBy("lang", "source").orderBy(col("__h").asc, col("doc_id").asc)
+        t(s, d, "documents")
+          .withColumn("__h", h)
+          .withColumn("__rk", row_number().over(w))
+          .withColumn("__n", count(lit(1)).over(Window.partitionBy("lang", "source")))
+          .filter(col("__rk") <= floor((col("__n") + 4) / 5)) // ceil(n/5)
+          .select(col("doc_id"), col("lang"), col("source"))
+      },
+      Some("""
+        WITH ranked AS (
+          SELECT doc_id, lang, source,
+                 row_number() OVER (PARTITION BY lang, source
+                   ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT, doc_id) AS rk,
+                 count(*) OVER (PARTITION BY lang, source) AS n
+          FROM documents)
+        SELECT doc_id, lang, source FROM ranked
+        WHERE rk <= (n + 4) // 5""")),
+
+    // ---- sequence packing: assign docs to fixed-token-budget packs.
+    // Docs are hash-sharded (8 shards), deterministically ordered within
+    // a shard, and a doc joins pack floor(tokens_before / budget) — the
+    // standard streaming-packing approximation (a pack overflows by at
+    // most one doc; no global coordination). Shard = keyed window, so a
+    // 1000-executor run packs 1000s of shards concurrently; the oracle
+    // replays the identical integer arithmetic.
+    QueryDef(
+      "q94_sequence_packing",
+      (s, d) => {
+        val budget = 512
+        val h = expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)")
+        val w = Window.partitionBy("shard").orderBy(col("__h").asc, col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        t(s, d, "documents")
+          .withColumn("__h", h)
+          .withColumn("shard", pmod(col("__h"), lit(8)))
+          .withColumn("tokens", expr("cast(size(split(text, ' ')) as bigint)"))
+          .withColumn("pack_id", floor(coalesce(sum("tokens").over(w), lit(0L)) / budget))
+          .groupBy("shard", "pack_id")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("tokens").as("pack_tokens"))
+      },
+      Some("""
+        WITH sharded AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+          FROM documents),
+        packed AS (
+          SELECT h % 8 AS shard, tokens,
+                 CAST(floor(coalesce(sum(tokens) OVER (PARTITION BY h % 8
+                   ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   / 512) AS BIGINT) AS pack_id
+          FROM sharded)
+        SELECT shard, pack_id, count(*) AS n_docs, sum(tokens) AS pack_tokens
+        FROM packed GROUP BY shard, pack_id""")),
+  )
+}
