@@ -44,13 +44,18 @@ object DeterministicKMeans {
     val sp = df.sparkSession
 
     // micro-unit integer vectors; cache: every round re-aggregates this
-    val base = df.select(
+    val cached = df.select(
       col(idCol).cast("long").as("__id"),
       expr(s"transform($vecCol, x -> cast(round(cast(x as double) * 1000000, 0) as bigint))")
         .as("__v6"))
       .cache()
     try {
-      val dim = base.select(size(col("__v6"))).head.getInt(0)
+      // size-aware parallelism: each round is a full aggregation job, so
+      // on a small fit set task-launch overhead dominates 32-way fan-out
+      // — narrow to a few partitions; a 100 TB fit set keeps its
+      // partitioning (count() here also materializes the cache eagerly)
+      val base =
+        if (cached.count() < 1000000) cached.coalesce(4) else cached
 
       // deterministic seeds: k smallest (hash60(id), id)
       var cents: Array[Array[Long]] = base
@@ -59,6 +64,8 @@ object DeterministicKMeans {
         .select(col("__v6"))
         .collect()
         .map(_.getSeq[Long](0).toArray)
+      require(cents.nonEmpty, "k-means on an empty input")
+      val dim = cents(0).length
 
       def distExpr(c: Array[Long]): String = {
         val lits = c.mkString("array(", "L, ", "L)")
@@ -102,7 +109,7 @@ object DeterministicKMeans {
         .groupBy("cluster")
         .agg(count(lit(1)).as("n_points"), sum("__id").as("id_sum"))
         .localCheckpoint() // materialize so the cache can be freed
-    } finally base.unpersist()
+    } finally cached.unpersist()
   }
 
   /** The DuckDB oracle for clusterSizes on a table `emb(idCol, vecCol)`

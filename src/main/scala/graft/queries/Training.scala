@@ -149,5 +149,80 @@ object Training {
           FROM sharded)
         SELECT shard, pack_id, count(*) AS n_docs, sum(tokens) AS pack_tokens
         FROM packed GROUP BY shard, pack_id""")),
+
+    // ---- eval-set decontamination: flag training docs sharing any
+    // 5-gram with the held-out set (source 'src0' plays the benchmark).
+    // Equi-join on the 5-gram hash — the eval side is small by nature,
+    // so AQE broadcasts it; at web scale the same shape runs behind
+    // BloomJoin.semiJoinLong to prefilter the train scan. Per-doc
+    // shingles are array_distinct'd, so count(*) after the join IS the
+    // distinct shared-gram count.
+    QueryDef(
+      "q95_decontaminate",
+      (s, d) => {
+        import graft.operators.TextOps
+        val grams = expr(TextOps.shingleHashesSpark(
+          s"(${TextOps.ngramsSpark(5, "text")})"))
+        val docs = t(s, d, "documents").withColumn("__g", grams)
+        val ev = docs.filter(col("source") === "src0")
+          .select(explode(col("__g")).as("h")).distinct()
+        docs.filter(col("source") =!= "src0")
+          .select(col("doc_id"), explode(col("__g")).as("h"))
+          .join(ev, "h")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shared_grams"))
+      },
+      Some {
+        import graft.operators.TextOps
+        val gramsDuck = TextOps.shingleHashesDuck(s"(${TextOps.ngramsDuck(5, "text")})")
+        s"""
+        WITH g AS (SELECT doc_id, source, $gramsDuck AS gs FROM documents),
+        ev AS (SELECT DISTINCT unnest(gs) AS h FROM g WHERE source = 'src0'),
+        tr AS (SELECT doc_id, unnest(gs) AS h FROM g WHERE source <> 'src0')
+        SELECT doc_id, count(*) AS n_shared_grams
+        FROM tr JOIN ev USING (h)
+        GROUP BY doc_id"""
+      }),
+
+    // ---- domain mixture rebalancing: downsample each language stratum
+    // to a target share of the corpus (en 40%, de/es 20%, fr/zh 10%) —
+    // the Pile/Gopher-style mixture step. Budgets are pure integer
+    // arithmetic (total·num/den), selection is md5-rank-based — the
+    // whole plan is engine- and cluster-size-deterministic, unlike
+    // sample()/rand() weighting. A stratum smaller than its budget is
+    // kept whole (capped by rank, never upsampled).
+    QueryDef(
+      "q96_mixture_rebalance",
+      (s, d) => {
+        val weights = Seq("en" -> 4L, "de" -> 2L, "es" -> 2L, "fr" -> 1L, "zh" -> 1L)
+        val wCol = weights.foldLeft(lit(0L)) { case (acc, (l, num)) =>
+          when(col("lang") === l, lit(num)).otherwise(acc)
+        }
+        val h = expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)")
+        val byLang = Window.partitionBy("lang").orderBy(col("__h").asc, col("doc_id").asc)
+        // corpus size via broadcast, NOT count(*) OVER () — an empty
+        // window partition spec forces a single-partition exchange
+        val total = t(s, d, "documents").agg(count(lit(1)).as("__total"))
+        val docs = t(s, d, "documents")
+          .withColumn("__h", h)
+          .withColumn("__rk", row_number().over(byLang))
+          .crossJoin(broadcast(total))
+        docs
+          .filter(col("__rk") <= floor(col("__total") * wCol / 10))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_kept"), min("doc_id").as("first_doc"))
+      },
+      Some("""
+        WITH ranked AS (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT, doc_id) AS rk,
+                 count(*) OVER () AS total,
+                 CASE lang WHEN 'en' THEN 4 WHEN 'de' THEN 2 WHEN 'es' THEN 2
+                           WHEN 'fr' THEN 1 WHEN 'zh' THEN 1 ELSE 0 END AS w
+          FROM documents)
+        SELECT lang, count(*) AS n_kept, min(doc_id) AS first_doc
+        FROM ranked WHERE rk <= (total * w) // 10
+        GROUP BY lang""")),
   )
 }

@@ -80,4 +80,19 @@ class PlanSpec extends SparkSpec {
     val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
+
+  test("q91: global equi-depth bins without a global sort; boundaries broadcast") {
+    val p = plan("q91_global_equidepth")
+    // a global ntile would need range partitioning + a total sort; the
+    // boundary+comparison formulation must never introduce one
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q93/q94: sampling and packing windows are keyed — no single-partition exchange") {
+    for (q <- Seq("q93_stratified_sample", "q94_sequence_packing")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange SinglePartition"), s"$q:\n$p")
+    }
+  }
 }
