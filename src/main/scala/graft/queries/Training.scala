@@ -224,5 +224,53 @@ object Training {
         SELECT lang, count(*) AS n_kept, min(doc_id) AS first_doc
         FROM ranked WHERE rk <= (total * w) // 10
         GROUP BY lang""")),
+
+    // ---- C4-style text normalization: lowercase, strip non-alphanumerics,
+    // collapse whitespace — pure per-row regex work inside whole-stage
+    // codegen, zero shuffle. The patterns are deliberately dialect-neutral
+    // (identical semantics in Java regex and RE2); DuckDB needs the 'g'
+    // flag Spark applies implicitly.
+    QueryDef(
+      "q97_normalize_text",
+      (s, d) => {
+        val norm = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+        t(s, d, "documents").select(
+          col("doc_id"),
+          md5(norm).as("norm_md5"),
+          length(norm).cast("long").as("norm_chars"),
+          (norm =!= col("text")).as("changed"))
+      },
+      Some("""
+        WITH n AS (
+          SELECT doc_id, text,
+                 trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+          FROM documents)
+        SELECT doc_id, md5(norm) AS norm_md5,
+               CAST(length(norm) AS BIGINT) AS norm_chars,
+               (norm <> text) AS changed
+        FROM n""")),
+
+    // ---- vocabulary truncation: the exact global top-k words by corpus
+    // frequency (ties broken lexically). ORDER BY + LIMIT plans as
+    // TakeOrderedAndProject — per-partition top-k merged at the driver,
+    // NOT a global sort (PlanSpec asserts it); the shape that gives an
+    // exact cut of a 100 TB vocabulary without ever range-partitioning it.
+    QueryDef(
+      "q98_vocab_topk",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("word"))
+          .groupBy("word")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("word").asc)
+          .limit(25),
+      Some("""
+        SELECT word, count(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) w
+        GROUP BY word
+        ORDER BY n DESC, word
+        LIMIT 25""")),
   )
 }

@@ -95,4 +95,18 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("Exchange SinglePartition"), s"$q:\n$p")
     }
   }
+
+  test("q93: the wide text column never reaches the scan (metadata-only sample)") {
+    val p = plan("q93_stratified_sample")
+    val readSchemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.nonEmpty, p)
+    assert(readSchemas.forall(!_.contains("text")), readSchemas.mkString("\n"))
+  }
+
+  test("q98: global top-k is TakeOrdered (per-partition top-k), not a global sort") {
+    val df = SparkEntry.queries("q98_vocab_topk")(spark, dir)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
 }
