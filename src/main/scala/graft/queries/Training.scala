@@ -87,8 +87,11 @@ object Training {
     // every (lang, source) stratum keep the ceil(n/5) docs with the
     // smallest md5-derived rank — a 20% per-stratum sample that is
     // byte-identical on any engine and any cluster size (contrast
-    // rand()-based sampling). Keyed window only; stratum sizes via one
-    // keyed agg.
+    // rand()-based sampling). The rank window is keyed by stratum, so
+    // parallelism (and the largest single sort) is bounded by stratum
+    // granularity — right for fine-grained strata with exact-count
+    // semantics; when a stratum can be an unbounded corpus share, use
+    // the windowless hash-threshold selection (q96 shape) instead.
     QueryDef(
       "q93_stratified_sample",
       (s, d) => {
@@ -185,45 +188,46 @@ object Training {
       }),
 
     // ---- domain mixture rebalancing: downsample each language stratum
-    // to a target share of the corpus (en 40%, de/es 20%, fr/zh 10%) —
-    // the Pile/Gopher-style mixture step. Budgets are pure integer
-    // arithmetic (total·num/den), selection is md5-rank-based — the
-    // whole plan is engine- and cluster-size-deterministic, unlike
-    // sample()/rand() weighting. A stratum smaller than its budget is
-    // kept whole (capped by rank, never upsampled).
+    // toward a target corpus share (en 40%, de/es 20%, fr/zh 10%) — the
+    // Pile/Gopher-style mixture step. Selection is a pure per-row hash
+    // threshold: keep a doc iff hash60(id) < floor(2⁶⁰·w/10), a LITERAL
+    // computed once — so there is NO window, NO per-stratum sort, and no
+    // shuffle before the final 5-key agg. A rank-based "exactly
+    // floor(n·w) per stratum" variant needs a per-stratum total order
+    // (one task holds the hottest stratum at 100 TB — q93 carries that
+    // pattern where strata are fine-grained); the threshold form keeps a
+    // doc's fate a function of its id alone, so membership is stable as
+    // the corpus grows and the kept share concentrates tightly around w.
+    // All integer arithmetic, bit-identical across engines.
     QueryDef(
       "q96_mixture_rebalance",
       (s, d) => {
         val weights = Seq("en" -> 4L, "de" -> 2L, "es" -> 2L, "fr" -> 1L, "zh" -> 1L)
-        val wCol = weights.foldLeft(lit(0L)) { case (acc, (l, num)) =>
-          when(col("lang") === l, lit(num)).otherwise(acc)
-        }
+        def threshold(num: Long): Long = (1L << 60) / 10 * num // floor(2^60·w/10)
         val h = expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)")
-        val byLang = Window.partitionBy("lang").orderBy(col("__h").asc, col("doc_id").asc)
-        // corpus size via broadcast, NOT count(*) OVER () — an empty
-        // window partition spec forces a single-partition exchange
-        val total = t(s, d, "documents").agg(count(lit(1)).as("__total"))
-        val docs = t(s, d, "documents")
+        val thCol = weights.foldLeft(lit(0L)) { case (acc, (l, num)) =>
+          when(col("lang") === l, lit(threshold(num))).otherwise(acc)
+        }
+        t(s, d, "documents")
           .withColumn("__h", h)
-          .withColumn("__rk", row_number().over(byLang))
-          .crossJoin(broadcast(total))
-        docs
-          .filter(col("__rk") <= floor(col("__total") * wCol / 10))
+          .filter(col("__h") < thCol)
           .groupBy("lang")
           .agg(count(lit(1)).as("n_kept"), min("doc_id").as("first_doc"))
       },
-      Some("""
-        WITH ranked AS (
+      Some {
+        def th(num: Long): Long = (1L << 60) / 10 * num
+        s"""
+        WITH hashed AS (
           SELECT doc_id, lang,
-                 row_number() OVER (PARTITION BY lang
-                   ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT, doc_id) AS rk,
-                 count(*) OVER () AS total,
-                 CASE lang WHEN 'en' THEN 4 WHEN 'de' THEN 2 WHEN 'es' THEN 2
-                           WHEN 'fr' THEN 1 WHEN 'zh' THEN 1 ELSE 0 END AS w
+                 ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h,
+                 CASE lang WHEN 'en' THEN ${th(4)} WHEN 'de' THEN ${th(2)}
+                           WHEN 'es' THEN ${th(2)} WHEN 'fr' THEN ${th(1)}
+                           WHEN 'zh' THEN ${th(1)} ELSE 0 END AS th
           FROM documents)
         SELECT lang, count(*) AS n_kept, min(doc_id) AS first_doc
-        FROM ranked WHERE rk <= (total * w) // 10
-        GROUP BY lang""")),
+        FROM hashed WHERE h < th
+        GROUP BY lang"""
+      }),
 
     // ---- C4-style text normalization: lowercase, strip non-alphanumerics,
     // collapse whitespace — pure per-row regex work inside whole-stage

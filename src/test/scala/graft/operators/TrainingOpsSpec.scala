@@ -37,19 +37,21 @@ class TrainingOpsSpec extends SparkSpec {
     packs.unpersist()
   }
 
-  test("q96 mixture keeps exactly min(stratum, floor(total*w/10)) per lang") {
-    val total = docs.count()
+  test("q96 mixture matches an independent JVM md5-threshold oracle") {
     val weights = Map("en" -> 4L, "de" -> 2L, "es" -> 2L, "fr" -> 1L, "zh" -> 1L)
-    val langN = docs.groupBy("lang").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def th(num: Long): Long = (1L << 60) / 10 * num
+    def hash60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map(b => f"${b & 0xff}%02x").mkString.take(15), 16)
+    }
+    val expected = docs.select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter { case (id, lang) => hash60(id.toString) < th(weights.getOrElse(lang, 0L)) }
+      .groupBy(_._2).map { case (l, xs) => l -> xs.length.toLong }
     val got = q("q96_mixture_rebalance").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    for ((lang, w) <- weights) {
-      val budget = total * w / 10 // integer floor, same as the query
-      val expected = math.min(langN.getOrElse(lang, 0L), budget)
-      if (expected > 0)
-        assert(got.getOrElse(lang, 0L) === expected, s"lang=$lang")
-    }
+    assert(got === expected)
   }
 
   test("equi-depth bins partition the input with monotone ranges") {
