@@ -115,12 +115,15 @@ object Training {
         WHERE rk <= (n + 4) // 5""")),
 
     // ---- sequence packing: assign docs to fixed-token-budget packs.
-    // Docs are hash-sharded (8 shards), deterministically ordered within
-    // a shard, and a doc joins pack floor(tokens_before / budget) — the
-    // standard streaming-packing approximation (a pack overflows by at
-    // most one doc; no global coordination). Shard = keyed window, so a
-    // 1000-executor run packs 1000s of shards concurrently; the oracle
-    // replays the identical integer arithmetic.
+    // Docs are hash-sharded, deterministically ordered within a shard,
+    // and a doc joins pack floor(tokens_before / budget) — the standard
+    // streaming-packing approximation (a pack overflows by at most one
+    // doc; no global coordination). The running sum is sequential BY
+    // DEFINITION, so the shard count IS the parallelism knob — and the
+    // size of the largest single-task sort. 64 here; size it to cluster
+    // width (thousands at 100 TB — shards are independent, more of them
+    // costs nothing but smaller final packs' tail). The oracle replays
+    // the identical integer arithmetic.
     QueryDef(
       "q94_sequence_packing",
       (s, d) => {
@@ -130,7 +133,7 @@ object Training {
           .rowsBetween(Window.unboundedPreceding, -1)
         t(s, d, "documents")
           .withColumn("__h", h)
-          .withColumn("shard", pmod(col("__h"), lit(8)))
+          .withColumn("shard", pmod(col("__h"), lit(64)))
           .withColumn("tokens", expr("cast(size(split(text, ' ')) as bigint)"))
           .withColumn("pack_id", floor(coalesce(sum("tokens").over(w), lit(0L)) / budget))
           .groupBy("shard", "pack_id")
@@ -145,8 +148,8 @@ object Training {
                  CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
           FROM documents),
         packed AS (
-          SELECT h % 8 AS shard, tokens,
-                 CAST(floor(coalesce(sum(tokens) OVER (PARTITION BY h % 8
+          SELECT h % 64 AS shard, tokens,
+                 CAST(floor(coalesce(sum(tokens) OVER (PARTITION BY h % 64
                    ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                    / 512) AS BIGINT) AS pack_id
           FROM sharded)
