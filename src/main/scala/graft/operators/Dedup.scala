@@ -100,9 +100,18 @@ object Dedup {
       // cheaper than materializing it
       val hot = ex0.groupBy("h").agg(count(lit(1)).as("__df"))
         .filter(col("__df") > dfCap).drop("__df").cache()
-      val ex = ex0.join(hot, Seq("h"), "left_anti")
-      // post-cap set sizes (keyed agg; co-keyed with the pair grouping)
-      val sizes = ex.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+      // fast path when nothing is hot (the common case): the anti-join
+      // filters nothing and post-cap sizes equal the per-row array
+      // sizes, so skip both — results are identical by construction,
+      // and only the one df-scan pass is paid for the cap guarantee
+      val (ex, sizes) =
+        if (hot.isEmpty)
+          (ex0, docs.select(col(idCol), size(col("__ngrams")).cast("long").as("n")))
+        else {
+          val e = ex0.join(hot, Seq("h"), "left_anti")
+          // post-cap set sizes (keyed agg; co-keyed with the pair grouping)
+          (e, e.groupBy(col(idCol)).agg(count(lit(1)).as("n")))
+        }
       val shared = ex.as("a").join(ex.as("b"),
         col("a.h") === col("b.h") && col(s"a.$idCol") < col(s"b.$idCol"))
         .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
