@@ -50,12 +50,18 @@ object Dedup {
     val stacked = bandsDf.select(col(idCol),
       posexplode(array(bands.map(col): _*)).as(Seq("band_idx", "band_key")))
     // bucket sizes: one keyed agg (map-side combinable); the join back is
-    // an equi-join on the same key, so AQE plans it alongside the self-join
-    val okBuckets = stacked.groupBy("band_idx", "band_key")
+    // an equi-join on the same key, so AQE plans it alongside the self-join.
+    // Fast path when no bucket is oversized (the common case): the filter
+    // join would keep everything, so skip it — only the one sizing pass
+    // is paid for the cap guarantee.
+    val oversized = stacked.groupBy("band_idx", "band_key")
       .agg(count(lit(1)).as("__bsz"))
-      .filter(col("__bsz") <= maxBucket)
+      .filter(col("__bsz") > maxBucket)
       .drop("__bsz")
-    val kept = stacked.join(okBuckets, Seq("band_idx", "band_key"))
+      .cache()
+    val kept =
+      if (oversized.isEmpty) { oversized.unpersist(); stacked }
+      else stacked.join(oversized, Seq("band_idx", "band_key"), "left_anti")
     kept.as("a").join(kept.as("b"),
       col("a.band_idx") === col("b.band_idx") &&
         col("a.band_key") === col("b.band_key") &&
