@@ -134,6 +134,31 @@ object Dedup {
     } finally docs.unpersist()
   }
 
+  /** End-to-end corpus dedup — the full pipeline composed: exact dedup
+    * first (linear hash-groupBy removes identical mass BEFORE any pair
+    * join, which is what keeps LSH buckets small — see minhash cap
+    * docs), then MinHash-LSH candidate pairs over the exact keepers,
+    * connected components to turn pairs into clusters, and min-id
+    * survivorship. Returns one row per surviving document with
+    * `n_represented` = how many raw documents it stands for
+    * (Σ n_represented = |corpus| — nothing is lost or double-counted).
+    */
+  def dedupe(
+      df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 4, rowsPerBand: Int = 2, maxBucket: Int = 32): DataFrame = {
+    val exact = exactGroups(df, idCol, textCol)
+      .select(col(s"keeper_$idCol").as(idCol), col("n_copies"))
+    val keepers = df.join(exact, idCol)
+    val pairs = minhashCandidatePairs(
+      minhashBands(keepers, idCol, textCol, bands, rowsPerBand), idCol, maxBucket)
+    val comp = connectedComponents(pairs, s"${idCol}_a", s"${idCol}_b")
+    keepers.select(col(idCol), col("n_copies"))
+      .join(comp.withColumnRenamed("node", idCol), Seq(idCol), "left")
+      .withColumn("__rep", coalesce(col("cluster_id"), col(idCol)))
+      .groupBy(col("__rep").as(idCol))
+      .agg(sum("n_copies").as("n_represented"))
+  }
+
   /** Per-document SimHash signature (near-dups have small hamming
     * distance).
     */

@@ -50,6 +50,19 @@ class NearDupSpec extends SparkSpec {
     assert(j(0L, 3L) === 0.0)
   }
 
+  test("dedupe end-to-end: exact copies collapse, near-dups cluster, mass conserved") {
+    val raw = Seq(
+      (0L, base), (1L, base), (2L, oneEdit), (3L, different), (4L, reordered)
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupe(raw, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.values.sum === 5L, "every raw doc represented exactly once")
+    assert(!out.contains(1L), "exact copy never survives")
+    assert(!out.contains(2L), "one-edit near-dup folds into doc 0's cluster")
+    assert(out(0L) >= 3L, "doc 0 represents itself, its copy, and the near-dup")
+    assert(out.contains(3L), "unrelated doc survives alone")
+  }
+
   test("simhash: hamming distance orders near-dup < unrelated") {
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     val sh = docs
