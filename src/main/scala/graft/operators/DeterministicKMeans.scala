@@ -32,6 +32,16 @@ object DeterministicKMeans {
   private def hash60(e: String): String =
     s"cast(conv(substr(md5($e), 1, 15), 16, 10) as bigint)"
 
+  /** Per-row labels: (idCol, cluster) for every input row after `iters`
+    * assignment rounds — the user-facing output of a clustering.
+    */
+  def assignments(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, iters: Int = 5): DataFrame =
+    run(df, idCol, vecCol, k, iters) { (base, assignCol) =>
+      base.select(col("__id").as(idCol), assignCol.as("cluster"))
+    }
+
   /** (cluster, n_points, id_sum) after `iters` assignment rounds with
     * `iters - 1` centroid updates between them; `cluster` is the seed
     * rank (0..k-1), `id_sum` pins the exact membership. Only non-empty
@@ -39,9 +49,23 @@ object DeterministicKMeans {
     */
   def clusterSizes(
       df: DataFrame, idCol: String, vecCol: String,
-      k: Int = 8, iters: Int = 5): DataFrame = {
+      k: Int = 8, iters: Int = 5): DataFrame =
+    run(df, idCol, vecCol, k, iters) { (base, assignCol) =>
+      base
+        .withColumn("cluster", assignCol)
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_points"), sum("__id").as("id_sum"))
+    }
+
+  /** Shared Lloyd's driver: fits the centroids, then hands the caller
+    * the cached micro-unit frame plus the final assignment column to
+    * shape the output; the result is localCheckpoint'd so caches free.
+    */
+  private def run(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int)(
+      finish: (DataFrame, org.apache.spark.sql.Column) => DataFrame): DataFrame = {
     require(k > 0 && iters > 0)
-    val sp = df.sparkSession
 
     // micro-unit integer vectors; cache: every round re-aggregates this
     val cached = df.select(
@@ -104,10 +128,7 @@ object DeterministicKMeans {
         r += 1
       }
 
-      base
-        .withColumn("cluster", expr(assignExpr(cents)))
-        .groupBy("cluster")
-        .agg(count(lit(1)).as("n_points"), sum("__id").as("id_sum"))
+      finish(base, expr(assignExpr(cents)))
         .localCheckpoint() // materialize so the cache can be freed
     } finally cached.unpersist()
   }

@@ -34,6 +34,18 @@ class DeterministicKMeansSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("assignments agree with clusterSizes") {
+    val asg = DeterministicKMeans.assignments(blobs, "vec_id", "embedding", k = 4, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(asg.length === 80)
+    val fromAsg = asg.groupBy(_._2).map { case (c, xs) =>
+      (c, xs.length.toLong, xs.map(_._1).sum)
+    }.toSet
+    val sizes = DeterministicKMeans.clusterSizes(blobs, "vec_id", "embedding", k = 4, iters = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fromAsg === sizes)
+  }
+
   test("clusters partition the input: sizes sum to N, ids to ΣN") {
     val out = DeterministicKMeans.clusterSizes(blobs, "vec_id", "embedding", k = 8, iters = 5)
       .collect()
