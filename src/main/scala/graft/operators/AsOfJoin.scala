@@ -54,6 +54,6 @@ object AsOfJoin {
     }
     withVals
       .filter(col("__side") === 2)
-      .select((left.columns ++ rightValueCols).map(col): _*)
+      .select((left.columns ++ rightValueCols).map(col).toIndexedSeq: _*)
   }
 }

@@ -48,7 +48,7 @@ object Dedup {
       bandsDf: DataFrame, idCol: String, maxBucket: Int = 32): DataFrame = {
     val bands = bandsDf.columns.filter(_.startsWith("band"))
     val stacked = bandsDf.select(col(idCol),
-      posexplode(array(bands.map(col): _*)).as(Seq("band_idx", "band_key")))
+      posexplode(array(bands.map(col).toIndexedSeq: _*)).as(Seq("band_idx", "band_key")))
     // bucket sizes: one keyed agg (map-side combinable); the join back is
     // an equi-join on the same key, so AQE plans it alongside the self-join.
     // Fast path when no bucket is oversized (the common case): the filter

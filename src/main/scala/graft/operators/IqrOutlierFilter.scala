@@ -79,6 +79,6 @@ object IqrOutlierFilter {
             (col(c).isNotNull && col(c) <= col("__ub")))
         .drop("__q1", "__q3", "__cnt", "__ub")
     }
-    cur.select(df.columns.map(col): _*) // using-column joins move keys first; restore input order
+    cur.select(df.columns.map(col).toIndexedSeq: _*) // using-column joins move keys first; restore input order
   }
 }

@@ -33,7 +33,7 @@ object SaltedJoin {
       seed: Long = 42L): DataFrame = {
     require(saltFactor > 0)
     val salted = left.withColumn("__salt",
-      pmod(hash(left.columns.map(col) :+ lit(seed): _*), lit(saltFactor)))
+      pmod(hash((left.columns.map(col) :+ lit(seed)).toIndexedSeq: _*), lit(saltFactor)))
     val replicated = right.withColumn("__salt",
       explode(array((0 until saltFactor).map(lit): _*)))
     salted.join(replicated, keys :+ "__salt").drop("__salt")
