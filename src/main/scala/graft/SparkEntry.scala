@@ -18,7 +18,8 @@ object SparkEntry {
       graft.queries.Text.defs ++
       graft.queries.Vectors.defs ++
       graft.queries.Advanced.defs ++
-      graft.queries.Training.defs
+      graft.queries.Training.defs ++
+      graft.queries.Training2.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -139,6 +139,18 @@ object DeterministicKMeans {
     */
   def clusterSizesDuck(
       table: String, idCol: String, vecCol: String,
+      k: Int = 8, iters: Int = 5): String =
+    assignmentsDuckCtes(table, idCol, vecCol, k, iters) + s"""
+      SELECT cluster, count(*) AS n_points, sum(id) AS id_sum
+      FROM assignF GROUP BY cluster"""
+
+  /** The WITH-clause prefix of the oracle, ending at `assignF(id,
+    * cluster)` — the per-row assignment relation. Callers append either
+    * a bare SELECT (clusterSizesDuck) or further `, cte AS (...)` stages
+    * that build on the labels (e.g. the semantic-dedup oracle).
+    */
+  def assignmentsDuckCtes(
+      table: String, idCol: String, vecCol: String,
       k: Int = 8, iters: Int = 5): String = {
     val h = s"('0x' || substr(md5($idCol::VARCHAR), 1, 15))::BIGINT"
     val header = s"""
@@ -188,9 +200,7 @@ object DeterministicKMeans {
         SELECT id, cluster FROM (
           SELECT id, cluster,
                  row_number() OVER (PARTITION BY id ORDER BY d, cluster) AS rn
-          FROM distF) WHERE rn = 1)
-      SELECT cluster, count(*) AS n_points, sum(id) AS id_sum
-      FROM assignF GROUP BY cluster"""
+          FROM distF) WHERE rn = 1)"""
     header + rounds + footer
   }
 }

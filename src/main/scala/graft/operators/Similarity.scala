@@ -130,6 +130,56 @@ object Similarity {
     } finally assembled.unpersist()
   }
 
+  /** SemDedup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication of an embedding corpus — cluster with k-means, then
+    * within every cluster drop one side of each pair whose cosine
+    * similarity clears `threshold` (the lower id survives, matching the
+    * exact/minhash dedup survivorship convention). Returns one row per
+    * input vector: (idCol, cluster, kept).
+    *
+    * Clustering uses DeterministicKMeans (exact integer micro-unit
+    * arithmetic), so the labels — and therefore the whole result — are
+    * bit-identical on any engine/partitioning, which is what lets an
+    * iterative-ML + float-similarity composite be SQL-oracled at all.
+    * Cosine is rounded to 4 dp before the threshold compare (same
+    * discipline as nearDupPairs) so the float boundary is cross-engine
+    * stable.
+    *
+    * Scale shape: the whole point of SemDedup is that k bounds the pair
+    * join — clusters hold ~N/k vectors, so the within-cluster self-join
+    * is O(N²/k) spread over k independent key groups, and k is chosen
+    * ~N/1000 in the paper (cluster size is the knob, not corpus size).
+    * The cluster id is the join key, so the only shuffles are the
+    * k-means rounds (one keyed agg each) plus one hash exchange on
+    * `cluster`; no global window, no driver-side pair state.
+    */
+  def semanticDedup(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, iters: Int = 3, threshold: Double = 0.35): DataFrame = {
+    CosineSimilarity.register(df.sparkSession)
+    val labels = DeterministicKMeans.assignments(df, idCol, vecCol, k, iters)
+    val vecs = df.select(
+      col(idCol),
+      expr(s"transform($vecCol, x -> cast(x as double))").as("__vec"))
+    val labeled = vecs.join(labels, idCol).cache()
+    try {
+      val a = labeled.select(
+        col("cluster"), col(idCol).as("__ida"), col("__vec").as("__va"))
+      val b = labeled.select(
+        col("cluster"), col(idCol).as("__idb"), col("__vec").as("__vb"))
+      val dropped = a.join(b, Seq("cluster"))
+        .filter(col("__ida") < col("__idb") &&
+          round(expr("graft_cosine(__va, __vb)"), 4) >= threshold)
+        .select(col("__idb").as(idCol))
+        .distinct()
+      labeled
+        .join(dropped.withColumn("__drop", lit(true)), Seq(idCol), "left")
+        .select(col(idCol), col("cluster"),
+          not(coalesce(col("__drop"), lit(false))).as("kept"))
+        .localCheckpoint() // materialize so the cache can be freed
+    } finally labeled.unpersist()
+  }
+
   /** All vector pairs with cosine >= threshold, through single-table
     * LSH buckets (embedding near-dup).
     */

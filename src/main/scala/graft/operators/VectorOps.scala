@@ -40,6 +40,30 @@ object VectorOps {
     terms.mkString("(", " + ", ")")
   }
 
+  /** Micro-unit integer vector: round(x·10⁶) per component as BIGINT —
+    * the exact-arithmetic representation shared with DeterministicKMeans
+    * (no float lands on a 6-dp midpoint, so the scaling is unambiguous).
+    */
+  def microVecSpark(vec: String): String =
+    s"transform($vec, x -> cast(round(cast(x as double) * 1000000, 0) as bigint))"
+
+  /** Symmetric int8 quantization codes of a micro-unit vector `v6` with
+    * scale denominator `m` (= max |component|, >= 1): each code is the
+    * half-up rounding of x·127/m, computed entirely in 64-bit integer
+    * math via the sign-split identity halfUp(s/n) = sign(s)·((2|s|+n)
+    * div (2n)) — bit-identical on any engine. Codes lie in [-127, 127].
+    */
+  def int8CodesSpark(v6: String, m: String): String =
+    s"""transform($v6, x -> CASE WHEN x < 0
+       |  THEN -((2 * (-x) * 127 + $m) div (2 * $m))
+       |  ELSE (2 * x * 127 + $m) div (2 * $m) END)""".stripMargin
+
+  /** DuckDB mirror of int8CodesSpark over a scalar component `x6`. */
+  def int8CodeDuck(x6: String, m: String): String =
+    s"""CASE WHEN $x6 < 0
+       |  THEN -((2 * (-($x6)) * 127 + $m) // (2 * $m))
+       |  ELSE (2 * ($x6) * 127 + $m) // (2 * $m) END""".stripMargin
+
   def lshBucketSpark(vec: String, dim: Int, planes: Int, offset: Int = 0): String = {
     val terms = (0 until planes).map { p0 =>
       val p = p0 + offset
