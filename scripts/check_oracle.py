@@ -41,19 +41,36 @@ def main(sf_dir: str, out_dir: str) -> int:
     n_bad = 0
     for name, sql in sorted(oracle.items()):
         try:
-            want = canon(con.execute(sql).df())
+            want_raw = con.execute(sql).df()
+            want = canon(want_raw)
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {str(e)[:200]}")
             n_bad += 1
             continue
         try:
-            got = canon(con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df())
+            got_raw = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            got = canon(got_raw)
         except Exception as e:
             print(f"FAIL {name}: spark result unreadable: {str(e)[:200]}")
             n_bad += 1
             continue
-        if list(got.columns) != list(want.columns):
+        # The driver hashes raw values, so an int64-vs-float64 column is a
+        # real mismatch there (e.g. duckdb sum(BIGINT) -> HUGEINT -> float64
+        # in pandas) even though canon() blurs it below. Flag it.
+        dtype_bad = []
+        if list(got.columns) == list(want.columns):
+            for c in got.columns:
+                gd, wd = str(got_raw[c].dtype), str(want_raw[c].dtype)
+                gnum = gd.startswith(("int", "uint", "Int", "float"))
+                wnum = wd.startswith(("int", "uint", "Int", "float"))
+                if gnum and wnum and gd.startswith("float") != wd.startswith("float"):
+                    dtype_bad.append((c, gd, wd))
+        if dtype_bad:
+            print(f"FAIL {name}: int/float dtype mismatch {dtype_bad} "
+                  f"(driver hash would differ; CAST the oracle column)")
+            n_bad += 1
+        elif list(got.columns) != list(want.columns):
             print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
             n_bad += 1
         elif len(got) != len(want):

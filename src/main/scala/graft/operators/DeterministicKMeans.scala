@@ -141,7 +141,8 @@ object DeterministicKMeans {
       table: String, idCol: String, vecCol: String,
       k: Int = 8, iters: Int = 5): String =
     assignmentsDuckCtes(table, idCol, vecCol, k, iters) + s"""
-      SELECT cluster, count(*) AS n_points, sum(id) AS id_sum
+      SELECT cluster, count(*) AS n_points,
+             CAST(sum(id) AS BIGINT) AS id_sum
       FROM assignF GROUP BY cluster"""
 
   /** The WITH-clause prefix of the oracle, ending at `assignF(id,

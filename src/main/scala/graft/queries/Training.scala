@@ -153,7 +153,8 @@ object Training {
                    ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                    / 512) AS BIGINT) AS pack_id
           FROM sharded)
-        SELECT shard, pack_id, count(*) AS n_docs, sum(tokens) AS pack_tokens
+        SELECT shard, pack_id, count(*) AS n_docs,
+               CAST(sum(tokens) AS BIGINT) AS pack_tokens
         FROM packed GROUP BY shard, pack_id""")),
 
     // ---- eval-set decontamination: flag training docs sharing any

@@ -155,8 +155,9 @@ object Training2 {
         c AS (
           SELECT e.vec_id, m.m, ${int8CodeDuck("e.x6", "m.m")} AS code
           FROM ex e JOIN m ON m.vec_id = e.vec_id)
-        SELECT vec_id, max(m) AS maxabs6, sum(code) AS code_sum,
-               sum(code * code) AS code_sq_sum,
+        SELECT vec_id, max(m) AS maxabs6,
+               CAST(sum(code) AS BIGINT) AS code_sum,
+               CAST(sum(code * code) AS BIGINT) AS code_sq_sum,
                min(code) AS code_min, max(code) AS code_max
         FROM c GROUP BY vec_id"""),
     ),
