@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed Lloyd's k-means whose every number is computed in exact
@@ -91,15 +91,22 @@ object DeterministicKMeans {
       require(cents.nonEmpty, "k-means on an empty input")
       val dim = cents(0).length
 
-      def distExpr(c: Array[Long]): String = {
-        val lits = c.mkString("array(", "L, ", "L)")
-        s"aggregate(zip_with(__v6, $lits, (x, c) -> (x - c) * (x - c)), 0L, (acc, d) -> acc + d)"
-      }
+      // Centroids enter the plan as single ArrayType Literal nodes
+      // (typedlit), NOT as CreateArray over k·dim child literals: the
+      // literal payload is an opaque constant to the analyzer, codegen,
+      // and the codegen cache, so the per-round assignment tree stays
+      // ~k nodes instead of ~2·k·dim — with five rounds of changing
+      // centroids the unrolled form re-analyzed and re-janino-compiled
+      // thousands of literal nodes per run (measured 1.5→6.5s on q52).
+      def distCol(c: Array[Long]): Column =
+        aggregate(
+          zip_with(col("__v6"), typedlit(c.toSeq), (x, cc) => (x - cc) * (x - cc)),
+          lit(0L), (acc, d) => acc + d)
       // argmin cluster: first position of the min distance = smallest
       // cluster id among ties (array_position returns the first match)
-      def assignExpr(cs: Array[Array[Long]]): String = {
-        val ds = cs.map(distExpr).mkString("array(", ", ", ")")
-        s"cast(array_position($ds, array_min($ds)) - 1 as bigint)"
+      def assignCol(cs: Array[Array[Long]]): Column = {
+        val ds = array(cs.toIndexedSeq.map(distCol): _*)
+        (array_position(ds, array_min(ds)) - 1).cast("long")
       }
 
       var r = 0
@@ -108,7 +115,7 @@ object DeterministicKMeans {
         val sumCols = (0 until dim).map(i =>
           sum(element_at(col("__v6"), i + 1)).as(s"s$i"))
         val agg = base
-          .withColumn("__c", expr(assignExpr(cents)))
+          .withColumn("__c", assignCol(cents))
           .groupBy("__c")
           .agg(count(lit(1)).as("n"), sumCols: _*)
           .collect()
@@ -128,7 +135,7 @@ object DeterministicKMeans {
         r += 1
       }
 
-      finish(base, expr(assignExpr(cents)))
+      finish(base, assignCol(cents))
         .localCheckpoint() // materialize so the cache can be freed
     } finally cached.unpersist()
   }
