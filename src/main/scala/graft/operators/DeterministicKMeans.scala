@@ -159,56 +159,66 @@ object DeterministicKMeans {
     */
   def assignmentsDuckCtes(
       table: String, idCol: String, vecCol: String,
-      k: Int = 8, iters: Int = 5): String = {
+      k: Int = 8, iters: Int = 5): String =
+    "\n      WITH " + assignmentsCtesBody(table, idCol, vecCol, k, iters)
+
+  /** The same CTE chain WITHOUT the leading `WITH` and with every CTE
+    * name prefixed `pfx` — composable: a caller can stitch several
+    * independent k-means runs (e.g. one per PQ subspace) into one WITH
+    * clause. `vecCol` may be any list-valued SQL expression over the
+    * table's columns (e.g. `embedding[1:16]`).
+    */
+  def assignmentsCtesBody(
+      table: String, idCol: String, vecCol: String,
+      k: Int = 8, iters: Int = 5, pfx: String = ""): String = {
     val h = s"('0x' || substr(md5($idCol::VARCHAR), 1, 15))::BIGINT"
-    val header = s"""
-      WITH ex AS (
+    val header = s"""${pfx}ex AS (
         SELECT $idCol AS id,
                unnest(range(len($vecCol))) AS dim,
                CAST(round(CAST(unnest($vecCol) AS DOUBLE) * 1000000) AS BIGINT) AS x6
         FROM $table),
-      seeds AS (
+      ${pfx}seeds AS (
         SELECT id, cluster FROM (
           SELECT $idCol AS id,
                  row_number() OVER (ORDER BY $h, $idCol) - 1 AS cluster
           FROM $table) WHERE cluster < $k),
-      cent0 AS (
+      ${pfx}cent0 AS (
         SELECT s.cluster, e.dim, e.x6 AS c6
-        FROM seeds s JOIN ex e ON e.id = s.id)"""
+        FROM ${pfx}seeds s JOIN ${pfx}ex e ON e.id = s.id)"""
     val rounds = (0 until iters - 1).map { t =>
       s"""
-      dist$t AS (
+      ${pfx}dist$t AS (
         SELECT e.id, c.cluster, sum((e.x6 - c.c6) * (e.x6 - c.c6)) AS d
-        FROM ex e JOIN cent$t c ON e.dim = c.dim
+        FROM ${pfx}ex e JOIN ${pfx}cent$t c ON e.dim = c.dim
         GROUP BY e.id, c.cluster),
-      assign$t AS (
+      ${pfx}assign$t AS (
         SELECT id, cluster FROM (
           SELECT id, cluster,
                  row_number() OVER (PARTITION BY id ORDER BY d, cluster) AS rn
-          FROM dist$t) WHERE rn = 1),
-      sums$t AS (
+          FROM ${pfx}dist$t) WHERE rn = 1),
+      ${pfx}sums$t AS (
         SELECT a.cluster, e.dim, sum(e.x6) AS s, count(*) AS n
-        FROM assign$t a JOIN ex e ON e.id = a.id
+        FROM ${pfx}assign$t a JOIN ${pfx}ex e ON e.id = a.id
         GROUP BY a.cluster, e.dim),
-      cent${t + 1} AS (
+      ${pfx}cent${t + 1} AS (
         SELECT c.cluster, c.dim,
                CASE WHEN s.s IS NULL THEN c.c6
                     WHEN s.s < 0 THEN -((2 * (-s.s) + s.n) // (2 * s.n))
                     ELSE (2 * s.s + s.n) // (2 * s.n) END AS c6
-        FROM cent$t c LEFT JOIN sums$t s
+        FROM ${pfx}cent$t c LEFT JOIN ${pfx}sums$t s
           ON s.cluster = c.cluster AND s.dim = c.dim)"""
     }.mkString(",", ",", "")
     val last = iters - 1
     val footer = s"""
-      , distF AS (
+      , ${pfx}distF AS (
         SELECT e.id, c.cluster, sum((e.x6 - c.c6) * (e.x6 - c.c6)) AS d
-        FROM ex e JOIN cent$last c ON e.dim = c.dim
+        FROM ${pfx}ex e JOIN ${pfx}cent$last c ON e.dim = c.dim
         GROUP BY e.id, c.cluster),
-      assignF AS (
+      ${pfx}assignF AS (
         SELECT id, cluster FROM (
           SELECT id, cluster,
                  row_number() OVER (PARTITION BY id ORDER BY d, cluster) AS rn
-          FROM distF) WHERE rn = 1)"""
+          FROM ${pfx}distF) WHERE rn = 1)"""
     header + rounds + footer
   }
 }

@@ -1,0 +1,321 @@
+package graft.queries
+
+import scala.concurrent.{Await, Future}
+import scala.concurrent.ExecutionContext.Implicits.global
+import scala.concurrent.duration.Duration
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.operators.{Dedup, DeterministicKMeans}
+import graft.operators.TextOps.{hash60Duck, hash60Spark}
+
+/** Third wave of training-data-preparation operators: C4-style
+  * line-level boilerplate removal, deterministic weighted sampling,
+  * an exact one-pass correlation matrix, product-quantization codes,
+  * and integer-exact PageRank over the near-dup candidate graph.
+  *
+  * Same cross-engine discipline as the rest of the catalog: exact
+  * integer/decimal moments wherever a sum appears, doubles only through
+  * correctly-rounded IEEE ops written identically on both engines, and
+  * a single round() at the source for anything that reaches the output.
+  */
+object Training3 {
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  /** q107 shares one moment/pair list between the Spark plan and the
+    * DuckDB oracle so the two formulas cannot drift.
+    */
+  private val corrCols = Seq(
+    "l_quantity" -> "q", "l_extendedprice" -> "p",
+    "l_discount" -> "d", "l_tax" -> "t")
+  private val corrPairs = for {
+    i <- 0 until corrCols.size; j <- (i + 1) until corrCols.size
+  } yield (corrCols(i), corrCols(j))
+
+  /** Pearson r from exact integer moments, as SQL over columns named
+    * n, s_<a>, s_<aa>, s_<ab> (all DECIMAL(38,0)); the double math is
+    * the same correctly-rounded IEEE expression on both engines, then
+    * one round to 6 dp. Spark and DuckDB agree on every operator here
+    * (cast-to-double of an exact decimal, *, -, /, sqrt are all
+    * correctly rounded), so the unrounded doubles are already
+    * bit-identical — the round just makes the output stable to read.
+    */
+  private def corrSql(a: String, b: String): String = {
+    def d(x: String) = s"CAST($x AS DOUBLE)"
+    val num = s"(${d(s"s_$a$b")} * ${d("n")} - ${d(s"s_$a")} * ${d(s"s_$b")})"
+    val den = s"(sqrt(${d(s"s_$a$a")} * ${d("n")} - ${d(s"s_$a")} * ${d(s"s_$a")}) * " +
+      s"sqrt(${d(s"s_$b$b")} * ${d("n")} - ${d(s"s_$b")} * ${d(s"s_$b")}))"
+    s"round($num / $den, 6)"
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- C4-style line-level boilerplate removal: explode every doc
+    // into fixed 3-word chunks (the corpus has no newlines, so chunks
+    // play the role of lines), drop any chunk whose corpus-wide document
+    // frequency exceeds the cap (boilerplate appears verbatim across
+    // many pages), and reassemble the survivors in order. Scale shape:
+    // the frequency pass keys on the 60-bit chunk hash (fixed-width
+    // shuffle key, never the string); the filter is an anti-join against
+    // the small df>cap hot set (AQE broadcasts it — same pattern as
+    // Dedup.jaccardPairs' hot-shingle cap); reassembly is one keyed
+    // aggregation with an in-group sort, no window.
+    QueryDef(
+      "q105_line_dedup",
+      (s, d) => {
+        val cap = 4
+        val docs = t(s, d, "documents")
+        val chunked = docs.select(
+          col("doc_id"),
+          posexplode(expr(
+            """transform(sequence(0, cast(ceil(size(split(text, ' ')) / 3.0) as int) - 1),
+               i -> concat_ws(' ', slice(split(text, ' '), i * 3 + 1, 3)))"""))
+            .as(Seq("idx", "chunk")))
+          .withColumn("__ch", expr(hash60Spark("chunk")))
+        val hot = chunked.groupBy("__ch")
+          .agg(countDistinct("doc_id").as("df"))
+          .filter(col("df") > cap)
+          .select("__ch")
+        val reass = chunked.join(hot, Seq("__ch"), "left_anti")
+          .groupBy("doc_id")
+          .agg(
+            expr("array_join(transform(array_sort(collect_list(struct(idx, chunk))), c -> c.chunk), ' ')")
+              .as("clean_text"),
+            count(lit(1)).as("n_kept"))
+        docs.select(
+            col("doc_id"),
+            expr("cast(ceil(size(split(text, ' ')) / 3.0) as bigint)").as("n_chunks"))
+          .join(reass, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            coalesce(col("clean_text"), lit("")).as("clean_text"),
+            col("n_chunks"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      },
+      Some(s"""
+        WITH chunks AS (
+          SELECT doc_id, i AS idx,
+                 array_to_string((string_split(text, ' '))[i*3+1 : i*3+3], ' ') AS chunk
+          FROM (SELECT doc_id, text,
+                       unnest(range(0, CAST(ceil(len(string_split(text, ' ')) / 3.0) AS BIGINT))) AS i
+                FROM documents)),
+        hot AS (
+          SELECT ch FROM (
+            SELECT ${hash60Duck("chunk")} AS ch, count(DISTINCT doc_id) AS df
+            FROM chunks GROUP BY 1) WHERE df > 4),
+        kept AS (
+          SELECT c.* FROM chunks c
+          LEFT JOIN hot h ON h.ch = ${hash60Duck("c.chunk")}
+          WHERE h.ch IS NULL),
+        reass AS (
+          SELECT doc_id, string_agg(chunk, ' ' ORDER BY idx) AS clean_text,
+                 count(*) AS n_kept
+          FROM kept GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(r.clean_text, '') AS clean_text,
+               CAST(ceil(len(string_split(d.text, ' ')) / 3.0) AS BIGINT) AS n_chunks,
+               coalesce(r.n_kept, 0) AS n_kept
+        FROM documents d LEFT JOIN reass r ON r.doc_id = d.doc_id""")),
+
+    // ---- deterministic weighted sampling (priority sampling): each doc
+    // gets priority h/w where h = 60-bit md5 hash of its id and
+    // w = n_chars; the k smallest priorities are the sample, so
+    // P(selected) grows with the weight and the choice is a pure
+    // function of the id — reproducible across runs, engines, and
+    // cluster sizes, and mergeable across shards (the global top-k of
+    // per-shard top-ks). Both engines compute h and w exactly, cast to
+    // double (round-to-nearest, identical), and divide (correctly
+    // rounded, identical) — so the order compares identical doubles and
+    // the output carries integers only. Plan: TakeOrderedAndProject
+    // (per-partition top-k merged at the driver), never a global sort.
+    QueryDef(
+      "q106_weighted_sample",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(col("doc_id"), col("n_chars"))
+          .withColumn("__pri",
+            expr(hash60Spark("cast(doc_id as string)")).cast("double") / col("n_chars"))
+          .orderBy(col("__pri").asc, col("doc_id").asc)
+          .limit(100)
+          .select("doc_id", "n_chars"),
+      Some(s"""
+        SELECT doc_id, n_chars
+        FROM documents
+        ORDER BY CAST(${hash60Duck("doc_id::VARCHAR")} AS DOUBLE) / n_chars, doc_id
+        LIMIT 100""")),
+
+    // ---- exact one-pass correlation matrix over the lineitem measures.
+    // Values are scaled to cents (exact for 2-dp money/ratio columns) and
+    // every moment is an exact DECIMAL(38,0) sum — one map-side-combinable
+    // aggregation over the fact table produces all 15 moments, then the
+    // 6 pairwise Pearson r's are pure driver-side-free scalar expressions
+    // on that single row (stack unpivots it). No per-pair scan, no
+    // second pass, no float accumulation anywhere.
+    QueryDef(
+      "q107_corr_matrix",
+      (s, d) => {
+        val cents = t(s, d, "lineitem").select(
+          corrCols.map { case (c, a) =>
+            expr(s"cast(round($c * 100, 0) as bigint)").as(a)
+          }: _*)
+        val aggs: Seq[Column] =
+          count(lit(1)).cast("decimal(38,0)").as("n") +:
+            (corrCols.map { case (_, a) =>
+              sum(col(a).cast("decimal(38,0)")).as(s"s_$a")
+            } ++
+              corrCols.map { case (_, a) =>
+                sum((col(a) * col(a)).cast("decimal(38,0)")).as(s"s_$a$a")
+              } ++
+              corrPairs.map { case ((_, a), (_, b)) =>
+                sum((col(a) * col(b)).cast("decimal(38,0)")).as(s"s_$a$b")
+              })
+        val m = cents.agg(aggs.head, aggs.tail: _*)
+        val stackArgs = corrPairs.map { case ((ca, a), (cb, b)) =>
+          s"'$ca', '$cb', ${corrSql(a, b)}"
+        }.mkString(", ")
+        m.select(expr(
+          s"stack(${corrPairs.size}, $stackArgs) as (col_a, col_b, r)"))
+      },
+      Some {
+        val moments =
+          s"CAST(count(*) AS DECIMAL(38,0)) AS n, " +
+            (corrCols.map { case (_, a) =>
+              s"sum(CAST($a AS DECIMAL(38,0))) AS s_$a"
+            } ++
+              corrCols.map { case (_, a) =>
+                s"sum(CAST($a * $a AS DECIMAL(38,0))) AS s_$a$a"
+              } ++
+              corrPairs.map { case ((_, a), (_, b)) =>
+                s"sum(CAST($a * $b AS DECIMAL(38,0))) AS s_$a$b"
+              }).mkString(", ")
+        val rows = corrPairs.map { case ((ca, a), (cb, b)) =>
+          s"SELECT '$ca' AS col_a, '$cb' AS col_b, ${corrSql(a, b)} AS r FROM m"
+        }.mkString("\n        UNION ALL ")
+        s"""
+        WITH c AS (
+          SELECT ${corrCols.map { case (c, a) => s"CAST(round($c * 100) AS BIGINT) AS $a" }.mkString(", ")}
+          FROM lineitem),
+        m AS (SELECT $moments FROM c)
+        $rows"""
+      }),
+
+    // ---- product-quantization codes: split the 64-dim embedding into
+    // 4 subspaces of 16 dims and run the integer-exact k-means over each
+    // — a vector compresses to 4 small codes (here 4×3 bits), the
+    // standard shrink step before a billion-vector ANN index (IVF-PQ).
+    // The 4 codebook fits are independent, so they run as concurrent
+    // Spark jobs (same pattern as the wafer per-step fits); each fit's
+    // per-round cost is one map-side-combinable aggregation, and the
+    // final code join is 4 equi-joins on the id. Oracle: 4 prefixed
+    // copies of the k-means CTE chain stitched into one WITH clause.
+    QueryDef(
+      "q108_pq_codes",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val subs = (0 until 4).map { i =>
+          Future {
+            DeterministicKMeans.assignments(
+              emb.select(col("vec_id"),
+                expr(s"slice(embedding, ${i * 16 + 1}, 16)").as("sub")),
+              "vec_id", "sub", k = 8, iters = 2)
+              .withColumnRenamed("cluster", s"c$i")
+          }
+        }
+        Await.result(Future.sequence(subs), Duration.Inf)
+          .reduce(_.join(_, "vec_id"))
+      },
+      Some {
+        val bodies = (0 until 4).map { i =>
+          DeterministicKMeans.assignmentsCtesBody(
+            "embeddings", "vec_id",
+            s"embedding[${i * 16 + 1}:${(i + 1) * 16}]",
+            k = 8, iters = 2, pfx = s"s${i}_")
+        }.mkString(",\n      ")
+        s"""
+        WITH $bodies
+        SELECT a0.id AS vec_id, a0.cluster AS c0, a1.cluster AS c1,
+               a2.cluster AS c2, a3.cluster AS c3
+        FROM s0_assignF a0
+        JOIN s1_assignF a1 ON a1.id = a0.id
+        JOIN s2_assignF a2 ON a2.id = a0.id
+        JOIN s3_assignF a3 ON a3.id = a0.id"""
+      }),
+
+    // ---- integer-exact PageRank (3 fixed iterations, damping 0.85)
+    // over the MinHash near-dup candidate graph: rank concentration
+    // exposes template/boilerplate hubs in a crawl. Ranks live in
+    // micro-units; each contribution is floor(rank/degree) and each
+    // update is 150000 + floor(85·in/100) — all 64-bit integer math, so
+    // the result is bit-identical on any engine or partitioning. Each
+    // round is one equi-join (edges ⋈ ranks, both keyed by src) + one
+    // keyed aggregation; the edge list is localCheckpoint'd once and
+    // reused, and nothing ever leaves the executors — the classic
+    // join-agg PageRank shape that scales to billions of edges.
+    QueryDef(
+      "q109_pagerank",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.minhashCandidatePairs(
+          Dedup.minhashBands(docs, "doc_id", "text"), "doc_id")
+        val edges = pairs
+          .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+          .union(pairs
+            .select(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))
+          .localCheckpoint() // small; computed once, read three times
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        val nodes = docs.select(col("doc_id"))
+        var rank = nodes.withColumn("r", lit(1000000L))
+        (1 to 3).foreach { _ =>
+          val contrib = edges
+            .join(rank.withColumnRenamed("doc_id", "src"), "src")
+            .join(deg, "src")
+            .select(col("dst"), expr("r div deg").as("c"))
+            .groupBy("dst").agg(sum("c").as("in_sum"))
+          rank = nodes
+            .join(contrib, nodes("doc_id") === contrib("dst"), "left")
+            .select(col("doc_id"),
+              expr("150000L + (85 * coalesce(in_sum, 0L)) div 100").as("r"))
+        }
+        rank
+      },
+      Some {
+        val pairCtes = s"""
+        WITH wh AS (SELECT doc_id, ${graft.operators.TextOps.wordHashesDuck()} AS wh FROM documents),
+        hashed AS (SELECT doc_id, ${graft.operators.TextOps.ngramHashesDuck(3, "wh")} AS hh FROM wh),
+        sig AS (
+          SELECT doc_id,
+                 ${(0 until 4).map(b => s"${graft.operators.TextOps.bandDuck(b, 2, "hh")} AS band$b").mkString(",\n                 ")}
+          FROM hashed),
+        stacked AS (
+          ${(0 until 4).map(b => s"SELECT doc_id, $b AS band_idx, band$b AS band_key FROM sig")
+          .mkString("\n          UNION ALL ")}),
+        ok AS (SELECT band_idx, band_key FROM stacked
+               GROUP BY 1, 2 HAVING count(*) <= 32),
+        keptb AS (SELECT s.* FROM stacked s JOIN ok USING (band_idx, band_key)),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb
+          FROM keptb a JOIN keptb b
+            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id),
+        edges AS (SELECT pa AS src, pb AS dst FROM pairs
+                  UNION ALL SELECT pb, pa FROM pairs),
+        deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+        r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS r FROM documents)"""
+        val rounds = (1 to 3).map { i =>
+          s"""
+        r$i AS (
+          SELECT d.doc_id,
+                 150000 + (85 * coalesce(CAST(s.in_sum AS BIGINT), 0)) // 100 AS r
+          FROM documents d LEFT JOIN (
+            SELECT e.dst, sum(r.r // g.deg) AS in_sum
+            FROM edges e
+            JOIN r${i - 1} r ON r.doc_id = e.src
+            JOIN deg g ON g.src = e.src
+            GROUP BY e.dst) s ON s.dst = d.doc_id)"""
+        }.mkString(",", ",", "")
+        s"""$pairCtes$rounds
+        SELECT doc_id, CAST(r AS BIGINT) AS r FROM r3"""
+      }),
+  )
+}

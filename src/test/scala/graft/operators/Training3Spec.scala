@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Semantic invariants for the third training-data-prep wave (q105-q109),
+  * checked on the harness tables (sf0.001) — properties, not pinned
+  * values, so they hold at any SF.
+  */
+class Training3Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+  private def q(name: String) = SparkEntry.queries(name)(spark, dir)
+  private def docs = graft.Tables(spark, dir, "documents")
+
+  private def hash60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(8).map(b => f"${b & 0xff}%02x").mkString.take(15), 16)
+  }
+
+  test("q105 reassembles untouched docs verbatim and never grows a doc") {
+    val out = q("q105_line_dedup")
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .cache()
+    assert(out.filter(col("n_kept") > col("n_chunks")).count() === 0L)
+    val full = out.filter(col("n_kept") === col("n_chunks"))
+    assert(full.count() > 0L, "expected some fully-kept docs at sf0.001")
+    assert(full.filter(col("clean_text") =!= col("text")).count() === 0L,
+      "a fully-kept doc must reassemble to its original text")
+    out.unpersist()
+  }
+
+  test("q106 is the exact JVM-computed weighted top-k") {
+    val k = 100
+    val expected = docs.select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, w) => (hash60(id.toString).toDouble / w, id) }
+      .take(k).map(_._1).toSet
+    val got = q("q106_weighted_sample").collect().map(_.getLong(0)).toSet
+    assert(got === expected)
+  }
+
+  test("q107 matches Spark's built-in corr within cents-rounding error") {
+    val li = graft.Tables(spark, dir, "lineitem")
+    val got = q("q107_corr_matrix").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got.size === 6)
+    got.foreach { case ((a, b), r) =>
+      assert(r >= -1.0 && r <= 1.0, s"corr($a,$b)=$r out of range")
+      val ref = li.agg(corr(col(a), col(b))).head.getDouble(0)
+      assert(math.abs(r - ref) < 1e-3, s"corr($a,$b)=$r but Spark corr=$ref")
+    }
+  }
+
+  test("q108 codes are valid and subspace 0 equals a direct fit") {
+    val out = q("q108_pq_codes").cache()
+    assert(out.count() === graft.Tables(spark, dir, "embeddings").count())
+    (0 until 4).foreach { i =>
+      assert(out.filter(col(s"c$i") < 0 || col(s"c$i") > 7).count() === 0L)
+    }
+    val direct = DeterministicKMeans.assignments(
+      graft.Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), expr("slice(embedding, 1, 16)").as("sub")),
+      "vec_id", "sub", k = 8, iters = 2)
+    val joined = out.select(col("vec_id"), col("c0"))
+      .join(direct, "vec_id")
+    assert(joined.filter(col("c0") =!= col("cluster")).count() === 0L)
+    out.unpersist()
+  }
+
+  test("q109 gives isolated docs the base rank and nobody less") {
+    val ranks = q("q109_pagerank").cache()
+    assert(ranks.count() === docs.count())
+    assert(ranks.filter(col("r") < 150000L).count() === 0L)
+    val pairs = Dedup.minhashCandidatePairs(
+      Dedup.minhashBands(docs, "doc_id", "text"), "doc_id")
+    val touched = pairs.select(col("doc_id_a").as("doc_id"))
+      .union(pairs.select(col("doc_id_b").as("doc_id"))).distinct()
+    val isolated = ranks.join(touched, Seq("doc_id"), "left_anti")
+    assert(isolated.filter(col("r") =!= 150000L).count() === 0L,
+      "an isolated doc must keep the teleport-only rank")
+    ranks.unpersist()
+  }
+}
