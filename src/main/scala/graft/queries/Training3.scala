@@ -317,5 +317,80 @@ object Training3 {
         s"""$pairCtes$rounds
         SELECT doc_id, CAST(r AS BIGINT) AS r FROM r3"""
       }),
+
+    // ---- BPE tokenizer training: 3 deterministic merge rounds over the
+    // word-frequency table. The representation trick that makes the
+    // merge a pure engine primitive: a word's tokens are encoded as
+    // '|a||b||c|' (double-bar joins, single-bar ends), so merging pair
+    // (a,b) is a plain non-regex replace('|a||b|' -> '|ab|') — both
+    // engines scan left-to-right non-overlapping, which IS BPE's merge
+    // order, and the delimiters make token boundaries unambiguous
+    // (corpus words are alphanumeric, so '|' cannot occur in a token).
+    // Scale shape: the corpus is scanned ONCE into the vocabulary-sized
+    // (word, freq) table; every round after that is one map-side-
+    // combinable pair-count aggregation over the vocabulary plus a
+    // driver-collected scalar (the chosen merge — the model parameter,
+    // same pattern as the k-means centroids). Ties break
+    // lexicographically, so the merge sequence is engine-exact; the
+    // oracle replays it with scalar subqueries per unrolled round.
+    QueryDef(
+      "q110_bpe_merges",
+      (s, d) => {
+        val toks = "split(substring(ts, 2, length(ts) - 2), '\\\\|\\\\|')"
+        val wf = t(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("freq"))
+          .withColumn("ts", regexp_replace(col("word"), "(.)", "|$1|"))
+          .cache()
+        try {
+          var cur = wf.select(col("freq"), col("ts"))
+          val merges = (1 to 3).map { step =>
+            val top = cur
+              .select(col("freq"), expr(toks).as("tk"))
+              .filter(size(col("tk")) >= 2)
+              .select(col("freq"), expr(
+                """explode(transform(sequence(1, size(tk) - 1),
+                   i -> struct(element_at(tk, i) as pa, element_at(tk, i + 1) as pb)))""").as("p"))
+              .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+              .agg(sum("freq").as("cnt"))
+              .orderBy(col("cnt").desc, col("pa").asc, col("pb").asc)
+              .limit(1)
+              .collect()(0)
+            val (pa, pb, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+            cur = cur.withColumn("ts",
+              expr(s"replace(ts, '|$pa||$pb|', '|$pa$pb|')"))
+            (step, pa, pb, cnt)
+          }
+          import s.implicits._
+          merges.toDF("step", "pa", "pb", "cnt")
+        } finally wf.unpersist()
+      },
+      Some {
+        val header = s"""
+        WITH words AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        t0 AS (SELECT word, count(*) AS freq,
+                      regexp_replace(word, '(.)', '|\\1|', 'g') AS ts
+               FROM words GROUP BY word)"""
+        val rounds = (0 until 3).map { r =>
+          s"""
+        pc$r AS (
+          SELECT p.pa AS pa, p.pb AS pb, sum(freq) AS cnt FROM (
+            SELECT freq,
+                   unnest(list_transform(range(1, len(tk)),
+                     i -> {'pa': tk[i], 'pb': tk[i+1]})) AS p
+            FROM (SELECT freq, string_split(ts[2:len(ts)-1], '||') AS tk FROM t$r))
+          GROUP BY 1, 2),
+        top$r AS (SELECT pa, pb, cnt FROM pc$r ORDER BY cnt DESC, pa, pb LIMIT 1),
+        t${r + 1} AS (
+          SELECT word, freq, replace(ts,
+            '|' || (SELECT pa FROM top$r) || '||' || (SELECT pb FROM top$r) || '|',
+            '|' || (SELECT pa FROM top$r) || (SELECT pb FROM top$r) || '|') AS ts
+          FROM t$r)"""
+        }.mkString(",", ",", "")
+        val out = (0 until 3).map(r =>
+          s"SELECT ${r + 1} AS step, pa, pb, CAST(cnt AS BIGINT) AS cnt FROM top$r")
+          .mkString("\n        UNION ALL ")
+        s"$header$rounds\n        $out"
+      }),
   )
 }

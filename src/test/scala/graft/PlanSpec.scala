@@ -109,4 +109,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
+
+  test("q105: hot-chunk filter and reassembly stay keyed — no NLJ, no global window") {
+    val p = plan("q105_line_dedup")
+    assert(!p.contains("NestedLoop"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("q106: weighted sample is TakeOrdered, never a global sort") {
+    val df = SparkEntry.queries("q106_weighted_sample")(spark, dir)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("q107: all 15 moments come from ONE scan of the fact table") {
+    val p = SparkEntry.queries("q107_corr_matrix")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert("Scan parquet".r.findAllIn(p).size === 1, p)
+    val readSchema = SparkEntry.queries("q107_corr_matrix")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      .linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_orderkey"), readSchema) // only the 4 measures read
+  }
+
+  test("q109: every PageRank round is an equi-join, never NLJ or cartesian") {
+    val p = plan("q109_pagerank")
+    assert(!p.contains("NestedLoop"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -69,6 +69,36 @@ class Training3Spec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q110 matches an independent JVM BPE trainer") {
+    // reference implementation: same spec, no Spark, no SQL
+    var vocab: Map[List[String], Long] = docs.select("text").collect()
+      .flatMap(_.getString(0).split(" "))
+      .groupBy(identity).map { case (w, xs) =>
+        w.toList.map(_.toString) -> xs.length.toLong
+      }
+    val expected = (1 to 3).map { step =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.foreach { case (toks, f) =>
+        toks.sliding(2).foreach {
+          case List(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+          case _ =>
+        }
+      }
+      val ((pa, pb), cnt) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+      def merge(ts: List[String]): List[String] = ts match {
+        case a :: b :: rest if a == pa && b == pb => (pa + pb) :: merge(rest)
+        case a :: rest => a :: merge(rest)
+        case Nil => Nil
+      }
+      vocab = vocab.map { case (toks, f) => merge(toks) -> f }
+      (step, pa, pb, cnt)
+    }
+    val got = q("q110_bpe_merges").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got === expected)
+  }
+
   test("q109 gives isolated docs the base rank and nobody less") {
     val ranks = q("q109_pagerank").cache()
     assert(ranks.count() === docs.count())
