@@ -297,5 +297,28 @@ object Events {
                  AS decayed_value,
                count(*) AS n_events
         FROM weighted GROUP BY user_id""")),
+
+    // ---- streaming per-key admission quota: first-2-events-per-user
+    // over the event stream via flatMapGroupsWithState (arbitrary
+    // per-key state — a running admitted-count no window can express).
+    // The harness file arrives as one micro-batch, so the admitted set
+    // equals the batch-SQL top-2 per user and the query is fully
+    // oracled; the cross-batch state semantics are pinned separately in
+    // StreamingSpec with a MemoryStream.
+    QueryDef(
+      "q111_stream_quota",
+      (s, d) => {
+        import graft.streaming.EventStreams
+        EventStreams.runToMemorySink(
+          EventStreams.quotaPerKey(Tables.eventsStream(s, d), quota = 2),
+          "append")
+      },
+      Some("""
+        SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        FROM (SELECT user_id, event_id, ts,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+              FROM events)
+        WHERE rn <= 2""")),
   )
 }

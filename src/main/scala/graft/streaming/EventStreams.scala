@@ -70,6 +70,37 @@ object EventStreams {
           .as("lag_us"))
   }
 
+  /** Per-key admission quota with arbitrary per-key state: the first
+    * `quota` events per user pass, later arrivals are dropped — the
+    * rate-limit/cap shape that no window or dropDuplicates expresses
+    * ("first N" needs a running count), i.e. the
+    * flatMapGroupsWithState tier of the streaming API. State per key is
+    * ONE int (events admitted so far) — bounded by the key space, never
+    * the stream length. Within a micro-batch arrivals are ordered by
+    * (ts, event_id) before admission, so the admitted set is a pure
+    * function of the batch contents (the per-key sort buffer is
+    * micro-batch-bounded); across batches the count carries in state.
+    */
+  def quotaPerKey(events: DataFrame, quota: Int = 2): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Int, (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[(Long, Long, Long)], state: GroupState[Int]) =>
+          val used = state.getOption.getOrElse(0)
+          val admit = it.toSeq.sortBy(e => (e._3, e._2))
+            .take(math.max(0, quota - used))
+          state.update(used + admit.size)
+          admit.iterator
+      }
+      .toDF("user_id", "event_id", "ts_us")
+  }
+
   /** Drive a streaming frame to completion into an in-memory table and
     * return it as a batch DataFrame (used by the declared queries to
     * exercise the streaming engine inside a batch contract).

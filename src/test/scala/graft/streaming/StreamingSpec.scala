@@ -114,4 +114,29 @@ class StreamingSpec extends SparkSpec {
       assert(rows.contains(("b", 5.0)))
     } finally q.stop()
   }
+
+  test("quotaPerKey admits first N per key across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val quoted = graft.streaming.EventStreams.quotaPerKey(
+      input.toDF().toDF("user_id", "event_id", "ts"), quota = 2)
+    val q = quoted.writeStream
+      .outputMode("append").format("memory").queryName("quota_sink").start()
+    try {
+      // batch 1: one event for u1 → admitted (1/2 used)
+      input.addData((1L, 10L, ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // batch 2: two more for u1 → only the batch-earliest admitted;
+      // u2's both admitted
+      input.addData(
+        (1L, 12L, ts("2024-01-01 12:00:00")),
+        (1L, 11L, ts("2024-01-01 11:00:00")),
+        (2L, 20L, ts("2024-01-01 10:00:00")),
+        (2L, 21L, ts("2024-01-01 10:30:00")))
+      q.processAllAvailable()
+      val admitted = spark.table("quota_sink").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(admitted === Set((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L)))
+    } finally q.stop()
+  }
 }
