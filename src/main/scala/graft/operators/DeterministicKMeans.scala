@@ -38,9 +38,25 @@ object DeterministicKMeans {
   def assignments(
       df: DataFrame, idCol: String, vecCol: String,
       k: Int = 8, iters: Int = 5): DataFrame =
-    run(df, idCol, vecCol, k, iters) { (base, assignCol) =>
+    run(df, idCol, vecCol, k, iters) { (base, assignCol, _) =>
       base.select(col("__id").as(idCol), assignCol.as("cluster"))
     }
+
+  /** The model surface: fitted centroids (micro-unit longs, index =
+    * cluster id) plus the per-row assignment frame. Centroids are
+    * k·dim longs — always driver-size; callers embed them as constants
+    * (e.g. the ADC lookup tables of an IVF-PQ index).
+    */
+  def fit(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, iters: Int = 5): (Array[Array[Long]], DataFrame) = {
+    var fitted: Array[Array[Long]] = null
+    val assigns = run(df, idCol, vecCol, k, iters) { (base, assignCol, cents) =>
+      fitted = cents
+      base.select(col("__id").as(idCol), assignCol.as("cluster"))
+    }
+    (fitted, assigns)
+  }
 
   /** (cluster, n_points, id_sum) after `iters` assignment rounds with
     * `iters - 1` centroid updates between them; `cluster` is the seed
@@ -50,7 +66,7 @@ object DeterministicKMeans {
   def clusterSizes(
       df: DataFrame, idCol: String, vecCol: String,
       k: Int = 8, iters: Int = 5): DataFrame =
-    run(df, idCol, vecCol, k, iters) { (base, assignCol) =>
+    run(df, idCol, vecCol, k, iters) { (base, assignCol, _) =>
       base
         .withColumn("cluster", assignCol)
         .groupBy("cluster")
@@ -64,7 +80,7 @@ object DeterministicKMeans {
   private def run(
       df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int)(
-      finish: (DataFrame, org.apache.spark.sql.Column) => DataFrame): DataFrame = {
+      finish: (DataFrame, Column, Array[Array[Long]]) => DataFrame): DataFrame = {
     require(k > 0 && iters > 0)
 
     // micro-unit integer vectors; cache: every round re-aggregates this
@@ -135,7 +151,7 @@ object DeterministicKMeans {
         r += 1
       }
 
-      finish(base, assignCol(cents))
+      finish(base, assignCol(cents), cents)
         .localCheckpoint() // materialize so the cache can be freed
     } finally cached.unpersist()
   }

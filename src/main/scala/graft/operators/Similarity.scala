@@ -180,6 +180,88 @@ object Similarity {
     } finally labeled.unpersist()
   }
 
+  /** IVF-PQ ANN — the billion-vector index shape: a coarse k-means
+    * quantizer partitions the corpus into `nlist` inverted lists, and a
+    * product quantizer compresses every vector to `subspaces` small
+    * codes; a query probes only its `nprobe` nearest lists and ranks
+    * candidates by ADC (asymmetric distance computation) — the sum of
+    * per-subspace lookup-table distances from the query subvector to
+    * each candidate's codeword — without ever touching the full
+    * vectors again.
+    *
+    * Every fit here is DeterministicKMeans (exact integer micro-units),
+    * so codes, probes, ADC tables, and therefore the entire result are
+    * bit-identical on any engine/partitioning — an approximate index
+    * whose output is still SQL-oracle-checkable. The coarse and
+    * subspace fits are independent and run as concurrent Spark jobs.
+    *
+    * Scale shape: centroids and ADC tables are driver/broadcast-size
+    * (nlist·dim + |Q|·subspaces·codebook longs); the corpus shuffles
+    * once per code join on the id; candidate scanning touches only
+    * nprobe/nlist of the corpus; per-query top-k is TakeOrdered.
+    */
+  def ivfPqTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int,
+      nlist: Int = 4, nprobe: Int = 2,
+      subspaces: Int = 4, subDim: Int = 16, codebook: Int = 8,
+      iters: Int = 2): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+
+    val emb = df.select(col(idCol), col(vecCol))
+    val coarseF = Future(DeterministicKMeans.fit(emb, idCol, vecCol, nlist, iters))
+    val pqF = (0 until subspaces).map { s =>
+      Future(DeterministicKMeans.fit(
+        emb.select(col(idCol),
+          expr(s"slice($vecCol, ${s * subDim + 1}, $subDim)").as("sub")),
+        idCol, "sub", codebook, iters))
+    }
+    val (coarseCents, coarseAssign) = Await.result(coarseF, Duration.Inf)
+    val pq = pqF.map(Await.result(_, Duration.Inf))
+
+    // query vectors in micro-units: |Q| rows, driver-side by design
+    val qRows = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).cast("long"),
+        expr(s"transform($vecCol, x -> cast(round(cast(x as double) * 1000000, 0) as bigint))"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+
+    def sq(a: Array[Long], b: Array[Long]): Long = {
+      var i = 0; var s = 0L
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+
+    queryIds.map { qid =>
+      val qv = qRows(qid)
+      // nprobe nearest coarse lists; ties break to the smaller list id
+      val lists = coarseCents.zipWithIndex
+        .map { case (c, i) => (sq(qv, c), i) }
+        .sorted.take(nprobe).map(_._2.toLong)
+      // ADC lookup tables: query-subvector distance to every codeword
+      val adc = (0 until subspaces).map { s =>
+        val qs = qv.slice(s * subDim, (s + 1) * subDim)
+        pq(s)._1.map(cw => sq(qs, cw)).toSeq
+      }
+      val distCol = (0 until subspaces).map { s =>
+        element_at(typedlit(adc(s)), (col(s"__c$s") + 1).cast("int"))
+      }.reduce(_ + _)
+      val cands = (0 until subspaces).foldLeft(
+        coarseAssign
+          .filter(col("cluster").isin(lists: _*) && col(idCol) =!= qid)
+          .select(col(idCol))) { (d, s) =>
+        d.join(pq(s)._2.withColumnRenamed("cluster", s"__c$s"), idCol)
+      }
+      cands
+        .select(lit(qid).as("query_id"), col(idCol).as("cand_id"),
+          distCol.as("adc_dist"))
+        .orderBy(col("adc_dist").asc, col("cand_id").asc)
+        .limit(k)
+    }.reduce(_ unionByName _)
+  }
+
   /** All vector pairs with cosine >= threshold, through single-table
     * LSH buckets (embedding near-dup).
     */

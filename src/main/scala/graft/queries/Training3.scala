@@ -392,5 +392,67 @@ object Training3 {
           .mkString("\n        UNION ALL ")
         s"$header$rounds\n        $out"
       }),
+
+    // ---- IVF-PQ ANN end-to-end: coarse quantizer + product-quantizer
+    // codes + nprobe list probing + ADC ranking (Similarity.ivfPqTopK —
+    // see its scaladoc for the scale story). Both the index build and
+    // the query path are integer-exact, so this APPROXIMATE index is
+    // still fully SQL-oracled: the oracle rebuilds the coarse chain and
+    // all 4 subspace chains in one WITH clause, derives the per-query
+    // ADC lookup tables relationally, and replays the probe + rank.
+    QueryDef(
+      "q112_ivf_pq_ann",
+      (s, d) =>
+        graft.operators.Similarity.ivfPqTopK(
+          t(s, d, "embeddings"), "vec_id", "embedding",
+          queryIds = Seq(0L, 1L, 2L), k = 3),
+      Some {
+        val coarse = DeterministicKMeans.assignmentsCtesBody(
+          "embeddings", "vec_id", "embedding", k = 4, iters = 2, pfx = "cw_")
+        val subs = (0 until 4).map { sIdx =>
+          DeterministicKMeans.assignmentsCtesBody(
+            "embeddings", "vec_id",
+            s"embedding[${sIdx * 16 + 1}:${(sIdx + 1) * 16}]",
+            k = 8, iters = 2, pfx = s"s${sIdx}_")
+        }.mkString(",\n      ")
+        val adcts = (0 until 4).map { sIdx =>
+          s"""
+        adct$sIdx AS (
+          SELECT q.qid, c.cluster, sum((q.x6 - c.c6) * (q.x6 - c.c6)) AS d
+          FROM (SELECT qid, dim - ${sIdx * 16} AS dim, x6 FROM qv
+                WHERE dim >= ${sIdx * 16} AND dim < ${(sIdx + 1) * 16}) q
+          JOIN s${sIdx}_cent1 c ON c.dim = q.dim
+          GROUP BY 1, 2)"""
+        }.mkString(",")
+        val codeJoins = (0 until 4).map { sIdx =>
+          s"""JOIN s${sIdx}_assignF a$sIdx ON a$sIdx.id = ca.id
+          JOIN adct$sIdx t$sIdx ON t$sIdx.qid = p.qid AND t$sIdx.cluster = a$sIdx.cluster"""
+        }.mkString("\n          ")
+        s"""
+        WITH $coarse,
+      $subs,
+        qv AS (
+          SELECT vec_id AS qid, unnest(range(len(embedding))) AS dim,
+                 CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS x6
+          FROM embeddings WHERE vec_id IN (0, 1, 2)),
+        cdist AS (
+          SELECT q.qid, c.cluster, sum((q.x6 - c.c6) * (q.x6 - c.c6)) AS d
+          FROM qv q JOIN cw_cent1 c ON c.dim = q.dim GROUP BY 1, 2),
+        probes AS (
+          SELECT qid, cluster FROM (
+            SELECT qid, cluster,
+                   row_number() OVER (PARTITION BY qid ORDER BY d, cluster) AS rn
+            FROM cdist) WHERE rn <= 2),$adcts,
+        scored AS (
+          SELECT p.qid AS query_id, ca.id AS cand_id,
+                 t0.d + t1.d + t2.d + t3.d AS adc
+          FROM probes p
+          JOIN cw_assignF ca ON ca.cluster = p.cluster AND ca.id <> p.qid
+          $codeJoins)
+        SELECT query_id, cand_id, CAST(adc AS BIGINT) AS adc_dist FROM (
+          SELECT query_id, cand_id, adc,
+                 row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS rn
+          FROM scored) WHERE rn <= 3"""
+      }),
   )
 }

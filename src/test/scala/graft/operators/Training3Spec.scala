@@ -99,6 +99,33 @@ class Training3Spec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("q112 IVF-PQ: 3 per query, no self-match, candidates from probed lists only") {
+    val out = q("q112_ivf_pq_ann").cache()
+    val perQuery = out.groupBy("query_id").agg(count(lit(1)).as("n")).collect()
+    assert(perQuery.length === 3 && perQuery.forall(_.getLong(1) === 3L))
+    assert(out.filter(col("query_id") === col("cand_id")).count() === 0L)
+    // every candidate must live in one of its query's 2 nearest coarse lists
+    val emb = graft.Tables(spark, dir, "embeddings")
+    val (cents, assign) = DeterministicKMeans.fit(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val micro = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000, 0) as bigint))"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def sq(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val probed = micro.map { case (qid, qv) =>
+      qid -> cents.zipWithIndex.map { case (c, i) => (sq(qv, c), i) }
+        .sorted.take(2).map(_._2.toLong).toSet
+    }
+    val clusters = assign.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.collect().foreach { r =>
+      val (qid, cand) = (r.getLong(0), r.getLong(1))
+      assert(probed(qid).contains(clusters(cand)),
+        s"candidate $cand of query $qid not in probed lists ${probed(qid)}")
+    }
+    out.unpersist()
+  }
+
   test("q109 gives isolated docs the base rank and nobody less") {
     val ranks = q("q109_pagerank").cache()
     assert(ranks.count() === docs.count())
