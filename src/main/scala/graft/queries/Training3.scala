@@ -454,5 +454,33 @@ object Training3 {
                  row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS rn
           FROM scored) WHERE rn <= 3"""
       }),
+
+    // ---- deterministic train/valid/test split (80/10/10): a doc's
+    // split is a pure function of its id hash, so the assignment is
+    // stable under corpus growth (new docs never move old ones between
+    // splits — the property that keeps eval sets uncontaminated across
+    // dataset versions), identical on any engine/cluster, and needs no
+    // stored split table. Zero-shuffle per-row labeling + one keyed agg.
+    QueryDef(
+      "q113_dataset_split",
+      (s, d) => {
+        val h = expr(hash60Spark("cast(doc_id as string)"))
+        t(s, d, "documents")
+          .withColumn("split",
+            when(h % 10 < 8, lit("train"))
+              .when(h % 10 < 9, lit("valid"))
+              .otherwise(lit("test")))
+          .groupBy("split", "lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
+      },
+      Some(s"""
+        SELECT CASE WHEN h % 10 < 8 THEN 'train'
+                    WHEN h % 10 < 9 THEN 'valid'
+                    ELSE 'test' END AS split,
+               lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM (SELECT lang, n_chars,
+                     ${hash60Duck("doc_id::VARCHAR")} AS h
+              FROM documents)
+        GROUP BY 1, 2""")),
   )
 }

@@ -126,6 +126,20 @@ class Training3Spec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q113 splits partition the corpus and stay stable under growth") {
+    val out = q("q113_dataset_split").collect()
+    assert(out.map(_.getLong(2)).sum === docs.count())
+    // stability: a doc's split never depends on the rest of the corpus —
+    // recompute for a half-corpus and check agreement on the overlap
+    val h = expr(graft.operators.TextOps.hash60Spark("cast(doc_id as string)"))
+    val splitCol = when(h % 10 < 8, lit("train"))
+      .when(h % 10 < 9, lit("valid")).otherwise(lit("test"))
+    val full = docs.select(col("doc_id"), splitCol.as("s1"))
+    val half = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), splitCol.as("s2"))
+    assert(full.join(half, "doc_id").filter(col("s1") =!= col("s2")).count() === 0L)
+  }
+
   test("q109 gives isolated docs the base rank and nobody less") {
     val ranks = q("q109_pagerank").cache()
     assert(ranks.count() === docs.count())
