@@ -482,5 +482,136 @@ object Training3 {
                      ${hash60Duck("doc_id::VARCHAR")} AS h
               FROM documents)
         GROUP BY 1, 2""")),
+
+    // ---- the capstone composite: materialize the training corpus
+    // end-to-end. One call chains the operators a production pipeline
+    // runs before tokenization — exact+near dedup with survivorship
+    // (q99's Dedup.dedupe), the Gopher-style repetition quality gate
+    // (q92's rule), the md5-threshold language mixture (q96), and the
+    // hash-stable split label (q113) — and rolls the result up per
+    // (split, lang). Every stage is deterministic, so the whole chain
+    // is one DuckDB oracle: the recursive-CTE dedup walk, the quality
+    // CTEs, and the mixture/split CASEs stitched into a single WITH.
+    // Scale: each stage is the already-audited shape (banded LSH, keyed
+    // aggs, anti-join-free gates); the chain adds only id-keyed joins.
+    QueryDef(
+      "q114_training_manifest",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val survivors = Dedup.dedupe(docs, "doc_id", "text")
+        // q92 quality rule (3-gram diversity >= 0.5, top word <= 0.2)
+        val wordStats = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum("c").as("n_words"), max("c").as("top_word_n"))
+        val gramStats = docs.select(
+          col("doc_id"),
+          expr("greatest(size(split(text, ' ')) - 2, 1)").cast("long").as("n_grams"),
+          expr("""size(array_distinct(CASE WHEN size(split(text, ' ')) >= 3 THEN
+                    transform(sequence(0, size(split(text, ' ')) - 3), i ->
+                      concat_ws(' ', slice(split(text, ' '), i + 1, 3)))
+                  ELSE array(text) END))""").cast("long").as("n_distinct_grams"))
+        val quality = wordStats.join(gramStats, "doc_id")
+          .filter(
+            col("n_distinct_grams").cast("double") / col("n_grams") >= 0.5 &&
+              col("top_word_n").cast("double") / col("n_words") <= 0.2)
+          .select("doc_id")
+        // q96 mixture thresholds + q113 split label
+        val weights = Seq("en" -> 4L, "de" -> 2L, "es" -> 2L, "fr" -> 1L, "zh" -> 1L)
+        def threshold(num: Long): Long = (1L << 60) / 10 * num
+        val h = expr(hash60Spark("cast(doc_id as string)"))
+        val thCol = weights.foldLeft(lit(0L)) { case (acc, (l, num)) =>
+          when(col("lang") === l, lit(threshold(num))).otherwise(acc)
+        }
+        docs.select(col("doc_id"), col("lang"))
+          .join(survivors, "doc_id")
+          .join(quality, "doc_id")
+          .withColumn("__h", h)
+          .filter(col("__h") < thCol)
+          .withColumn("split",
+            when(col("__h") % 10 < 8, lit("train"))
+              .when(col("__h") % 10 < 9, lit("valid"))
+              .otherwise(lit("test")))
+          .groupBy("split", "lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("n_represented").as("n_represented"),
+            min("doc_id").as("first_doc"))
+      },
+      Some {
+        import graft.operators.TextOps._
+        def th(num: Long): Long = (1L << 60) / 10 * num
+        s"""
+        WITH RECURSIVE exact AS (
+          SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+          FROM documents GROUP BY md5(text)),
+        k AS (SELECT d.doc_id, d.text, e.n_copies
+              FROM documents d JOIN exact e ON d.doc_id = e.doc_id),
+        wh AS (SELECT doc_id, ${wordHashesDuck()} AS wh FROM k),
+        hashed AS (SELECT doc_id, ${ngramHashesDuck(3, "wh")} AS hh FROM wh),
+        sig AS (
+          SELECT doc_id,
+                 ${(0 until 4).map(b => s"${bandDuck(b, 2, "hh")} AS band$b").mkString(",\n                 ")}
+          FROM hashed),
+        stacked AS (
+          ${(0 until 4).map(b => s"SELECT doc_id, $b AS band_idx, band$b AS band_key FROM sig")
+          .mkString("\n          UNION ALL ")}),
+        ok AS (SELECT band_idx, band_key FROM stacked
+               GROUP BY 1, 2 HAVING count(*) <= 32),
+        kept AS (SELECT s.* FROM stacked s JOIN ok USING (band_idx, band_key)),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+          FROM kept a JOIN kept b
+            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id),
+        edges AS (
+          SELECT a AS src, b AS dst FROM pairs
+          UNION ALL SELECT b AS src, a AS dst FROM pairs),
+        walk(node, lbl) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
+        comp AS (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node),
+        surv AS (
+          SELECT coalesce(c.cluster_id, k.doc_id) AS doc_id,
+                 CAST(sum(k.n_copies) AS BIGINT) AS n_represented
+          FROM k LEFT JOIN comp c ON c.node = k.doc_id
+          GROUP BY 1),
+        words AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w),
+        ws AS (SELECT doc_id, sum(c) AS n_words, max(c) AS top_word_n
+               FROM wc GROUP BY doc_id),
+        gs AS (
+          SELECT doc_id,
+                 CAST(greatest(len(string_split(text, ' ')) - 2, 1) AS BIGINT) AS n_grams,
+                 CAST(len(list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+                       list_transform(range(1, len(string_split(text, ' ')) - 1), i ->
+                         array_to_string(string_split(text, ' ')[i:i+2], ' '))
+                     ELSE [text] END)) AS BIGINT) AS n_distinct_grams
+          FROM documents),
+        qual AS (
+          SELECT ws.doc_id FROM ws JOIN gs USING (doc_id)
+          WHERE CAST(n_distinct_grams AS DOUBLE) / n_grams >= 0.5
+            AND CAST(top_word_n AS DOUBLE) / n_words <= 0.2),
+        manifest AS (
+          SELECT d.doc_id, d.lang, s.n_represented,
+                 ${hash60Duck("d.doc_id::VARCHAR")} AS h,
+                 CASE d.lang WHEN 'en' THEN ${th(4)} WHEN 'de' THEN ${th(2)}
+                             WHEN 'es' THEN ${th(2)} WHEN 'fr' THEN ${th(1)}
+                             WHEN 'zh' THEN ${th(1)} ELSE 0 END AS th
+          FROM documents d
+          JOIN surv s ON s.doc_id = d.doc_id
+          JOIN qual q ON q.doc_id = d.doc_id)
+        SELECT CASE WHEN h % 10 < 8 THEN 'train'
+                    WHEN h % 10 < 9 THEN 'valid'
+                    ELSE 'test' END AS split,
+               lang, count(*) AS n_docs,
+               CAST(sum(n_represented) AS BIGINT) AS n_represented,
+               min(doc_id) AS first_doc
+        FROM manifest WHERE h < th
+        GROUP BY 1, 2"""
+      }),
   )
 }

@@ -140,6 +140,17 @@ class Training3Spec extends SparkSpec {
     assert(full.join(half, "doc_id").filter(col("s1") =!= col("s2")).count() === 0L)
   }
 
+  test("q114 manifest respects its gates and conserves represented mass") {
+    val rows = q("q114_training_manifest").collect()
+    val weighted = Set("en", "de", "es", "fr", "zh")
+    rows.foreach { r =>
+      assert(Set("train", "valid", "test").contains(r.getString(0)))
+      assert(weighted.contains(r.getString(1)), "unweighted lang must be filtered out")
+      assert(r.getLong(3) >= r.getLong(2), "n_represented >= n_docs (dedup mass)")
+    }
+    assert(rows.map(_.getLong(2)).sum <= docs.count())
+  }
+
   test("q109 gives isolated docs the base rank and nobody less") {
     val ranks = q("q109_pagerank").cache()
     assert(ranks.count() === docs.count())
