@@ -5,10 +5,17 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    // Fail loudly on any unexpected arity: a stray 4th token must not be
+    // silently read as a filter — a filtered dump prunes oracle_sql.json
+    // and would quietly shrink the round's correctness coverage.
+    require(args.length == 2 || args.length == 3,
+      s"usage: Verify <sfDir> <outDir> [namePrefixes]; got ${args.length} args: ${args.mkString(" ")}")
     val Array(sfDir, outDir) = args.take(2)
     // optional third arg (dev only): comma-separated name prefixes —
     // dump/declare just those queries for a fast check_oracle.py loop
     val only = args.lift(2).map(_.split(',').toSeq)
+    only.foreach(p =>
+      System.err.println(s"[verify] PARTIAL dump (dev filter): ${p.mkString(",")}"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -210,7 +210,21 @@ object Similarity {
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
 
+    require(queryIds.nonEmpty, "ivfPqTopK: queryIds must be non-empty")
     val emb = df.select(col(idCol), col(vecCol))
+
+    // query vectors in micro-units: |Q| rows, driver-side by design.
+    // Collected (and validated) BEFORE the five k-means fits so a bad
+    // query id fails in the cheap filter, not after the index build.
+    val qRows = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).cast("long"),
+        expr(s"transform($vecCol, x -> cast(round(cast(x as double) * 1000000, 0) as bigint))"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val missing = queryIds.filterNot(qRows.contains)
+    require(missing.isEmpty,
+      s"ivfPqTopK: query ids not present in $idCol: ${missing.mkString(", ")}")
+
     val coarseF = Future(DeterministicKMeans.fit(emb, idCol, vecCol, nlist, iters))
     val pqF = (0 until subspaces).map { s =>
       Future(DeterministicKMeans.fit(
@@ -221,45 +235,56 @@ object Similarity {
     val (coarseCents, coarseAssign) = Await.result(coarseF, Duration.Inf)
     val pq = pqF.map(Await.result(_, Duration.Inf))
 
-    // query vectors in micro-units: |Q| rows, driver-side by design
-    val qRows = emb.filter(col(idCol).isin(queryIds: _*))
-      .select(col(idCol).cast("long"),
-        expr(s"transform($vecCol, x -> cast(round(cast(x as double) * 1000000, 0) as bigint))"))
-      .collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
-
     def sq(a: Array[Long], b: Array[Long]): Long = {
       var i = 0; var s = 0L
       while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
       s
     }
 
-    queryIds.map { qid =>
-      val qv = qRows(qid)
-      // nprobe nearest coarse lists; ties break to the smaller list id
-      val lists = coarseCents.zipWithIndex
-        .map { case (c, i) => (sq(qv, c), i) }
-        .sorted.take(nprobe).map(_._2.toLong)
-      // ADC lookup tables: query-subvector distance to every codeword
-      val adc = (0 until subspaces).map { s =>
-        val qs = qv.slice(s * subDim, (s + 1) * subDim)
-        pq(s)._1.map(cw => sq(qs, cw)).toSeq
-      }
-      val distCol = (0 until subspaces).map { s =>
-        element_at(typedlit(adc(s)), (col(s"__c$s") + 1).cast("int"))
-      }.reduce(_ + _)
-      val cands = (0 until subspaces).foldLeft(
-        coarseAssign
-          .filter(col("cluster").isin(lists: _*) && col(idCol) =!= qid)
-          .select(col(idCol))) { (d, s) =>
-        d.join(pq(s)._2.withColumnRenamed("cluster", s"__c$s"), idCol)
-      }
-      cands
-        .select(lit(qid).as("query_id"), col(idCol).as("cand_id"),
-          distCol.as("adc_dist"))
-        .orderBy(col("adc_dist").asc, col("cand_id").asc)
-        .limit(k)
-    }.reduce(_ unionByName _)
+    // ONE plan for the whole query batch (not a per-query union): the
+    // driver-computed probe set becomes a broadcast (query_id, cluster)
+    // frame — the same shape as the oracle's `probes` CTE — so the
+    // coarse-assignment and PQ-code frames are each scanned once no
+    // matter how many queries are batched. nprobe nearest coarse lists
+    // per query; ties break to the smaller list id.
+    val probes = {
+      import df.sparkSession.implicits._
+      queryIds.flatMap { qid =>
+        val qv = qRows(qid)
+        coarseCents.zipWithIndex
+          .map { case (c, i) => (sq(qv, c), i) }
+          .sorted.take(nprobe)
+          .map { case (_, i) => (qid, i.toLong) }
+      }.toDF("query_id", "cluster")
+    }
+    // ADC lookup tables for every (query, codeword), as one literal map
+    // per subspace: |Q|·codebook longs, broadcast with the plan.
+    val adc = (0 until subspaces).map { s =>
+      queryIds.map { qid =>
+        val qs = qRows(qid).slice(s * subDim, (s + 1) * subDim)
+        qid -> pq(s)._1.map(cw => sq(qs, cw)).toSeq
+      }.toMap
+    }
+    val distCol = (0 until subspaces).map { s =>
+      element_at(element_at(typedlit(adc(s)), col("query_id")),
+        (col(s"__c$s") + 1).cast("int"))
+    }.reduce(_ + _)
+    val cands = (0 until subspaces).foldLeft(
+      coarseAssign
+        .join(broadcast(probes), Seq("cluster"))
+        .filter(col(idCol) =!= col("query_id"))
+        .select(col("query_id"), col(idCol))) { (d, s) =>
+      d.join(pq(s)._2.withColumnRenamed("cluster", s"__c$s"), idCol)
+    }
+    // per-query top-k via a query-keyed window (parallel across queries),
+    // never a global sort
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adc_dist").asc, col("cand_id").asc)
+    cands
+      .select(col("query_id"), col(idCol).as("cand_id"), distCol.as("adc_dist"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
   }
 
   /** All vector pairs with cosine >= threshold, through single-table

@@ -152,4 +152,50 @@ object TextOps {
     s"md5(concat_ws(' ', array_sort(array_distinct(${wordsSpark(text)}))))"
   def fingerprintDuck(text: String = "text"): String =
     s"md5(array_to_string(list_sort(list_distinct(${wordsDuck(text)})), ' '))"
+
+  /** DuckDB CTE chain replaying Dedup.minhashBands →
+    * minhashCandidatePairs — and, with `withWalk`, the connected-
+    * components label walk — over source relation `src` (must expose
+    * doc_id + text). The q71/q99/q109/q114 oracles all build on this
+    * ONE rendering, so a change to the Spark-side defaults (bands,
+    * rowsPerBand, maxBucket, the band hash) cannot silently desync a
+    * hand-copied SQL twin; defaults here mirror Dedup's defaults.
+    *
+    * Emits CTEs: wh, hashed, sig, stacked, ok, kept, pairs(a, b),
+    * edges(src, dst), and with withWalk also walk(node, lbl) +
+    * comp(node, cluster_id). The walk is recursive — call sites using
+    * it must open with WITH RECURSIVE.
+    */
+  def lshPairsCtesDuck(
+      src: String, bands: Int = 4, rowsPerBand: Int = 2,
+      maxBucket: Int = 32, withWalk: Boolean = true): String = {
+    val base = s"""wh AS (SELECT doc_id, ${wordHashesDuck()} AS wh FROM $src),
+        hashed AS (SELECT doc_id, ${ngramHashesDuck(3, "wh")} AS hh FROM wh),
+        sig AS (
+          SELECT doc_id,
+                 ${(0 until bands).map(b => s"${bandDuck(b, rowsPerBand, "hh")} AS band$b")
+        .mkString(",\n                 ")}
+          FROM hashed),
+        stacked AS (
+          ${(0 until bands).map(b => s"SELECT doc_id, $b AS band_idx, band$b AS band_key FROM sig")
+        .mkString("\n          UNION ALL ")}),
+        ok AS (SELECT band_idx, band_key FROM stacked
+               GROUP BY 1, 2 HAVING count(*) <= $maxBucket),
+        kept AS (SELECT s.* FROM stacked s JOIN ok USING (band_idx, band_key)),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+          FROM kept a JOIN kept b
+            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id),
+        edges AS (
+          SELECT a AS src, b AS dst FROM pairs
+          UNION ALL SELECT b AS src, a AS dst FROM pairs)"""
+    if (!withWalk) base
+    else base + s""",
+        walk(node, lbl) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
+        comp AS (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node)"""
+  }
 }

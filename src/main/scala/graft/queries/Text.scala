@@ -244,32 +244,7 @@ object Text {
             count(lit(1)).over(Window.partitionBy("cluster_id")))
       },
       Some(s"""
-        WITH RECURSIVE wh AS (
-          SELECT doc_id, ${wordHashesDuck()} AS wh FROM documents),
-        hashed AS (SELECT doc_id, ${ngramHashesDuck(3, "wh")} AS hh FROM wh),
-        sig AS (
-          SELECT doc_id,
-                 ${(0 until 4).map(b => s"${bandDuck(b, 2, "hh")} AS band$b").mkString(",\n                 ")}
-          FROM hashed),
-        stacked AS (
-          ${(0 until 4).map(b => s"SELECT doc_id, $b AS band_idx, band$b AS band_key FROM sig")
-        .mkString("\n          UNION ALL ")}),
-        ok AS (SELECT band_idx, band_key FROM stacked
-               GROUP BY 1, 2 HAVING count(*) <= 32),
-        kept AS (SELECT s.* FROM stacked s JOIN ok USING (band_idx, band_key)),
-        pairs AS (
-          SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-          FROM kept a JOIN kept b
-            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-           AND a.doc_id < b.doc_id),
-        edges AS (
-          SELECT a AS src, b AS dst FROM pairs
-          UNION ALL SELECT b AS src, a AS dst FROM pairs),
-        walk(node, lbl) AS (
-          SELECT DISTINCT src, src FROM edges
-          UNION
-          SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
-        comp AS (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node)
+        WITH RECURSIVE ${lshPairsCtesDuck("documents")}
         SELECT d.doc_id,
                coalesce(c.cluster_id, d.doc_id) AS cluster_id,
                count(*) OVER (PARTITION BY coalesce(c.cluster_id, d.doc_id))
@@ -292,31 +267,7 @@ object Text {
           FROM documents GROUP BY md5(text)),
         k AS (SELECT d.doc_id, d.text, e.n_copies
               FROM documents d JOIN exact e ON d.doc_id = e.doc_id),
-        wh AS (SELECT doc_id, ${wordHashesDuck()} AS wh FROM k),
-        hashed AS (SELECT doc_id, ${ngramHashesDuck(3, "wh")} AS hh FROM wh),
-        sig AS (
-          SELECT doc_id,
-                 ${(0 until 4).map(b => s"${bandDuck(b, 2, "hh")} AS band$b").mkString(",\n                 ")}
-          FROM hashed),
-        stacked AS (
-          ${(0 until 4).map(b => s"SELECT doc_id, $b AS band_idx, band$b AS band_key FROM sig")
-        .mkString("\n          UNION ALL ")}),
-        ok AS (SELECT band_idx, band_key FROM stacked
-               GROUP BY 1, 2 HAVING count(*) <= 32),
-        kept AS (SELECT s.* FROM stacked s JOIN ok USING (band_idx, band_key)),
-        pairs AS (
-          SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-          FROM kept a JOIN kept b
-            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-           AND a.doc_id < b.doc_id),
-        edges AS (
-          SELECT a AS src, b AS dst FROM pairs
-          UNION ALL SELECT b AS src, a AS dst FROM pairs),
-        walk(node, lbl) AS (
-          SELECT DISTINCT src, src FROM edges
-          UNION
-          SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
-        comp AS (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node)
+        ${lshPairsCtesDuck("k")}
         SELECT coalesce(c.cluster_id, k.doc_id) AS doc_id,
                CAST(sum(k.n_copies) AS BIGINT) AS n_represented
         FROM k LEFT JOIN comp c ON c.node = k.doc_id

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
@@ -20,47 +20,48 @@ import graft.{QueryDef, Tables}
 object Training {
   private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
 
-  val defs: Seq[QueryDef] = Seq(
+  // -- q92's quality gate, shared with the q114 manifest (Training3) so
+  // the keep-rule cannot drift between the per-doc report and the
+  // end-to-end pipeline. Both engines' formulations live here: the
+  // Spark frames and the DuckDB stat CTEs are two renderings of the
+  // same rule, edited together or not at all.
 
-    // ---- repetition/quality filtering (the Gopher "repetition" family):
-    // duplicate-word and duplicate-3-gram fractions plus the most-
-    // frequent-word share, with a keep flag. Word stats via explode +
-    // (doc,word) agg + doc agg — co-keyed shuffles; 3-gram distinctness
-    // is a per-row codegen'd expression (no shuffle at all).
-    QueryDef(
-      "q92_repetition_filter",
-      (s, d) => {
-        val docs = t(s, d, "documents")
-        val wordStats = docs
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-          .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-          .groupBy("doc_id")
-          .agg(
-            sum("c").as("n_words"),
-            count(lit(1)).as("n_distinct_words"),
-            max("c").as("top_word_n"))
-        val gramStats = docs.select(
-          col("doc_id"),
-          expr("greatest(size(split(text, ' ')) - 2, 1)").cast("long").as("n_grams"),
-          expr("""size(array_distinct(CASE WHEN size(split(text, ' ')) >= 3 THEN
-                    transform(sequence(0, size(split(text, ' ')) - 3), i ->
-                      concat_ws(' ', slice(split(text, ' '), i + 1, 3)))
-                  ELSE array(text) END))""").cast("long").as("n_distinct_grams"))
-        wordStats.join(gramStats, "doc_id")
-          .select(
-            col("doc_id"),
-            round(lit(1.0) - col("n_distinct_words").cast("double") / col("n_words"), 6)
-              .as("dup_word_frac"),
-            round(lit(1.0) - col("n_distinct_grams").cast("double") / col("n_grams"), 6)
-              .as("dup_3gram_frac"),
-            round(col("top_word_n").cast("double") / col("n_words"), 6)
-              .as("top_word_frac"),
-            (col("n_distinct_grams").cast("double") / col("n_grams") >= 0.5 &&
-              col("top_word_n").cast("double") / col("n_words") <= 0.2).as("keep"))
-      },
-      Some("""
-        WITH words AS (
-          SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+  /** Per-doc word totals: n_words, n_distinct_words, top_word_n. */
+  private[queries] def wordStats(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum("c").as("n_words"),
+        count(lit(1)).as("n_distinct_words"),
+        max("c").as("top_word_n"))
+
+  /** Per-doc 3-gram totals: n_grams, n_distinct_grams. */
+  private[queries] def gramStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      expr("greatest(size(split(text, ' ')) - 2, 1)").cast("long").as("n_grams"),
+      expr("""size(array_distinct(CASE WHEN size(split(text, ' ')) >= 3 THEN
+                transform(sequence(0, size(split(text, ' ')) - 3), i ->
+                  concat_ws(' ', slice(split(text, ' '), i + 1, 3)))
+              ELSE array(text) END))""").cast("long").as("n_distinct_grams"))
+
+  /** Keep iff 3-gram diversity >= 0.5 and top-word share <= 0.2. */
+  private[queries] def qualityKeep: Column =
+    col("n_distinct_grams").cast("double") / col("n_grams") >= 0.5 &&
+      col("top_word_n").cast("double") / col("n_words") <= 0.2
+
+  /** doc_ids passing the q92 keep rule. */
+  private[queries] def qualityGateIds(docs: DataFrame): DataFrame =
+    wordStats(docs).join(gramStats(docs), "doc_id")
+      .filter(qualityKeep)
+      .select("doc_id")
+
+  /** DuckDB twin of wordStats/gramStats: CTEs words, wc, ws, gs. */
+  private[queries] def qualityStatsCtesDuck(src: String = "documents"): String =
+    s"""words AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM $src),
         wc AS (
           SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w),
         ws AS (
@@ -74,13 +75,61 @@ object Training {
                        list_transform(range(1, len(string_split(text, ' ')) - 1), i ->
                          array_to_string(string_split(text, ' ')[i:i+2], ' '))
                      ELSE [text] END)) AS BIGINT) AS n_distinct_grams
-          FROM documents)
+          FROM $src)"""
+
+  /** DuckDB twin of qualityKeep (over a ws ⋈ gs row). */
+  private[queries] def qualityKeepDuck: String =
+    "CAST(n_distinct_grams AS DOUBLE) / n_grams >= 0.5 AND " +
+      "CAST(top_word_n AS DOUBLE) / n_words <= 0.2"
+
+  // -- q96's language mixture (lang -> target tenths of the corpus) and
+  // its hash-threshold encoding, shared with q114.
+  private[queries] val mixtureWeights: Seq[(String, Long)] =
+    Seq("en" -> 4L, "de" -> 2L, "es" -> 2L, "fr" -> 1L, "zh" -> 1L)
+
+  /** floor(2⁶⁰·w/10): keep a doc iff hash60(id) < threshold(lang). */
+  private[queries] def mixtureThreshold(num: Long): Long = (1L << 60) / 10 * num
+
+  private[queries] def mixtureThresholdCol: Column =
+    mixtureWeights.foldLeft(lit(0L)) { case (acc, (l, num)) =>
+      when(col("lang") === l, lit(mixtureThreshold(num))).otherwise(acc)
+    }
+
+  /** DuckDB twin of mixtureThresholdCol. */
+  private[queries] def mixtureCaseDuck(langExpr: String): String =
+    s"CASE $langExpr " +
+      mixtureWeights.map { case (l, n) => s"WHEN '$l' THEN ${mixtureThreshold(n)}" }
+        .mkString(" ") + " ELSE 0 END"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- repetition/quality filtering (the Gopher "repetition" family):
+    // duplicate-word and duplicate-3-gram fractions plus the most-
+    // frequent-word share, with a keep flag. Word stats via explode +
+    // (doc,word) agg + doc agg — co-keyed shuffles; 3-gram distinctness
+    // is a per-row codegen'd expression (no shuffle at all).
+    QueryDef(
+      "q92_repetition_filter",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        wordStats(docs).join(gramStats(docs), "doc_id")
+          .select(
+            col("doc_id"),
+            round(lit(1.0) - col("n_distinct_words").cast("double") / col("n_words"), 6)
+              .as("dup_word_frac"),
+            round(lit(1.0) - col("n_distinct_grams").cast("double") / col("n_grams"), 6)
+              .as("dup_3gram_frac"),
+            round(col("top_word_n").cast("double") / col("n_words"), 6)
+              .as("top_word_frac"),
+            qualityKeep.as("keep"))
+      },
+      Some(s"""
+        WITH ${qualityStatsCtesDuck()}
         SELECT ws.doc_id,
                round(1.0 - CAST(n_distinct_words AS DOUBLE) / n_words, 6) AS dup_word_frac,
                round(1.0 - CAST(n_distinct_grams AS DOUBLE) / n_grams, 6) AS dup_3gram_frac,
                round(CAST(top_word_n AS DOUBLE) / n_words, 6) AS top_word_frac,
-               (CAST(n_distinct_grams AS DOUBLE) / n_grams >= 0.5 AND
-                CAST(top_word_n AS DOUBLE) / n_words <= 0.2) AS keep
+               ($qualityKeepDuck) AS keep
         FROM ws JOIN gs ON ws.doc_id = gs.doc_id""")),
 
     // ---- deterministic stratified sampling for corpus mixing: within
@@ -206,32 +255,22 @@ object Training {
     QueryDef(
       "q96_mixture_rebalance",
       (s, d) => {
-        val weights = Seq("en" -> 4L, "de" -> 2L, "es" -> 2L, "fr" -> 1L, "zh" -> 1L)
-        def threshold(num: Long): Long = (1L << 60) / 10 * num // floor(2^60·w/10)
         val h = expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)")
-        val thCol = weights.foldLeft(lit(0L)) { case (acc, (l, num)) =>
-          when(col("lang") === l, lit(threshold(num))).otherwise(acc)
-        }
         t(s, d, "documents")
           .withColumn("__h", h)
-          .filter(col("__h") < thCol)
+          .filter(col("__h") < mixtureThresholdCol)
           .groupBy("lang")
           .agg(count(lit(1)).as("n_kept"), min("doc_id").as("first_doc"))
       },
-      Some {
-        def th(num: Long): Long = (1L << 60) / 10 * num
-        s"""
+      Some(s"""
         WITH hashed AS (
           SELECT doc_id, lang,
                  ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h,
-                 CASE lang WHEN 'en' THEN ${th(4)} WHEN 'de' THEN ${th(2)}
-                           WHEN 'es' THEN ${th(2)} WHEN 'fr' THEN ${th(1)}
-                           WHEN 'zh' THEN ${th(1)} ELSE 0 END AS th
+                 ${mixtureCaseDuck("lang")} AS th
           FROM documents)
         SELECT lang, count(*) AS n_kept, min(doc_id) AS first_doc
         FROM hashed WHERE h < th
-        GROUP BY lang"""
-      }),
+        GROUP BY lang""")),
 
     // ---- C4-style text normalization: lowercase, strip non-alphanumerics,
     // collapse whitespace — pure per-row regex work inside whole-stage

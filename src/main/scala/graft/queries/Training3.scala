@@ -8,7 +8,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.operators.{Dedup, DeterministicKMeans}
-import graft.operators.TextOps.{hash60Duck, hash60Spark}
+import graft.operators.TextOps.{hash60Duck, hash60Spark, lshPairsCtesDuck}
 
 /** Third wave of training-data-preparation operators: C4-style
   * line-level boilerplate removal, deterministic weighted sampling,
@@ -66,6 +66,11 @@ object Training3 {
       (s, d) => {
         val cap = 4
         val docs = t(s, d, "documents")
+        // cached: consumed twice (frequency pass + anti-join probe) —
+        // without it the corpus-wide explode+md5 runs twice, doubling
+        // the dominant scan cost (same rationale as Dedup.jaccardPairs;
+        // Dataset.cache is MEMORY_AND_DISK, so it degrades to spill,
+        // not recompute, when the exploded corpus outgrows memory).
         val chunked = docs.select(
           col("doc_id"),
           posexplode(expr(
@@ -73,6 +78,7 @@ object Training3 {
                i -> concat_ws(' ', slice(split(text, ' '), i * 3 + 1, 3)))"""))
             .as(Seq("idx", "chunk")))
           .withColumn("__ch", expr(hash60Spark("chunk")))
+          .cache()
         val hot = chunked.groupBy("__ch")
           .agg(countDistinct("doc_id").as("df"))
           .filter(col("df") > cap)
@@ -281,25 +287,7 @@ object Training3 {
       },
       Some {
         val pairCtes = s"""
-        WITH wh AS (SELECT doc_id, ${graft.operators.TextOps.wordHashesDuck()} AS wh FROM documents),
-        hashed AS (SELECT doc_id, ${graft.operators.TextOps.ngramHashesDuck(3, "wh")} AS hh FROM wh),
-        sig AS (
-          SELECT doc_id,
-                 ${(0 until 4).map(b => s"${graft.operators.TextOps.bandDuck(b, 2, "hh")} AS band$b").mkString(",\n                 ")}
-          FROM hashed),
-        stacked AS (
-          ${(0 until 4).map(b => s"SELECT doc_id, $b AS band_idx, band$b AS band_key FROM sig")
-          .mkString("\n          UNION ALL ")}),
-        ok AS (SELECT band_idx, band_key FROM stacked
-               GROUP BY 1, 2 HAVING count(*) <= 32),
-        keptb AS (SELECT s.* FROM stacked s JOIN ok USING (band_idx, band_key)),
-        pairs AS (
-          SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb
-          FROM keptb a JOIN keptb b
-            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-           AND a.doc_id < b.doc_id),
-        edges AS (SELECT pa AS src, pb AS dst FROM pairs
-                  UNION ALL SELECT pb, pa FROM pairs),
+        WITH ${lshPairsCtesDuck("documents", withWalk = false)},
         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
         r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS r FROM documents)"""
         val rounds = (1 to 3).map { i =>
@@ -344,7 +332,10 @@ object Training3 {
           .cache()
         try {
           var cur = wf.select(col("freq"), col("ts"))
-          val merges = (1 to 3).map { step =>
+          val merges = Seq.newBuilder[(Int, String, String, Long)]
+          var step = 1
+          var exhausted = false
+          while (step <= 3 && !exhausted) {
             val top = cur
               .select(col("freq"), expr(toks).as("tk"))
               .filter(size(col("tk")) >= 2)
@@ -355,14 +346,24 @@ object Training3 {
               .agg(sum("freq").as("cnt"))
               .orderBy(col("cnt").desc, col("pa").asc, col("pb").asc)
               .limit(1)
-              .collect()(0)
-            val (pa, pb, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
-            cur = cur.withColumn("ts",
-              expr(s"replace(ts, '|$pa||$pb|', '|$pa$pb|')"))
-            (step, pa, pb, cnt)
+              .collect()
+            if (top.isEmpty) {
+              // every word is a single token — no adjacent pair left to
+              // merge. The oracle's top$r CTE is empty for this and all
+              // later rounds (its scalar subqueries go NULL), so stop
+              // and emit no row, matching it on degenerate corpora.
+              exhausted = true
+            } else {
+              val (pa, pb, cnt) =
+                (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+              cur = cur.withColumn("ts",
+                expr(s"replace(ts, '|$pa||$pb|', '|$pa$pb|')"))
+              merges += ((step, pa, pb, cnt))
+              step += 1
+            }
           }
           import s.implicits._
-          merges.toDF("step", "pa", "pb", "cnt")
+          merges.result().toDF("step", "pa", "pb", "cnt")
         } finally wf.unpersist()
       },
       Some {
@@ -499,36 +500,17 @@ object Training3 {
       (s, d) => {
         val docs = t(s, d, "documents")
         val survivors = Dedup.dedupe(docs, "doc_id", "text")
-        // q92 quality rule (3-gram diversity >= 0.5, top word <= 0.2)
-        val wordStats = docs
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-          .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-          .groupBy("doc_id")
-          .agg(sum("c").as("n_words"), max("c").as("top_word_n"))
-        val gramStats = docs.select(
-          col("doc_id"),
-          expr("greatest(size(split(text, ' ')) - 2, 1)").cast("long").as("n_grams"),
-          expr("""size(array_distinct(CASE WHEN size(split(text, ' ')) >= 3 THEN
-                    transform(sequence(0, size(split(text, ' ')) - 3), i ->
-                      concat_ws(' ', slice(split(text, ' '), i + 1, 3)))
-                  ELSE array(text) END))""").cast("long").as("n_distinct_grams"))
-        val quality = wordStats.join(gramStats, "doc_id")
-          .filter(
-            col("n_distinct_grams").cast("double") / col("n_grams") >= 0.5 &&
-              col("top_word_n").cast("double") / col("n_words") <= 0.2)
-          .select("doc_id")
-        // q96 mixture thresholds + q113 split label
-        val weights = Seq("en" -> 4L, "de" -> 2L, "es" -> 2L, "fr" -> 1L, "zh" -> 1L)
-        def threshold(num: Long): Long = (1L << 60) / 10 * num
+        // q92 quality rule + q96 mixture thresholds + q113 split label —
+        // all three come from the SHARED helpers (Training.qualityGateIds
+        // / mixtureThresholdCol), so tightening a gate or a weight there
+        // updates this manifest in the same edit.
+        val quality = Training.qualityGateIds(docs)
         val h = expr(hash60Spark("cast(doc_id as string)"))
-        val thCol = weights.foldLeft(lit(0L)) { case (acc, (l, num)) =>
-          when(col("lang") === l, lit(threshold(num))).otherwise(acc)
-        }
         docs.select(col("doc_id"), col("lang"))
           .join(survivors, "doc_id")
           .join(quality, "doc_id")
           .withColumn("__h", h)
-          .filter(col("__h") < thCol)
+          .filter(col("__h") < Training.mixtureThresholdCol)
           .withColumn("split",
             when(col("__h") % 10 < 8, lit("train"))
               .when(col("__h") % 10 < 9, lit("valid"))
@@ -540,67 +522,26 @@ object Training3 {
             min("doc_id").as("first_doc"))
       },
       Some {
-        import graft.operators.TextOps._
-        def th(num: Long): Long = (1L << 60) / 10 * num
         s"""
         WITH RECURSIVE exact AS (
           SELECT min(doc_id) AS doc_id, count(*) AS n_copies
           FROM documents GROUP BY md5(text)),
         k AS (SELECT d.doc_id, d.text, e.n_copies
               FROM documents d JOIN exact e ON d.doc_id = e.doc_id),
-        wh AS (SELECT doc_id, ${wordHashesDuck()} AS wh FROM k),
-        hashed AS (SELECT doc_id, ${ngramHashesDuck(3, "wh")} AS hh FROM wh),
-        sig AS (
-          SELECT doc_id,
-                 ${(0 until 4).map(b => s"${bandDuck(b, 2, "hh")} AS band$b").mkString(",\n                 ")}
-          FROM hashed),
-        stacked AS (
-          ${(0 until 4).map(b => s"SELECT doc_id, $b AS band_idx, band$b AS band_key FROM sig")
-          .mkString("\n          UNION ALL ")}),
-        ok AS (SELECT band_idx, band_key FROM stacked
-               GROUP BY 1, 2 HAVING count(*) <= 32),
-        kept AS (SELECT s.* FROM stacked s JOIN ok USING (band_idx, band_key)),
-        pairs AS (
-          SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-          FROM kept a JOIN kept b
-            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-           AND a.doc_id < b.doc_id),
-        edges AS (
-          SELECT a AS src, b AS dst FROM pairs
-          UNION ALL SELECT b AS src, a AS dst FROM pairs),
-        walk(node, lbl) AS (
-          SELECT DISTINCT src, src FROM edges
-          UNION
-          SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
-        comp AS (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node),
+        ${lshPairsCtesDuck("k")},
         surv AS (
           SELECT coalesce(c.cluster_id, k.doc_id) AS doc_id,
                  CAST(sum(k.n_copies) AS BIGINT) AS n_represented
           FROM k LEFT JOIN comp c ON c.node = k.doc_id
           GROUP BY 1),
-        words AS (
-          SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-        wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w),
-        ws AS (SELECT doc_id, sum(c) AS n_words, max(c) AS top_word_n
-               FROM wc GROUP BY doc_id),
-        gs AS (
-          SELECT doc_id,
-                 CAST(greatest(len(string_split(text, ' ')) - 2, 1) AS BIGINT) AS n_grams,
-                 CAST(len(list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3 THEN
-                       list_transform(range(1, len(string_split(text, ' ')) - 1), i ->
-                         array_to_string(string_split(text, ' ')[i:i+2], ' '))
-                     ELSE [text] END)) AS BIGINT) AS n_distinct_grams
-          FROM documents),
+        ${Training.qualityStatsCtesDuck()},
         qual AS (
           SELECT ws.doc_id FROM ws JOIN gs USING (doc_id)
-          WHERE CAST(n_distinct_grams AS DOUBLE) / n_grams >= 0.5
-            AND CAST(top_word_n AS DOUBLE) / n_words <= 0.2),
+          WHERE ${Training.qualityKeepDuck}),
         manifest AS (
           SELECT d.doc_id, d.lang, s.n_represented,
                  ${hash60Duck("d.doc_id::VARCHAR")} AS h,
-                 CASE d.lang WHEN 'en' THEN ${th(4)} WHEN 'de' THEN ${th(2)}
-                             WHEN 'es' THEN ${th(2)} WHEN 'fr' THEN ${th(1)}
-                             WHEN 'zh' THEN ${th(1)} ELSE 0 END AS th
+                 ${Training.mixtureCaseDuck("d.lang")} AS th
           FROM documents d
           JOIN surv s ON s.doc_id = d.doc_id
           JOIN qual q ON q.doc_id = d.doc_id)
