@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.Num.{dsum, dsumSql}
+
+/** Fifth wave: the remaining standard shapes a production pipeline
+  * leans on — a stream-static dimension join (the streaming-enrichment
+  * pattern: the static side is broadcast fresh per micro-batch, no
+  * state), percentile winsorization (outlier clipping, the gentler
+  * sibling of the wafer IQR *removal*), and per-domain quota selection
+  * (keep the best documents of each source until a byte budget is hit
+  * — integer-exact cumulative window arithmetic).
+  */
+object Training5 {
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- stream-static join: the event stream enriched with the
+    // customer dimension, then aggregated per market segment. The
+    // static side joins broadcast (dimension tables are driver-size
+    // even at 100 TB fact scale) and requires NO stream state beyond
+    // the aggregation itself; complete-mode output over a 5-key
+    // aggregate is a driver-size result. The memory-sink run drains
+    // the whole file stream, so the result equals the batch join the
+    // oracle computes.
+    QueryDef(
+      "q121_stream_static_join",
+      (s, d) => {
+        import graft.streaming.EventStreams
+        val cust = broadcast(
+          t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment")))
+        val joined = Tables.eventsStream(s, d)
+          .join(cust, col("user_id") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        EventStreams.runToMemorySink(joined)
+      },
+      Some(s"""
+        SELECT c_mktsegment, count(*) AS n_events, ${dsumSql("value")} AS sum_value
+        FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        GROUP BY 1"""),
+    ),
+
+    // ---- percentile winsorization: clip l_extendedprice to its global
+    // [p01, p99] band and report, per return flag, how many rows each
+    // side clipped and the winsorized sum. Two passes (grouped
+    // percentile → broadcast bounds → map-side clip + aggregate) — the
+    // same agg→broadcast→filter shape as the wafer IQR operator, and
+    // like it, the exact percentile swaps for the t-digest rewrite at
+    // 100 TB (spark.graft.approxQuantiles). Bounds are rounded to 6 dp
+    // at the source (the libm/interpolation discipline), clipped values
+    // accumulate in exact decimal.
+    QueryDef(
+      "q122_winsorize",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val bounds = li.agg(
+          round(expr("percentile(l_extendedprice, 0.01)"), 6).as("lo"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 6).as("hi"))
+        li.crossJoin(broadcast(bounds))
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(when(col("l_extendedprice") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+            sum(when(col("l_extendedprice") > col("hi"), 1L).otherwise(0L)).as("n_hi"),
+            dsum(greatest(col("lo"), least(col("hi"), col("l_extendedprice"))))
+              .as("sum_winsorized"))
+      },
+      Some(s"""
+        WITH b AS (
+          SELECT round(quantile_cont(l_extendedprice, 0.01), 6) AS lo,
+                 round(quantile_cont(l_extendedprice, 0.99), 6) AS hi
+          FROM lineitem)
+        SELECT l_returnflag, count(*) AS n_rows,
+               CAST(sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+               CAST(sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+               ${dsumSql("greatest(lo, least(hi, l_extendedprice))")} AS sum_winsorized
+        FROM lineitem, b
+        GROUP BY 1"""),
+    ),
+
+    // ---- per-domain quota selection: within each source, rank
+    // documents best-first (longest, doc_id tiebreak) and keep them
+    // while the running character total BEFORE the document stays under
+    // 60% of the source's budget — the mixture-shaping step that caps
+    // each domain's byte share while keeping its best documents.
+    // Integer-exact: the keep test is (cum_before * 10 < total * 6) in
+    // BIGINT — no ratio ever materializes. One shuffle (the per-source
+    // window); the summary agg reuses the same partitioning.
+    QueryDef(
+      "q123_domain_quota",
+      (s, d) => {
+        val w = Window.partitionBy("source")
+          .orderBy(col("n_chars").desc, col("doc_id").asc)
+        t(s, d, "documents")
+          .withColumn("cum_before",
+            coalesce(
+              sum("n_chars").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+              lit(0L)))
+          .withColumn("total", sum("n_chars").over(Window.partitionBy("source")))
+          .filter(col("cum_before") * 10 < col("total") * 6)
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_kept"),
+            sum("n_chars").as("chars_kept"),
+            max("total").as("chars_total"))
+      },
+      Some("""
+        WITH ranked AS (
+          SELECT source, n_chars,
+                 coalesce(sum(n_chars) OVER (
+                   PARTITION BY source ORDER BY n_chars DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+                 sum(n_chars) OVER (PARTITION BY source) AS total
+          FROM documents)
+        SELECT source, count(*) AS n_kept,
+               CAST(sum(n_chars) AS BIGINT) AS chars_kept,
+               CAST(max(total) AS BIGINT) AS chars_total
+        FROM ranked
+        WHERE cum_before * 10 < total * 6
+        GROUP BY 1"""),
+    ),
+  )
+}
