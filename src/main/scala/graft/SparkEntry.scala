@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.Training2.defs ++
       graft.queries.Training3.defs ++
       graft.queries.Training4.defs ++
-      graft.queries.Training5.defs
+      graft.queries.Training5.defs ++
+      graft.queries.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
