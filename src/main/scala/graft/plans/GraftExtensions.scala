@@ -51,5 +51,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => ApproxQuantileRewrite)
     ext.injectFunction(graft.functions.CosineSimilarity.functionDescription)
+    ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }
 }

@@ -142,5 +142,27 @@ object Relational3 {
                count(*) AS n
         FROM lineitem
         GROUP BY l_returnflag""")),
+
+    // ---- custom physical operator: exact per-key top-k through
+    // graft.plans.TopKPerKey (logical node → strategy → bounded-heap
+    // exec; see TopKPerKey scaladoc for why this beats the window
+    // rewrite at scale). The oracle IS the window rewrite — same rows,
+    // different machinery. Order is total (totalprice DESC, orderkey
+    // ASC tiebreak) so the result is deterministic.
+    QueryDef(
+      "q125_topk_perkey",
+      (s, d) =>
+        graft.plans.TopKPerKey(
+          t(s, d, "orders").select("o_orderpriority", "o_orderkey", "o_totalprice"),
+          keyCols = Seq("o_orderpriority"),
+          orderCols = Seq("o_totalprice" -> false, "o_orderkey" -> true),
+          k = 3),
+      Some("""
+        SELECT o_orderpriority, o_orderkey, o_totalprice
+        FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders)
+        WHERE rn <= 3""")),
   )
 }

@@ -1,0 +1,76 @@
+package graft.plans
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TopKPerKeySpec extends SparkSpec {
+
+  private def windowTopK(k: Int) = {
+    import spark.implicits._
+    Seq(
+      ("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 30.0), ("a", 4L, 20.0),
+      ("b", 5L, 5.0), ("b", 6L, 1.0),
+      ("c", 7L, 9.0),
+    ).toDF("k", "id", "v")
+  }
+
+  test("matches the window row_number rewrite on a total order") {
+    val df = windowTopK(2)
+    val got = TopKPerKey(df, Seq("k"), Seq("v" -> false, "id" -> true), 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = df
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("k").orderBy(col("v").desc, col("id").asc)))
+      .filter(col("rn") <= 2).drop("rn")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want)
+    assert(got == Set(
+      ("a", 2L, 30.0), ("a", 3L, 30.0),
+      ("b", 5L, 5.0), ("b", 6L, 1.0), // b has only 2 rows: k=2 keeps both
+      ("c", 7L, 9.0)))
+  }
+
+  test("k >= group size returns whole groups; exec appears in the plan with one exchange") {
+    val df = windowTopK(2).repartition(3)
+    val topped = TopKPerKey(df, Seq("k"), Seq("id" -> true), 10)
+    assert(topped.count() == 7)
+    val plan = topped.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("pre-clustered child elides the exchange (the bucketed-table fast path)") {
+    val df = windowTopK(2).repartition(col("k"))
+    val topped = TopKPerKey(df, Seq("k"), Seq("id" -> true), 1)
+    val plan = topped.queryExecution.executedPlan.toString
+    // the only hashpartitioning exchange is the explicit repartition —
+    // EnsureRequirements recognizes the child distribution and adds none
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(topped.count() == 3)
+  }
+
+  test("heap keeps the BEST k, not the first k seen (order-independence)") {
+    import spark.implicits._
+    // worst rows first within a single partition: admission must evict
+    val df = (1L to 100L).map(i => ("g", i)).toDF("k", "id").coalesce(1)
+    val got = TopKPerKey(df, Seq("k"), Seq("id" -> false), 3)
+      .collect().map(_.getLong(1)).toSet
+    assert(got == Set(100L, 99L, 98L))
+  }
+
+  test("string, null-holding, and negative values order like the window") {
+    import spark.implicits._
+    val df = Seq(
+      ("x", Some(-5.0)), ("x", None), ("x", Some(2.0)), ("y", Some(0.0)),
+    ).toDF("k", "v")
+    val got = TopKPerKey(df, Seq("k"), Seq("v" -> true), 2)
+      .collect().map(r => (r.getString(0), Option(r.get(1)))).toSet
+    val want = df.withColumn("rn",
+        row_number().over(Window.partitionBy("k").orderBy(col("v").asc)))
+      .filter(col("rn") <= 2).drop("rn")
+      .collect().map(r => (r.getString(0), Option(r.get(1)))).toSet
+    assert(got == want)
+  }
+}
