@@ -49,6 +49,91 @@ object Training3 {
     s"round($num / $den, 6)"
   }
 
+  /** The delimiter-encoded token-string expression shared by the BPE
+    * queries: '|a||b||c|' → ['a','b','c'].
+    */
+  private val bpeToks = "split(substring(ts, 2, length(ts) - 2), '\\\\|\\\\|')"
+
+  /** BPE training loop shared by q110 (emit the merges) and q126 (apply
+    * them): `rounds` deterministic merge rounds over the word-frequency
+    * table. Returns the merged vocabulary (word, freq, ts) —
+    * localCheckpoint'd, so callers can consume it after the cache is
+    * released — plus the merge ledger (step, pa, pb, cnt). See q110's
+    * QueryDef comment for the representation trick and scale shape.
+    */
+  private def bpeTrain(
+      docs: DataFrame, rounds: Int): (DataFrame, Seq[(Int, String, String, Long)]) = {
+    val wf = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("ts", regexp_replace(col("word"), "(.)", "|$1|"))
+      .cache()
+    try {
+      var cur = wf
+      val merges = Seq.newBuilder[(Int, String, String, Long)]
+      var step = 1
+      var exhausted = false
+      while (step <= rounds && !exhausted) {
+        val top = cur
+          .select(col("freq"), expr(bpeToks).as("tk"))
+          .filter(size(col("tk")) >= 2)
+          .select(col("freq"), expr(
+            """explode(transform(sequence(1, size(tk) - 1),
+               i -> struct(element_at(tk, i) as pa, element_at(tk, i + 1) as pb)))""").as("p"))
+          .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+          .agg(sum("freq").as("cnt"))
+          .orderBy(col("cnt").desc, col("pa").asc, col("pb").asc)
+          .limit(1)
+          .collect()
+        if (top.isEmpty) {
+          // every word is a single token — no adjacent pair left to
+          // merge. The oracle's top$r CTE is empty for this and all
+          // later rounds (its scalar subqueries go NULL), so stop
+          // and emit no row, matching it on degenerate corpora.
+          exhausted = true
+        } else {
+          val (pa, pb, cnt) =
+            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          cur = cur.withColumn("ts",
+            expr(s"replace(ts, '|$pa||$pb|', '|$pa$pb|')"))
+          merges += ((step, pa, pb, cnt))
+          step += 1
+        }
+      }
+      (cur.localCheckpoint(), merges.result())
+    } finally wf.unpersist()
+  }
+
+  /** The oracle's WITH-clause prefix shared by q110/q126: `words`, then
+    * t0 (char-split vocab) through t`rounds` (post-merge vocab), with
+    * the per-round pair counts (pc$r) and chosen merge (top$r) along
+    * the way. Callers append their own tail over t`rounds` / top$r.
+    */
+  private def bpeCtesDuck(rounds: Int): String = {
+    val header = s"""
+        WITH words AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        t0 AS (SELECT word, count(*) AS freq,
+                      regexp_replace(word, '(.)', '|\\1|', 'g') AS ts
+               FROM words GROUP BY word)"""
+    val roundCtes = (0 until rounds).map { r =>
+      s"""
+        pc$r AS (
+          SELECT p.pa AS pa, p.pb AS pb, sum(freq) AS cnt FROM (
+            SELECT freq,
+                   unnest(list_transform(range(1, len(tk)),
+                     i -> {'pa': tk[i], 'pb': tk[i+1]})) AS p
+            FROM (SELECT freq, string_split(ts[2:len(ts)-1], '||') AS tk FROM t$r))
+          GROUP BY 1, 2),
+        top$r AS (SELECT pa, pb, cnt FROM pc$r ORDER BY cnt DESC, pa, pb LIMIT 1),
+        t${r + 1} AS (
+          SELECT word, freq, replace(ts,
+            '|' || (SELECT pa FROM top$r) || '||' || (SELECT pb FROM top$r) || '|',
+            '|' || (SELECT pa FROM top$r) || (SELECT pb FROM top$r) || '|') AS ts
+          FROM t$r)"""
+    }.mkString(",", ",", "")
+    header + roundCtes
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- C4-style line-level boilerplate removal: explode every doc
@@ -324,75 +409,62 @@ object Training3 {
     QueryDef(
       "q110_bpe_merges",
       (s, d) => {
-        val toks = "split(substring(ts, 2, length(ts) - 2), '\\\\|\\\\|')"
-        val wf = t(s, d, "documents")
-          .select(explode(split(col("text"), " ")).as("word"))
-          .groupBy("word").agg(count(lit(1)).as("freq"))
-          .withColumn("ts", regexp_replace(col("word"), "(.)", "|$1|"))
-          .cache()
-        try {
-          var cur = wf.select(col("freq"), col("ts"))
-          val merges = Seq.newBuilder[(Int, String, String, Long)]
-          var step = 1
-          var exhausted = false
-          while (step <= 3 && !exhausted) {
-            val top = cur
-              .select(col("freq"), expr(toks).as("tk"))
-              .filter(size(col("tk")) >= 2)
-              .select(col("freq"), expr(
-                """explode(transform(sequence(1, size(tk) - 1),
-                   i -> struct(element_at(tk, i) as pa, element_at(tk, i + 1) as pb)))""").as("p"))
-              .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
-              .agg(sum("freq").as("cnt"))
-              .orderBy(col("cnt").desc, col("pa").asc, col("pb").asc)
-              .limit(1)
-              .collect()
-            if (top.isEmpty) {
-              // every word is a single token — no adjacent pair left to
-              // merge. The oracle's top$r CTE is empty for this and all
-              // later rounds (its scalar subqueries go NULL), so stop
-              // and emit no row, matching it on degenerate corpora.
-              exhausted = true
-            } else {
-              val (pa, pb, cnt) =
-                (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-              cur = cur.withColumn("ts",
-                expr(s"replace(ts, '|$pa||$pb|', '|$pa$pb|')"))
-              merges += ((step, pa, pb, cnt))
-              step += 1
-            }
-          }
-          import s.implicits._
-          merges.result().toDF("step", "pa", "pb", "cnt")
-        } finally wf.unpersist()
+        import s.implicits._
+        bpeTrain(t(s, d, "documents"), rounds = 3)._2.toDF("step", "pa", "pb", "cnt")
       },
       Some {
-        val header = s"""
-        WITH words AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
-        t0 AS (SELECT word, count(*) AS freq,
-                      regexp_replace(word, '(.)', '|\\1|', 'g') AS ts
-               FROM words GROUP BY word)"""
-        val rounds = (0 until 3).map { r =>
-          s"""
-        pc$r AS (
-          SELECT p.pa AS pa, p.pb AS pb, sum(freq) AS cnt FROM (
-            SELECT freq,
-                   unnest(list_transform(range(1, len(tk)),
-                     i -> {'pa': tk[i], 'pb': tk[i+1]})) AS p
-            FROM (SELECT freq, string_split(ts[2:len(ts)-1], '||') AS tk FROM t$r))
-          GROUP BY 1, 2),
-        top$r AS (SELECT pa, pb, cnt FROM pc$r ORDER BY cnt DESC, pa, pb LIMIT 1),
-        t${r + 1} AS (
-          SELECT word, freq, replace(ts,
-            '|' || (SELECT pa FROM top$r) || '||' || (SELECT pb FROM top$r) || '|',
-            '|' || (SELECT pa FROM top$r) || (SELECT pb FROM top$r) || '|') AS ts
-          FROM t$r)"""
-        }.mkString(",", ",", "")
         val out = (0 until 3).map(r =>
           s"SELECT ${r + 1} AS step, pa, pb, CAST(cnt AS BIGINT) AS cnt FROM top$r")
           .mkString("\n        UNION ALL ")
-        s"$header$rounds\n        $out"
+        s"${bpeCtesDuck(3)}\n        $out"
       }),
+
+    // ---- BPE tokenization (the apply step of q110's trainer): encode
+    // every document with the 3-round merged vocabulary and report its
+    // token count before (= characters) and after the merges, plus the
+    // post-merge size as ppm of the character count — the compression
+    // the tokenizer bought. Scale shape: training touches only the
+    // vocabulary table (q110); application is one broadcast join of the
+    // corpus word stream against that vocabulary (a tokenizer IS a
+    // broadcast dictionary at serving time) and one keyed agg — the
+    // corpus is scanned once and never re-encoded per round.
+    QueryDef(
+      "q126_bpe_encode",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val vocab = bpeTrain(docs, rounds = 3)._1
+          .select(col("word"),
+            size(expr(bpeToks)).cast("long").as("n_tok"),
+            length(col("word")).cast("long").as("n_char"))
+        docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .join(broadcast(vocab), "word")
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_words"),
+            sum("n_char").as("n_char_toks"),
+            sum("n_tok").as("n_bpe_toks"))
+          .select(
+            col("doc_id"), col("n_words"), col("n_char_toks"), col("n_bpe_toks"),
+            expr("(2 * 1000000 * n_bpe_toks + n_char_toks) div (2 * n_char_toks)")
+              .as("bpe_ppm"))
+      },
+      Some(s"""${bpeCtesDuck(3)},
+        vocab AS (
+          SELECT word, len(string_split(ts[2:len(ts)-1], '||')) AS n_tok,
+                 len(word) AS n_char
+          FROM t3),
+        dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        per AS (
+          SELECT doc_id, count(*) AS n_words,
+                 CAST(sum(n_char) AS BIGINT) AS n_char_toks,
+                 CAST(sum(n_tok) AS BIGINT) AS n_bpe_toks
+          FROM dw JOIN vocab USING (word)
+          GROUP BY doc_id)
+        SELECT doc_id, n_words, n_char_toks, n_bpe_toks,
+               (2 * 1000000 * n_bpe_toks + n_char_toks) // (2 * n_char_toks) AS bpe_ppm
+        FROM per"""),
+    ),
 
     // ---- IVF-PQ ANN end-to-end: coarse quantizer + product-quantizer
     // codes + nprobe list probing + ADC ranking (Similarity.ivfPqTopK —
