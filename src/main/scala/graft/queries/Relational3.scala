@@ -164,5 +164,48 @@ object Relational3 {
                                         ORDER BY o_totalprice DESC, o_orderkey) AS rn
               FROM orders)
         WHERE rn <= 3""")),
+
+    // ---- MAD robust outlier detection: the median-based sibling of the
+    // wafer IQR filter (MAD is 50%-breakdown-robust where IQR is 25%).
+    // Same agg→broadcast→re-agg shape: per-group median, |x - med|
+    // median, then count rows beyond 3·MAD. Both medians are exact
+    // `percentile` (rounded at source), so the session-wide t-digest
+    // rewrite (spark.graft.approxQuantiles) is this operator's 100 TB
+    // path too — three scans of the fact table become three single-pass
+    // sketch aggregations, no per-group value buffering.
+    QueryDef(
+      "q127_mad_outliers",
+      (s, d) => {
+        val li = t(s, d, "lineitem").select("l_returnflag", "l_extendedprice")
+        val med = li.groupBy("l_returnflag")
+          .agg(round(expr("percentile(l_extendedprice, 0.5)"), 6).as("med"))
+        val withMed = li.join(broadcast(med), "l_returnflag")
+        val mad = withMed.groupBy("l_returnflag")
+          .agg(round(expr("percentile(abs(l_extendedprice - med), 0.5)"), 6).as("mad"))
+        withMed.join(broadcast(mad), "l_returnflag")
+          .groupBy("l_returnflag")
+          .agg(
+            max("med").as("med"), max("mad").as("mad"),
+            count(lit(1)).as("n_rows"),
+            sum(when(abs(col("l_extendedprice") - col("med")) > lit(3) * col("mad"), 1L)
+              .otherwise(0L)).as("n_outliers"))
+      },
+      Some("""
+        WITH med AS (
+          SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 6) AS med
+          FROM lineitem GROUP BY 1),
+        mad AS (
+          SELECT l.l_returnflag,
+                 round(quantile_cont(abs(l.l_extendedprice - m.med), 0.5), 6) AS mad
+          FROM lineitem l JOIN med m ON m.l_returnflag = l.l_returnflag
+          GROUP BY 1)
+        SELECT l.l_returnflag, max(m.med) AS med, max(d.mad) AS mad,
+               count(*) AS n_rows,
+               CAST(sum(CASE WHEN abs(l.l_extendedprice - m.med) > 3 * d.mad
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM lineitem l
+        JOIN med m ON m.l_returnflag = l.l_returnflag
+        JOIN mad d ON d.l_returnflag = l.l_returnflag
+        GROUP BY 1""")),
   )
 }

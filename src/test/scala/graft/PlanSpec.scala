@@ -138,4 +138,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("NestedLoop"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q117: the vocabulary and total join back by broadcast, not shuffle") {
+    val p = SparkEntry.queries("q117_unigram_surprisal")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert("BroadcastHashJoin|BroadcastNestedLoop".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("TakeOrderedAndProject"), p) // top-25, never a global sort
+  }
+
+  test("q120: topic tagging is map-only — zero exchanges, zero joins") {
+    val p = SparkEntry.queries("q120_topic_tag")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q126: the trained vocabulary applies as a broadcast join over the word stream") {
+    val p = SparkEntry.queries("q126_bpe_encode")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q116: chunking is map-only (explode, no exchange before the output)") {
+    val p = SparkEntry.queries("q116_rag_chunks")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("Exchange"), p)
+  }
 }
