@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
 import graft.Num.{dsum, dsumSql}
+import graft.operators.TextOps.{hash60Duck, hash60Spark}
 
 /** Fifth wave: the remaining standard shapes a production pipeline
   * leans on — a stream-static dimension join (the streaming-enrichment
@@ -124,6 +125,75 @@ object Training5 {
         FROM ranked
         WHERE cum_before * 10 < total * 6
         GROUP BY 1"""),
+    ),
+
+    // ---- class-balanced downsampling: every label downsampled to the
+    // minority class's count, members chosen by md5-rank of the id — a
+    // pure function of the data, so the balanced set is reproducible
+    // across engines, runs, and cluster sizes (same determinism recipe
+    // as the q61/q93 samplers). One keyed window + a broadcast scalar;
+    // id_sum pins the exact membership, not just the counts.
+    QueryDef(
+      "q128_label_balance",
+      (s, d) => {
+        val emb = t(s, d, "embeddings").select(col("vec_id"), col("label"))
+        val m = emb.groupBy("label").agg(count(lit(1)).as("n"))
+          .agg(min("n").as("m"))
+        val ranked = emb.withColumn("rk",
+          row_number().over(Window.partitionBy("label")
+            .orderBy(expr(hash60Spark("cast(vec_id as string)")), col("vec_id"))))
+        ranked.crossJoin(broadcast(m))
+          .filter(col("rk") <= col("m"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_kept"), sum("vec_id").as("id_sum"))
+      },
+      Some(s"""
+        WITH m AS (
+          SELECT min(n) AS m FROM (
+            SELECT label, count(*) AS n FROM embeddings GROUP BY 1)),
+        ranked AS (
+          SELECT label, vec_id,
+                 row_number() OVER (PARTITION BY label
+                   ORDER BY ${hash60Duck("vec_id::VARCHAR")}, vec_id) AS rk
+          FROM embeddings)
+        SELECT label, count(*) AS n_kept, CAST(sum(vec_id) AS BIGINT) AS id_sum
+        FROM ranked, m WHERE rk <= m
+        GROUP BY label"""),
+    ),
+
+    // ---- streaming MERGE/upsert as a declared query: the event stream
+    // flows through Sinks.streamUpsert (foreachBatch snapshot rewrite,
+    // keyed by user, versioned by event_id) and the result read back is
+    // the latest event per user — exactly the batch window the oracle
+    // computes. event_id is unique, so the upsert's precedence order is
+    // total and the snapshot deterministic. The snapshot/checkpoint
+    // dirs are wiped first so a re-run replays identically.
+    QueryDef(
+      "q129_stream_upsert",
+      (s, d) => {
+        import graft.sources.Sinks
+        val root = new java.io.File(
+          sys.props("java.io.tmpdir"),
+          s"graft_q129_${Integer.toHexString(d.hashCode)}")
+        def del(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(del)); f.delete(); ()
+        }
+        del(root)
+        val q = Sinks.streamUpsert(
+          Tables.eventsStream(s, d),
+          s"$root/ckpt", s"$root/snap",
+          keyCols = Seq("user_id"), versionCol = "event_id")
+        try q.processAllAvailable() finally q.stop()
+        Sinks.readLatestSnapshot(s, s"$root/snap")
+          .select("user_id", "event_id", "event_type", "value")
+      },
+      Some("""
+        SELECT user_id, event_id, event_type, value
+        FROM (SELECT user_id, event_id, event_type, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY event_id DESC) AS rn
+              FROM events)
+        WHERE rn = 1"""),
     ),
   )
 }
