@@ -186,5 +186,63 @@ object Vectors {
                round(min(x), 6) AS min_x,
                round(max(x), 6) AS max_x
         FROM ex GROUP BY dim""")),
+
+    // ---- matryoshka-truncation recall: rank neighbors by the first 16
+    // dims only and measure how much of the exact 64-dim top-3 the
+    // truncated ranking recovers. This is the cheap-prefilter pattern
+    // (search truncated, re-rank full) evaluated in-engine: n_overlap/3
+    // per query is the recall the 4× cheaper index would buy. Both
+    // rankings go through the same rounded-cosine + id-tiebreak recipe
+    // as q49, so the comparison itself is deterministic and oracled.
+    QueryDef(
+      "q130_matryoshka_recall",
+      (s, d) => {
+        val emb = embDouble(t(s, d, "embeddings")).cache()
+        try {
+          val q = col("vec_id") < 10
+          val full = Similarity
+            .bruteForceTopK(emb.filter(q), emb, "vec_id", "vec", k = 3)
+            .select("query_id", "cand_id")
+          val emb16 = emb.select(
+            col("vec_id"), expr("slice(vec, 1, 16)").as("vec"))
+          val trunc = Similarity
+            .bruteForceTopK(emb16.filter(q), emb16, "vec_id", "vec", k = 3)
+            .select(col("query_id"), col("cand_id").as("t_cand"))
+          full
+            .join(trunc,
+              full("query_id") === trunc("query_id") &&
+                full("cand_id") === trunc("t_cand"), "left")
+            .groupBy(full("query_id").as("query_id"))
+            .agg(
+              count(lit(1)).as("n_full"),
+              sum(when(col("t_cand").isNotNull, 1L).otherwise(0L)).as("n_overlap"))
+            .localCheckpoint()
+        } finally emb.unpersist()
+      },
+      Some(s"""
+        WITH emb AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+          FROM embeddings),
+        emb16 AS (SELECT vec_id, vec[1:16] AS vec FROM emb),
+        full_top AS (
+          SELECT query_id, cand_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY round(${cosineDuck("q.vec", "c.vec")}, 4) DESC, c.vec_id) AS rnk
+            FROM emb q JOIN emb c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+          WHERE rnk <= 3),
+        trunc_top AS (
+          SELECT query_id, cand_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY round(${cosineDuck("q.vec", "c.vec")}, 4) DESC, c.vec_id) AS rnk
+            FROM emb16 q JOIN emb16 c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+          WHERE rnk <= 3)
+        SELECT f.query_id, count(*) AS n_full,
+               CAST(sum(CASE WHEN t.cand_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_overlap
+        FROM full_top f
+        LEFT JOIN trunc_top t
+          ON t.query_id = f.query_id AND t.cand_id = f.cand_id
+        GROUP BY f.query_id""")),
   )
 }
