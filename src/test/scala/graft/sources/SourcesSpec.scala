@@ -52,4 +52,26 @@ class SourcesSpec extends SparkSpec {
     val expected = Tables(spark, dir, "lineitem").filter(col("l_returnflag") === "A").count()
     assert(filtered.count() === expected)
   }
+
+  test("schema evolution: mergeSchema unifies batches, old rows null-fill new columns") {
+    // the lake reality at 100 TB: years of batches, schema widened along
+    // the way — a reader must see one unified schema with nulls where a
+    // batch predates a column, and per-file pruning must still work
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("append").parquet(out)
+    Seq((3L, "c", 30.0), (4L, "d", 40.0)).toDF("id", "v", "score")
+      .write.mode("append").parquet(out)
+    val unified = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(unified.columns.sorted.toSeq == Seq("id", "score", "v"))
+    val rows = unified.orderBy("id").collect()
+    assert(rows.length == 4)
+    assert(rows.take(2).forall(_.isNullAt(rows(0).fieldIndex("score"))))
+    assert(rows(2).getAs[Double]("score") == 30.0)
+    // filters on the NEW column still push into the scan
+    val p = unified.filter(col("score") > 35.0).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("PushedFilters: [IsNotNull(score), GreaterThan(score"), p)
+  }
 }
