@@ -307,5 +307,64 @@ object Text {
          AND abs(length(a.p_name) - length(b.p_name)) <= 4
          AND a.p_name < b.p_name
          AND levenshtein(a.p_name, b.p_name) <= 4""")),
+
+    // ---- SimHash near-dup degree: how many neighbors each document
+    // has at Hamming distance ≤ 1 over the 16-bit SimHash (q48's
+    // signature turned into the join it exists for). Pigeonhole banding
+    // makes it an EQUI-join: two differing bits can't split across both
+    // 8-bit halves, so every qualifying pair shares at least one exact
+    // half — candidates come from two band-keyed joins, dedup, then the
+    // exact bit_count(xor) verify. Per-doc degree (not the raw pair
+    // list) is the emitted surface: a 16-bit signature on a clustered
+    // corpus yields O(100k) pairs, and the degree is what the dedup
+    // policy consumes. Production note: 64-bit SimHash with 4 bands is
+    // the same plan with thinner buckets.
+    QueryDef(
+      "q132_simhash_degree",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val sh = graft.operators.Dedup.simhash(docs, "doc_id", "text")
+          .select(col("doc_id"), col("simhash16"),
+            expr("simhash16 div 256").as("hi"), expr("simhash16 % 256").as("lo"))
+          .cache()
+        try {
+          val pairs = Seq("hi", "lo").map { b =>
+            sh.as("a").join(sh.as("b"),
+              col(s"a.$b") === col(s"b.$b") && col("a.doc_id") < col("b.doc_id"))
+              .select(
+                col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+                col("a.simhash16").as("sa"), col("b.simhash16").as("sb"))
+          }.reduce(_ unionByName _)
+            .dropDuplicates("da", "db")
+            .filter(expr("bit_count(sa ^ sb) <= 1"))
+          val deg = pairs.select(col("da").as("doc_id"))
+            .unionAll(pairs.select(col("db").as("doc_id")))
+            .groupBy("doc_id").agg(count(lit(1)).as("n_near"))
+          docs.select("doc_id")
+            .join(deg, Seq("doc_id"), "left")
+            .select(col("doc_id"), coalesce(col("n_near"), lit(0L)).as("n_near"))
+            .localCheckpoint()
+        } finally sh.unpersist()
+      },
+      Some(s"""
+        WITH h AS (SELECT doc_id, ${wordHashesDuck()} AS hs FROM documents),
+        sh AS (SELECT doc_id, ${simhashDuck("hs", 16)} AS s FROM h),
+        b AS (SELECT doc_id, s, s // 256 AS hi, s % 256 AS lo FROM sh),
+        cand AS (
+          SELECT a.doc_id AS da, c.doc_id AS db, a.s AS sa, c.s AS sb
+          FROM b a JOIN b c ON a.hi = c.hi AND a.doc_id < c.doc_id
+          UNION
+          SELECT a.doc_id, c.doc_id, a.s, c.s
+          FROM b a JOIN b c ON a.lo = c.lo AND a.doc_id < c.doc_id),
+        pairs AS (
+          SELECT * FROM cand
+          WHERE bit_count(xor(CAST(sa AS BIGINT), CAST(sb AS BIGINT))) <= 1),
+        deg AS (
+          SELECT doc_id, count(*) AS n_near FROM (
+            SELECT da AS doc_id FROM pairs
+            UNION ALL SELECT db FROM pairs)
+          GROUP BY 1)
+        SELECT d.doc_id, CAST(coalesce(g.n_near, 0) AS BIGINT) AS n_near
+        FROM documents d LEFT JOIN deg g ON g.doc_id = d.doc_id""")),
   )
 }
