@@ -60,6 +60,25 @@ class TopKPerKeySpec extends SparkSpec {
     assert(got == Set(100L, 99L, 98L))
   }
 
+  test("random frames: exec equals the window rewrite for k in {1, 3}") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 3; k <- Seq(1, 3)) {
+      // duplicate-heavy keys and values; id column makes the order total
+      val rows = (1 to 300).map { i =>
+        (s"k${rng.nextInt(7)}", rng.nextInt(5).toDouble, i.toLong)
+      }
+      val df = rows.toDF("k", "v", "id").repartition(5)
+      val got = TopKPerKey(df, Seq("k"), Seq("v" -> false, "id" -> true), k)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+      val want = df.withColumn("rn", row_number().over(
+          Window.partitionBy("k").orderBy(col("v").desc, col("id").asc)))
+        .filter(col("rn") <= k).drop("rn")
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+      assert(got == want, s"trial=$trial k=$k")
+    }
+  }
+
   test("string, null-holding, and negative values order like the window") {
     import spark.implicits._
     val df = Seq(
