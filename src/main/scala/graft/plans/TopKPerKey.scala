@@ -104,9 +104,14 @@ object TopKPerKey {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKPerKeyStrategy
     val plan = PlanApi.analyzed(df)
-    def attr(n: String) = plan.output.find(_.name == n).getOrElse(
-      throw new IllegalArgumentException(
-        s"no column '$n' in ${plan.output.map(_.name).mkString(", ")}"))
+    val resolve = PlanApi.resolver(spark) // honors spark.sql.caseSensitive
+    def attr(n: String) = plan.output.filter(a => resolve(a.name, n)) match {
+      case Seq(a) => a
+      case Seq() => throw new IllegalArgumentException(
+        s"no column '$n' in ${plan.output.map(_.name).mkString(", ")}")
+      case many => throw new IllegalArgumentException(
+        s"ambiguous column '$n': ${many.mkString(", ")}")
+    }
     val order = orderCols.map { case (n, asc) =>
       SortOrder(attr(n), if (asc) Ascending else Descending)
     }

@@ -56,13 +56,16 @@ object Training3 {
 
   /** BPE training loop shared by q110 (emit the merges) and q126 (apply
     * them): `rounds` deterministic merge rounds over the word-frequency
-    * table. Returns the merged vocabulary (word, freq, ts) —
-    * localCheckpoint'd, so callers can consume it after the cache is
-    * released — plus the merge ledger (step, pa, pb, cnt). See q110's
-    * QueryDef comment for the representation trick and scale shape.
+    * table. Returns the merged vocabulary (word, freq, ts) plus the
+    * merge ledger (step, pa, pb, cnt). Callers that consume the
+    * vocabulary pass `materializeVocab = true` to localCheckpoint it
+    * before the cache is released; q110 only reads the ledger and skips
+    * that extra job. See q110's QueryDef comment for the representation
+    * trick and scale shape.
     */
   private def bpeTrain(
-      docs: DataFrame, rounds: Int): (DataFrame, Seq[(Int, String, String, Long)]) = {
+      docs: DataFrame, rounds: Int,
+      materializeVocab: Boolean = false): (DataFrame, Seq[(Int, String, String, Long)]) = {
     val wf = docs
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -94,13 +97,16 @@ object Training3 {
         } else {
           val (pa, pb, cnt) =
             (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          // lit()-built replace, not string-interpolated SQL: a merged
+          // token containing a quote/backslash must not reparse as
+          // syntax (the oracle side is immune — scalar subqueries)
           cur = cur.withColumn("ts",
-            expr(s"replace(ts, '|$pa||$pb|', '|$pa$pb|')"))
+            replace(col("ts"), lit(s"|$pa||$pb|"), lit(s"|$pa$pb|")))
           merges += ((step, pa, pb, cnt))
           step += 1
         }
       }
-      (cur.localCheckpoint(), merges.result())
+      (if (materializeVocab) cur.localCheckpoint() else cur, merges.result())
     } finally wf.unpersist()
   }
 
@@ -432,7 +438,7 @@ object Training3 {
       "q126_bpe_encode",
       (s, d) => {
         val docs = t(s, d, "documents")
-        val vocab = bpeTrain(docs, rounds = 3)._1
+        val vocab = bpeTrain(docs, rounds = 3, materializeVocab = true)._1
           .select(col("word"),
             size(expr(bpeToks)).cast("long").as("n_tok"),
             length(col("word")).cast("long").as("n_char"))

@@ -65,7 +65,12 @@ object Training4 {
       "q115_dup_spans",
       (s, d) => {
         val docs = t(s, d, "documents")
+        // the length filter both matches the oracle's range() semantics
+        // (a <5-word doc has no windows and no output row) and guards
+        // Spark's sequence(), which would generate a DESCENDING [0,-1]
+        // for a 4-word doc and crash slice() with index 0
         val wins = docs
+          .filter(expr("size(split(text, ' ')) >= 5"))
           .select(
             col("doc_id"),
             explode(expr(
@@ -75,20 +80,23 @@ object Training4 {
           .withColumn("__h", expr(hash60Spark("win")))
           .select("doc_id", "__h")
           .cache() // consumed twice: df pass + count-back join
-        val dup = wins.groupBy("__h")
-          .agg(countDistinct("doc_id").as("nd"))
-          .filter(col("nd") > 1)
-          .select("__h")
-        wins
-          .join(dup.withColumn("__dup", lit(1L)), Seq("__h"), "left")
-          .groupBy("doc_id")
-          .agg(
-            count(lit(1)).as("n_windows"),
-            sum(coalesce(col("__dup"), lit(0L))).as("n_dup"))
-          .select(
-            col("doc_id"), col("n_windows"), col("n_dup"),
-            expr("(2 * 1000000 * n_dup + n_windows) div (2 * n_windows)")
-              .as("dup_ppm"))
+        try {
+          val dup = wins.groupBy("__h")
+            .agg(countDistinct("doc_id").as("nd"))
+            .filter(col("nd") > 1)
+            .select("__h")
+          wins
+            .join(dup.withColumn("__dup", lit(1L)), Seq("__h"), "left")
+            .groupBy("doc_id")
+            .agg(
+              count(lit(1)).as("n_windows"),
+              sum(coalesce(col("__dup"), lit(0L))).as("n_dup"))
+            .select(
+              col("doc_id"), col("n_windows"), col("n_dup"),
+              expr("(2 * 1000000 * n_dup + n_windows) div (2 * n_windows)")
+                .as("dup_ppm"))
+            .localCheckpoint() // materialize so the cache can be freed
+        } finally wins.unpersist()
       },
       Some(s"""
         WITH wins AS (

@@ -166,19 +166,19 @@ object Training5 {
     // keyed by user, versioned by event_id) and the result read back is
     // the latest event per user — exactly the batch window the oracle
     // computes. event_id is unique, so the upsert's precedence order is
-    // total and the snapshot deterministic. The snapshot/checkpoint
-    // dirs are wiped first so a re-run replays identically.
+    // total and the snapshot deterministic; each run streams into a
+    // fresh scratch root, so re-runs replay identically.
     QueryDef(
       "q129_stream_upsert",
       (s, d) => {
         import graft.sources.Sinks
+        // per-RUN unique root (not just per-dataset): a concurrent
+        // Verify over the same sfDir must not wipe this run's live
+        // checkpoint/snapshot state out from under the stream
         val root = new java.io.File(
           sys.props("java.io.tmpdir"),
-          s"graft_q129_${Integer.toHexString(d.hashCode)}")
-        def del(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(del)); f.delete(); ()
-        }
-        del(root)
+          s"graft_q129_${java.util.UUID.randomUUID().toString.take(8)}")
+        root.deleteOnExit()
         val q = Sinks.streamUpsert(
           Tables.eventsStream(s, d),
           s"$root/ckpt", s"$root/snap",

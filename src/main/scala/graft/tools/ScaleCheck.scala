@@ -75,7 +75,8 @@ object ScaleCheck {
       "q47_ngram_jaccard", "q49_cosine_topk", "q61_hash_sample",
       "q72_bloom_semi_join", "q74_bm25", "q85_interval_join",
       "q105_line_dedup", "q109_pagerank", "q112_ivf_pq_ann",
-      "q115_dup_spans", "q117_unigram_surprisal", "q119_salted_agg")
+      "q115_dup_spans", "q117_unigram_surprisal", "q119_salted_agg",
+      "q125_topk_perkey", "q126_bpe_encode", "q132_simhash_degree")
     val qs = graft.SparkEntry.queries
     def timeIt(dir: String, name: String): Double = {
       val t0 = System.nanoTime()

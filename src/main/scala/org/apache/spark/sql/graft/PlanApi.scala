@@ -17,4 +17,11 @@ object PlanApi {
 
   def analyzed(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+
+  /** The session's name resolver — honors spark.sql.caseSensitive, so
+    * operators built on PlanApi resolve columns exactly like the
+    * DataFrame API does.
+    */
+  def resolver(spark: SparkSession): (String, String) => Boolean =
+    spark.asInstanceOf[classic.SparkSession].sessionState.analyzer.resolver
 }

@@ -75,6 +75,7 @@ class Training4Spec extends SparkSpec {
   test("q115: window accounting — totals match doc lengths, dups bounded") {
     val out = q("q115_dup_spans").collect()
     val totalWindows = Tables(spark, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 5) // <5-word docs emit none
       .select(sum(size(split(col("text"), " ")) - 4)).collect()(0).getLong(0)
     assert(out.map(_.getAs[Long]("n_windows")).sum == totalWindows)
     out.foreach { r =>

@@ -79,6 +79,15 @@ class TopKPerKeySpec extends SparkSpec {
     }
   }
 
+  test("column names resolve case-insensitively, like the DataFrame API") {
+    val got = TopKPerKey(windowTopK(2), Seq("K"), Seq("V" -> false, "ID" -> true), 1)
+    assert(got.count() == 3)
+    val err = intercept[IllegalArgumentException] {
+      TopKPerKey(windowTopK(2), Seq("nope"), Seq("v" -> false), 1)
+    }
+    assert(err.getMessage.contains("no column"))
+  }
+
   test("string, null-holding, and negative values order like the window") {
     import spark.implicits._
     val df = Seq(
