@@ -30,19 +30,38 @@ object Relational2 {
                count(*) AS n
         FROM lineitem GROUP BY l_returnflag""")),
 
-    // ---- approximate distinct: HLL sketch. No oracle — sketch
-    // implementations differ by engine; the exact counterpart is q31.
-    // At 100 TB this is the *only* sane distinct-count: mergeable,
-    // single-pass, bounded memory.
+    // ---- approximate distinct: HLL sketch. Sketch ESTIMATES differ by
+    // engine, so the raw estimate can't be hash-compared; instead the
+    // query asserts the sketch's own accuracy contract. It computes both
+    // the HLL estimate (rsd=0.01) and the exact distinct per group and
+    // emits `approx_ok` = |approx - exact| <= 3% of exact (integer
+    // arithmetic, deterministic for fixed data). DuckDB oracles the exact
+    // count and literal TRUE — if Spark's HLL ever drifts outside the
+    // bound, the driver's hash check fails. At 100 TB the sketch is the
+    // *only* sane distinct-count (mergeable, single-pass, bounded
+    // memory); the exact column here is the small-SF witness, and q31
+    // remains the fully-exact counterpart.
     QueryDef(
       "q32_approx_distinct",
       (s, d) =>
         t(s, d, "lineitem")
           .groupBy("l_returnflag")
           .agg(
-            approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-            count(lit(1)).as("n")),
-      None),
+            approx_count_distinct(col("l_partkey"), 0.01).as("__approx"),
+            countDistinct(col("l_partkey")).as("n_parts_exact"),
+            count(lit(1)).as("n"))
+          .select(
+            col("l_returnflag"),
+            col("n_parts_exact"),
+            col("n"),
+            (abs(col("__approx") - col("n_parts_exact")) * lit(100L) <=
+              lit(3L) * col("n_parts_exact")).as("approx_ok")),
+      Some("""
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS n_parts_exact,
+               count(*) AS n,
+               TRUE AS approx_ok
+        FROM lineitem GROUP BY l_returnflag""")),
 
     // ---- non-equi range join against a broadcast band table
     QueryDef(
