@@ -1,0 +1,292 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.operators.TextOps.{hash60Duck, hash60Spark}
+
+/** Sixth wave: sketch accuracy contracts and the remaining corpus-prep
+  * signals.
+  *
+  *  - q133/q134 extend the q32 idea — a sketch's ESTIMATE is engine-
+  *    specific and can't be hash-compared, but its published error bound
+  *    is a deterministic predicate on fixed data. The query emits the
+  *    exact value plus an `*_ok` flag asserting the bound; the oracle
+  *    emits the exact value plus literal TRUE. A sketch drifting outside
+  *    its contract fails the driver's hash check.
+  *  - q135–q137 are corpus-preparation ops the earlier waves don't
+  *    cover: PII redaction (the C4/CCNet scrub step), character-entropy
+  *    gibberish scoring, and deterministic negative sampling for
+  *    contrastive training.
+  */
+object Training6 {
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  /** micro-nat ln, rounded once at the source (the q74/q117 libm
+    * discipline): both engines' ln agree to well under 1e-6 relative,
+    * so round(ln(x)*1e6) lands on the same BIGINT and every later step
+    * is exact integer arithmetic.
+    */
+  private val lnMicroSpark = "CAST(round(ln(%s) * 1000000) AS BIGINT)"
+  private val lnMicroDuck = "CAST(round(ln(%s) * 1000000) AS BIGINT)"
+
+  // Dialect-portable PII patterns: no backslash classes ([.] instead of
+  // \.) so the same literal works in Java regex (Spark) and RE2 (DuckDB).
+  private val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+  private val ipPat = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+  private val phonePat = "555-[0-9]{4}"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- count-min-sketch heavy hitters, gated on the CMS contract.
+    // The sketch is the 100 TB shape for frequency estimation: one
+    // mergeable pass, eps=1e-4 width, bounded memory regardless of
+    // vocabulary size. CMS never underestimates and overestimates by at
+    // most eps·N w.h.p. (fixed seed ⇒ deterministic here); `cms_ok`
+    // asserts exactly that for the top-20 exact heavy hitters. The
+    // sketch and the top-20 are both driver-size by construction — the
+    // only full-data passes are the word-count agg and the sketch agg.
+    QueryDef(
+      "q133_cms_heavy_hitters",
+      (s, d) => {
+        val words = t(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("word"))
+          .filter(col("word") =!= "")
+        val top = words.groupBy("word").agg(count(lit(1)).as("n_exact"))
+          .orderBy(col("n_exact").desc, col("word").asc)
+          .limit(20)
+        val skRow = words.agg(
+          expr("count_min_sketch(word, 0.0001d, 0.99d, 42)").as("sk"),
+          count(lit(1)).as("total")).head()
+        val sk = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(skRow.getAs[Array[Byte]]("sk")))
+        val total = skRow.getAs[Long]("total")
+        val bound = total / 10000L + 1L // eps·N, rounded up
+        val rows = top.collect().toIndexedSeq.map { r =>
+          val w = r.getAs[String]("word")
+          val n = r.getAs[Long]("n_exact")
+          val est = sk.estimateCount(w)
+          (w, n, est >= n && est - n <= bound)
+        }
+        import s.implicits._
+        rows.toDF("word", "n_exact", "cms_ok")
+      },
+      Some("""
+        WITH w AS (
+          SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        c AS (
+          SELECT word, count(*) AS n_exact FROM w WHERE word <> ''
+          GROUP BY 1)
+        SELECT word, n_exact, TRUE AS cms_ok
+        FROM c ORDER BY n_exact DESC, word LIMIT 20""")),
+
+    // ---- t-digest median, gated on its RANK error. This is the
+    // contract behind the engine's whole 100 TB percentile story (the
+    // GraftExtensions approx-quantile rewrite, the q22/q122/q127 scale
+    // paths): approx_percentile(p, acc) must return a value whose true
+    // rank is within n/acc of p·n. Pass 1 computes the sketch value,
+    // the exact median witness (rounded at source) and n per group;
+    // pass 2 broadcasts those and counts rows strictly below / at-or-
+    // below the sketch value — the value's true rank interval — then
+    // asserts it straddles n/2 within slack n/1000 + 2 (acc=10000, so
+    // 10× headroom). All-integer predicate ⇒ deterministic.
+    QueryDef(
+      "q134_tdigest_rank_gate",
+      (s, d) => {
+        val li = t(s, d, "lineitem").select(col("l_returnflag"), col("l_extendedprice"))
+        val ag = li.groupBy("l_returnflag").agg(
+          expr("approx_percentile(l_extendedprice, 0.5d, 10000)").as("__ap"),
+          round(expr("percentile(l_extendedprice, 0.5d)"), 6).as("median_exact"),
+          count(lit(1)).as("n"))
+        li.join(broadcast(ag), "l_returnflag")
+          .groupBy("l_returnflag")
+          .agg(
+            max(col("n")).as("n"),
+            max(col("median_exact")).as("median_exact"),
+            sum(when(col("l_extendedprice") < col("__ap"), 1L).otherwise(0L)).as("__n_lt"),
+            sum(when(col("l_extendedprice") <= col("__ap"), 1L).otherwise(0L)).as("__n_le"))
+          .select(
+            col("l_returnflag"), col("n"), col("median_exact"),
+            ((col("__n_lt") * 2 <= col("n") + (col("n") / 500L + 4L)) &&
+              (col("__n_le") * 2 >= col("n") - (col("n") / 500L + 4L)))
+              .as("tdigest_ok"))
+      },
+      Some("""
+        SELECT l_returnflag, count(*) AS n,
+               round(quantile_cont(l_extendedprice, 0.5), 6) AS median_exact,
+               TRUE AS tdigest_ok
+        FROM lineitem GROUP BY 1""")),
+
+    // ---- PII redaction (the C4/CCNet scrub step): strip emails, IPv4
+    // addresses and phone-shaped strings, reporting per-source counts
+    // and bytes removed. The harness corpus is synthetic word soup with
+    // no PII, so the query plants deterministic PII derived from doc_id
+    // (same expression in both engines) — the redaction logic is what's
+    // under test, and planted rows make every counter non-trivial.
+    // Redaction order is fixed (emails → IPs → phones) and each
+    // replacement token contains no digits, so passes can't create new
+    // matches for later passes. Pure per-row regex work: one scan, zero
+    // shuffles before the per-source agg; at 100 TB this is the
+    // map-side-only shape you want.
+    QueryDef(
+      "q135_pii_redaction",
+      (s, d) => {
+        val aug =
+          s"""concat(text,
+             CASE WHEN doc_id % 7 = 0
+                  THEN concat(' contact user', cast(doc_id AS string), '@example.com now')
+                  ELSE '' END,
+             CASE WHEN doc_id % 11 = 0
+                  THEN concat(' from 10.0.', cast(doc_id % 256 AS string), '.',
+                              cast(doc_id % 100 AS string), ' host')
+                  ELSE '' END,
+             CASE WHEN doc_id % 13 = 0
+                  THEN concat(' call 555-01', lpad(cast(doc_id % 100 AS string), 2, '0'), ' ok')
+                  ELSE '' END)"""
+        t(s, d, "documents")
+          .select(col("source"), expr(aug).as("aug"))
+          .select(
+            col("source"),
+            col("aug"),
+            expr(s"regexp_count(aug, '$emailPat')").as("e"),
+            expr(s"regexp_count(aug, '$ipPat')").as("i"),
+            expr(s"regexp_count(aug, '$phonePat')").as("p"),
+            expr(
+              s"""regexp_replace(regexp_replace(regexp_replace(aug,
+                    '$emailPat', '<EMAIL>'),
+                    '$ipPat', '<IP>'),
+                    '$phonePat', '<PHONE>')""").as("red"))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("e") + col("i") + col("p") > 0, 1L).otherwise(0L)).as("n_pii_docs"),
+            sum(col("e").cast("long")).as("n_emails"),
+            sum(col("i").cast("long")).as("n_ips"),
+            sum(col("p").cast("long")).as("n_phones"),
+            sum(length(col("aug")).cast("long") - length(col("red")).cast("long"))
+              .as("chars_removed"))
+      },
+      Some(s"""
+        WITH aug AS (
+          SELECT source,
+                 text ||
+                 CASE WHEN doc_id % 7 = 0
+                      THEN ' contact user' || doc_id::VARCHAR || '@example.com now'
+                      ELSE '' END ||
+                 CASE WHEN doc_id % 11 = 0
+                      THEN ' from 10.0.' || (doc_id % 256)::VARCHAR || '.' ||
+                           (doc_id % 100)::VARCHAR || ' host'
+                      ELSE '' END ||
+                 CASE WHEN doc_id % 13 = 0
+                      THEN ' call 555-01' || lpad((doc_id % 100)::VARCHAR, 2, '0') || ' ok'
+                      ELSE '' END AS aug
+          FROM documents),
+        m AS (
+          SELECT source, aug,
+                 len(regexp_extract_all(aug, '$emailPat')) AS e,
+                 len(regexp_extract_all(aug, '$ipPat')) AS i,
+                 len(regexp_extract_all(aug, '$phonePat')) AS p,
+                 regexp_replace(regexp_replace(regexp_replace(aug,
+                   '$emailPat', '<EMAIL>', 'g'),
+                   '$ipPat', '<IP>', 'g'),
+                   '$phonePat', '<PHONE>', 'g') AS red
+          FROM aug)
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN e + i + p > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs,
+               CAST(sum(e) AS BIGINT) AS n_emails,
+               CAST(sum(i) AS BIGINT) AS n_ips,
+               CAST(sum(p) AS BIGINT) AS n_phones,
+               CAST(sum(length(aug) - length(red)) AS BIGINT) AS chars_removed
+        FROM m GROUP BY 1""")),
+
+    // ---- character-entropy gibberish scoring (the CCNet-family
+    // quality signal q40/q92 don't capture): Shannon entropy of the
+    // character distribution of a BOUNDED 256-char prefix, in
+    // micro-nats. The prefix cap is the scale contract — explode
+    // fan-out is ≤256 rows/doc and the (doc_id, ch) agg map-side
+    // combines to ≤|alphabet| per doc, so the shuffle is tiny no
+    // matter how long documents get. H = ln N − (Σ c·ln c)/N computed
+    // as exact BIGINT micro-nats (ln rounded once at source, half-up
+    // division) — bit-identical across engines. Output: the 25
+    // lowest-entropy documents, i.e. the gibberish/boilerplate
+    // candidates a quality filter would drop.
+    QueryDef(
+      "q136_char_entropy",
+      (s, d) => {
+        val lnC = lnMicroSpark.format("c")
+        val lnN = lnMicroSpark.format("n_sampled")
+        t(s, d, "documents")
+          .select(col("doc_id"), explode(split(substring(col("text"), 1, 256), "")).as("ch"))
+          .filter(col("ch") =!= "")
+          .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(
+            sum("c").as("n_sampled"),
+            sum(expr(s"c * $lnC")).as("s"))
+          .select(
+            col("doc_id"), col("n_sampled"),
+            expr(s"(2 * (n_sampled * $lnN - s) + n_sampled) div (2 * n_sampled)")
+              .as("h_micro"))
+          .orderBy(col("h_micro").asc, col("doc_id").asc)
+          .limit(25)
+      },
+      Some(s"""
+        WITH ch AS (
+          SELECT doc_id, unnest(string_split(substr(text, 1, 256), '')) AS ch
+          FROM documents),
+        c AS (
+          SELECT doc_id, ch, count(*) AS c FROM ch WHERE ch <> ''
+          GROUP BY 1, 2),
+        p AS (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_sampled,
+                 CAST(sum(c * ${lnMicroDuck.format("c")}) AS BIGINT) AS s
+          FROM c GROUP BY 1)
+        SELECT doc_id, n_sampled,
+               CAST((2 * (n_sampled * ${lnMicroDuck.format("n_sampled")} - s) + n_sampled)
+                    // (2 * n_sampled) AS BIGINT) AS h_micro
+        FROM p ORDER BY h_micro, doc_id LIMIT 25""")),
+
+    // ---- deterministic negative sampling for contrastive training:
+    // for each anchor vector, pick 5 negatives (different label) by
+    // md5-rank of the (anchor, candidate) pair — a pure function of the
+    // ids, so the sampled set is identical across engines, runs and
+    // cluster sizes (the q61/q93/q128 sampler recipe). Scale shape:
+    // anchors broadcast; the hash PREFILTER (keep h < 2^60/8) cuts the
+    // candidate stream 8× BEFORE the per-anchor shuffle, which is how
+    // you bound the pair stream when the corpus side is 100 TB — tune
+    // the keep rate so expected survivors ≫ k. One keyed window on the
+    // survivors ranks them.
+    QueryDef(
+      "q137_negative_sampling",
+      (s, d) => {
+        val emb = t(s, d, "embeddings").select(col("vec_id"), col("label"))
+        val anchors = broadcast(
+          emb.filter(col("vec_id") < 20)
+            .select(col("vec_id").as("a_id"), col("label").as("a_label")))
+        val h = hash60Spark("concat(cast(a_id AS string), ':', cast(vec_id AS string))")
+        val pairs = emb.join(anchors, col("label") =!= col("a_label"))
+          .withColumn("h", expr(h))
+          .filter(col("h") < lit(1L << 57))
+        val w = Window.partitionBy("a_id").orderBy(col("h").asc, col("vec_id").asc)
+        pairs.withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 5)
+          .select(col("a_id"), col("vec_id").as("neg_id"), col("rn"))
+      },
+      Some(s"""
+        WITH a AS (
+          SELECT vec_id AS a_id, label AS a_label FROM embeddings
+          WHERE vec_id < 20),
+        p AS (
+          SELECT a_id, e.vec_id AS neg_id,
+                 ${hash60Duck("a_id::VARCHAR || ':' || e.vec_id::VARCHAR")} AS h
+          FROM a JOIN embeddings e ON e.label <> a.a_label),
+        f AS (SELECT * FROM p WHERE h < ${1L << 57}),
+        r AS (
+          SELECT a_id, neg_id,
+                 row_number() OVER (PARTITION BY a_id ORDER BY h, neg_id) AS rn
+          FROM f)
+        SELECT a_id, neg_id, rn FROM r WHERE rn <= 5""")),
+  )
+}

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants for the sixth wave (q133-q137) beyond the row/hash oracle:
+  * the CMS and t-digest flags must be TRUE because the bound genuinely
+  * holds (not because the predicate is vacuous), PII redaction must be
+  * idempotent and total, entropy must rank constant-ish text below
+  * diverse text, and the negative sample must be label-correct and
+  * stable under repartitioning.
+  */
+class Training6Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+  private def q(name: String) =
+    SparkEntry.allDefs.find(_.name == name).get.fn(spark, dir)
+
+  test("q133: every top-20 heavy hitter satisfies the CMS bound, non-vacuously") {
+    val rows = q("q133_cms_heavy_hitters").collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_.getAs[Boolean]("cms_ok")))
+    // non-vacuous: the exact counts must be real heavy hitters (the
+    // synthetic vocabulary is small, so each top word appears a lot)
+    assert(rows.forall(_.getAs[Long]("n_exact") > 10))
+  }
+
+  test("q134: sketch-median rank flag holds per group and the witness is the true median") {
+    val rows = q("q134_tdigest_rank_gate").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("tdigest_ok"))
+      val flag = r.getAs[String]("l_returnflag")
+      val vals = Tables(spark, dir, "lineitem")
+        .filter(col("l_returnflag") === flag)
+        .select("l_extendedprice").collect().map(_.getDouble(0)).sorted
+      val n = vals.length
+      val med =
+        if (n % 2 == 1) vals(n / 2)
+        else (vals(n / 2 - 1) + vals(n / 2)) / 2.0
+      assert(math.abs(r.getAs[Double]("median_exact") - med) < 1e-5)
+    }
+  }
+
+  test("q135: redaction removes every planted match and is idempotent") {
+    // rebuild the augmented text + redaction exactly as the query does,
+    // on a sample, and check (a) no pattern survives, (b) a second
+    // redaction pass is a no-op
+    val pats = Seq(
+      "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}",
+      "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}",
+      "555-[0-9]{4}")
+    val aug = Tables(spark, dir, "documents")
+      .selectExpr("""concat(text,
+        CASE WHEN doc_id % 7 = 0 THEN concat(' contact user', cast(doc_id AS string), '@example.com now') ELSE '' END,
+        CASE WHEN doc_id % 11 = 0 THEN concat(' from 10.0.', cast(doc_id % 256 AS string), '.', cast(doc_id % 100 AS string), ' host') ELSE '' END,
+        CASE WHEN doc_id % 13 = 0 THEN concat(' call 555-01', lpad(cast(doc_id % 100 AS string), 2, '0'), ' ok') ELSE '' END) AS aug""")
+    val red = pats.foldLeft(aug.select(col("aug").as("t"))) { (df, p) =>
+      df.select(regexp_replace(col("t"), p, "<X>").as("t"))
+    }
+    val survivors = pats.map(p =>
+      red.filter(col("t").rlike(p)).count()).sum
+    assert(survivors == 0)
+    val twice = pats.foldLeft(red) { (df, p) =>
+      df.select(regexp_replace(col("t"), p, "<X>").as("t"))
+    }
+    assert(red.exceptAll(twice).count() == 0)
+    // and the query itself found at least one of each kind
+    val m = q("q135_pii_redaction").collect()
+    assert(m.map(_.getAs[Long]("n_emails")).sum > 0)
+    assert(m.map(_.getAs[Long]("n_ips")).sum > 0)
+    assert(m.map(_.getAs[Long]("n_phones")).sum > 0)
+    assert(m.map(_.getAs[Long]("chars_removed")).sum > 0)
+  }
+
+  test("q136: entropy formula matches a JVM reference and ranks degenerate text low") {
+    // JVM reference on the same 256-char prefix, same micro-nat recipe
+    def hRef(text: String): Long = {
+      val prefix = text.take(256)
+      val counts = prefix.groupBy(identity).values.map(_.length.toLong)
+      val n = counts.sum
+      def lnMicro(x: Long): Long = math.rint(math.log(x.toDouble) * 1e6).toLong
+      val num = n * lnMicro(n) - counts.map(c => c * lnMicro(c)).sum
+      (2 * num + n) / (2 * n)
+    }
+    val docs = Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = q("q136_char_entropy").collect()
+    assert(got.length == 25)
+    got.foreach { r =>
+      assert(r.getAs[Long]("h_micro") == hRef(docs(r.getAs[Long]("doc_id"))))
+    }
+    // the 25 lowest are genuinely the lowest: compare against the full
+    // reference ranking
+    val all = docs.toSeq.map { case (id, t) => (hRef(t), id) }.sorted.take(25)
+    assert(got.map(r => (r.getAs[Long]("h_micro"), r.getAs[Long]("doc_id"))).sorted.toSeq == all)
+    // and a degenerate string scores below any real document
+    assert(hRef("aaaaaaaaaaaaaaaa") == 0)
+  }
+
+  test("q137: negatives have a different label than their anchor, 5 per anchor, stable") {
+    val labels = Tables(spark, dir, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = q("q137_negative_sampling").collect()
+    val byAnchor = rows.groupBy(_.getAs[Long]("a_id"))
+    assert(byAnchor.forall(_._2.length == 5))
+    rows.foreach { r =>
+      assert(labels(r.getAs[Long]("a_id")) != labels(r.getAs[Long]("neg_id")))
+    }
+    // determinism: a second run (fresh plan, fresh shuffles) returns the
+    // identical set — the sample is a pure function of the ids
+    val again = q("q137_negative_sampling").collect()
+    assert(rows.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+}
