@@ -288,5 +288,34 @@ object Training6 {
                  row_number() OVER (PARTITION BY a_id ORDER BY h, neg_id) AS rn
           FROM f)
         SELECT a_id, neg_id, rn FROM r WHERE rn <= 5""")),
+
+    // ---- the DataSource V2 connector as a declared, oracled
+    // capability: stage the documents table as a gbd binary shard
+    // (payload = UTF-8 text bytes), scan it through the full DSv2
+    // chain with a doc_id range predicate — the source prunes whole
+    // blocks from its gbx index BEFORE reading (and keeps the filters
+    // as residuals, so pruning can't change results) — and aggregate
+    // per lang. The oracle runs the same aggregate over the parquet
+    // original: the two storage paths must agree byte-for-byte
+    // (payload_bytes uses strlen = byte length on the DuckDB side; the
+    // corpus is ASCII so char length == byte length and Spark's
+    // length(binary) matches).
+    QueryDef(
+      "q138_gbd_source_scan",
+      (s, d) => {
+        val path = graft.sources.GbdFormat.stageDocuments(s, d, blockRecords = 64)
+        s.read.format("graft.sources.GbdSource").load(path)
+          .filter(col("doc_id") >= 64 && col("doc_id") < 320)
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(length(col("payload")).cast("long")).as("payload_bytes"))
+      },
+      Some("""
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(strlen(text)) AS BIGINT) AS payload_bytes
+        FROM documents
+        WHERE doc_id >= 64 AND doc_id < 320
+        GROUP BY 1""")),
   )
 }

@@ -1,0 +1,289 @@
+package graft.sources
+
+import java.io.{DataInputStream, DataOutputStream, FileInputStream, FileOutputStream}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.{Map => JMap}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A complete DataSource V2 connector for a block-structured binary
+  * corpus shard format ("gbd" — graft binary documents). This is the
+  * custom-SOURCE counterpart of the engine's custom Expression /
+  * optimizer Rule / physical operator: the full
+  * `TableProvider → Table → ScanBuilder → Scan → Batch → PartitionReader`
+  * chain, with the two scan optimizations that matter at 100 TB done at
+  * the SOURCE, before any byte is read:
+  *
+  *  - **Stats-based block pruning** (`SupportsPushDownFilters`): the
+  *    shard carries a per-block (minId, maxId) index; pushed doc_id
+  *    range predicates drop whole blocks from the plan, so a selective
+  *    scan schedules tasks only for blocks that can match — the same
+  *    idea as parquet row-group skipping, implemented here end-to-end.
+  *    Pushed filters are ALSO kept as residuals (pushFilters returns
+  *    them), so Spark re-applies them per row — pruning is a pure
+  *    optimization and can never change results.
+  *  - **Column pruning** (`SupportsPushDownRequiredColumns`): the
+  *    record layout is (doc_id, lang, payload) with the variable-size
+  *    payload LAST and length-prefixed, so a projection that doesn't
+  *    need `payload` skips over the bytes without materializing them —
+  *    a metadata-only scan of a multimodal shard reads ~16 bytes/record.
+  *
+  * Each block is one `InputPartition` — on a cluster, one task per
+  * block, scheduled wherever the block's byte range is local. The
+  * writer (`GbdFormat.write`) is single-stream test/staging scaffolding;
+  * a production writer would be a `FileFormatWriter`-style per-partition
+  * task emitting one shard per task, which composes with this reader
+  * unchanged (the index is per shard file).
+  *
+  * Shard layout (all big-endian, via DataOutputStream):
+  *   header: magic "GBD1"
+  *   blocks: nRecords:int, then per record
+  *           docId:long, langLen:int, langBytes, payloadLen:int, payload
+  *   index file `<shard>.gbx`: magic "GBX1", nBlocks:int, then per block
+  *           offset:long, nRecords:int, minId:long, maxId:long
+  */
+object GbdFormat {
+  val Schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("lang", StringType, nullable = true),
+    StructField("payload", BinaryType, nullable = true)))
+
+  final case class BlockMeta(offset: Long, nRecords: Int, minId: Long, maxId: Long)
+
+  /** Write rows as a gbd shard + gbx index. Driver-side, for staging
+    * and tests (see class doc for the production-writer story).
+    */
+  def write(path: String, rows: Seq[(Long, String, Array[Byte])], blockRecords: Int): Unit = {
+    val tmpData = Paths.get(path + ".tmp")
+    val tmpIdx = Paths.get(path + ".gbx.tmp")
+    val blocks = ArrayBuffer.empty[BlockMeta]
+    val out = new DataOutputStream(new java.io.BufferedOutputStream(
+      new FileOutputStream(tmpData.toFile)))
+    try {
+      out.writeBytes("GBD1")
+      var offset = 4L
+      rows.grouped(blockRecords).foreach { g =>
+        val start = offset
+        out.writeInt(g.length)
+        offset += 4
+        g.foreach { case (id, lang, payload) =>
+          val lb = lang.getBytes("UTF-8")
+          out.writeLong(id)
+          out.writeInt(lb.length)
+          out.write(lb)
+          out.writeInt(payload.length)
+          out.write(payload)
+          offset += 8 + 4 + lb.length + 4 + payload.length
+        }
+        blocks += BlockMeta(start, g.length, g.map(_._1).min, g.map(_._1).max)
+      }
+    } finally out.close()
+    val idx = new DataOutputStream(new FileOutputStream(tmpIdx.toFile))
+    try {
+      idx.writeBytes("GBX1")
+      idx.writeInt(blocks.length)
+      blocks.foreach { b =>
+        idx.writeLong(b.offset); idx.writeInt(b.nRecords)
+        idx.writeLong(b.minId); idx.writeLong(b.maxId)
+      }
+    } finally idx.close()
+    // write-aside then rename: readers never observe a half-written shard
+    Files.move(tmpData, Paths.get(path), StandardCopyOption.REPLACE_EXISTING)
+    Files.move(tmpIdx, Paths.get(path + ".gbx"), StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def readIndex(path: String): Seq[BlockMeta] = {
+    val in = new DataInputStream(new FileInputStream(path + ".gbx"))
+    try {
+      val magic = new Array[Byte](4); in.readFully(magic)
+      require(new String(magic, "UTF-8") == "GBX1", s"not a gbx index: $path.gbx")
+      val n = in.readInt()
+      (0 until n).map { _ =>
+        BlockMeta(in.readLong(), in.readInt(), in.readLong(), in.readLong())
+      }
+    } finally in.close()
+  }
+
+  /** Stage the harness `documents` table as a gbd shard under the JVM
+    * temp dir (payload = UTF-8 text bytes), once per sfDir; returns the
+    * shard path. Write-aside + atomic rename makes concurrent stagers
+    * safe.
+    */
+  def stageDocuments(spark: SparkSession, sfDir: String, blockRecords: Int = 512): String = {
+    val path = Paths.get(
+      sys.props("java.io.tmpdir"),
+      s"graft_gbd_${Integer.toHexString(sfDir.hashCode)}.gbd").toString
+    if (!Files.exists(Paths.get(path)) || !Files.exists(Paths.get(path + ".gbx"))) {
+      val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+        .selectExpr("doc_id", "lang", "text")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2).getBytes("UTF-8")))
+        .sortBy(_._1)
+        .toSeq
+      write(path, rows, blockRecords)
+    }
+    path
+  }
+}
+
+/** `spark.read.format("graft.sources.GbdSource").load(path)` */
+class GbdSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = GbdFormat.Schema
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform], properties: JMap[String, String]): Table =
+    new GbdTable(properties.get("path"))
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+final class GbdTable(path: String) extends Table with SupportsRead {
+  require(path != null, "gbd source requires a path (use .load(path))")
+  override def name(): String = s"gbd:$path"
+  override def schema(): StructType = GbdFormat.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GbdScanBuilder(path)
+}
+
+final class GbdScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var required: StructType = GbdFormat.Schema
+  private var pushed: Array[Filter] = Array.empty
+
+  /** Accept doc_id comparisons for block pruning; return EVERY filter as
+    * a residual so Spark re-evaluates them row-by-row (pruning is an
+    * optimization, never a correctness dependency).
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter {
+      case EqualTo("doc_id", _) | GreaterThan("doc_id", _) | GreaterThanOrEqual("doc_id", _) |
+          LessThan("doc_id", _) | LessThanOrEqual("doc_id", _) => true
+      case _ => false
+    }
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = { required = requiredSchema }
+
+  override def build(): Scan = new GbdScan(path, required, pushed)
+}
+
+final class GbdScan(path: String, required: StructType, pushed: Array[Filter])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  // filter values arrive boxed; doc_id predicates may carry Int or Long
+  private def asLong(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int => Some(i.toLong)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case _ => None
+  }
+
+  private def blockSurvives(b: GbdFormat.BlockMeta): Boolean =
+    pushed.forall {
+      case EqualTo("doc_id", v) => asLong(v).forall(x => x >= b.minId && x <= b.maxId)
+      case GreaterThan("doc_id", v) => asLong(v).forall(b.maxId > _)
+      case GreaterThanOrEqual("doc_id", v) => asLong(v).forall(b.maxId >= _)
+      case LessThan("doc_id", v) => asLong(v).forall(b.minId < _)
+      case LessThanOrEqual("doc_id", v) => asLong(v).forall(b.minId <= _)
+      case _ => true
+    }
+
+  private lazy val planned: (Int, Array[InputPartition]) = {
+    val all = GbdFormat.readIndex(path)
+    val kept = all.filter(blockSurvives)
+    (all.length, kept.map(b => GbdBlockPartition(path, b.offset, b.nRecords): InputPartition).toArray)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = planned._2
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GbdReaderFactory(required.fieldNames)
+
+  /** Shows in `.explain` — the pruning evidence plan specs assert on. */
+  override def description(): String = {
+    val (total, kept) = (planned._1, planned._2.length)
+    s"gbd blocks=$kept/$total cols=${required.fieldNames.mkString(",")} " +
+      s"pushed=${pushed.mkString(",")}"
+  }
+}
+
+final case class GbdBlockPartition(path: String, offset: Long, nRecords: Int)
+    extends InputPartition
+
+final class GbdReaderFactory(cols: Array[String]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GbdBlockPartition]
+    new GbdBlockReader(p, cols)
+  }
+}
+
+/** Reads one block. Skips payload bytes entirely when the projection
+  * doesn't include them (`DataInputStream.skipBytes` → no allocation,
+  * and on a real filesystem no page-cache pollution either).
+  */
+final class GbdBlockReader(p: GbdBlockPartition, cols: Array[String])
+    extends PartitionReader[InternalRow] {
+  private val needLang = cols.contains("lang")
+  private val needPayload = cols.contains("payload")
+  private val in = {
+    val fis = new FileInputStream(p.path)
+    var toSkip = p.offset
+    while (toSkip > 0) toSkip -= fis.skip(toSkip)
+    val d = new DataInputStream(new java.io.BufferedInputStream(fis, 1 << 16))
+    val n = d.readInt()
+    require(n == p.nRecords, s"index/block mismatch at offset ${p.offset}: $n vs ${p.nRecords}")
+    d
+  }
+  private var remaining = p.nRecords
+  private var row: InternalRow = _
+
+  private def skipFully(n: Int): Unit = {
+    var left = n
+    while (left > 0) {
+      val s = in.skipBytes(left)
+      require(s > 0, s"truncated block at offset ${p.offset}")
+      left -= s
+    }
+  }
+
+  override def next(): Boolean = {
+    if (remaining == 0) return false
+    remaining -= 1
+    val id = in.readLong()
+    val langLen = in.readInt()
+    val lang: AnyRef =
+      if (needLang) {
+        val b = new Array[Byte](langLen); in.readFully(b); UTF8String.fromBytes(b)
+      } else { skipFully(langLen); null }
+    val payLen = in.readInt()
+    val payload: AnyRef =
+      if (needPayload) {
+        val b = new Array[Byte](payLen); in.readFully(b); b
+      } else { skipFully(payLen); null }
+    val values = cols.map {
+      case "doc_id" => java.lang.Long.valueOf(id)
+      case "lang" => lang
+      case "payload" => payload
+    }
+    row = new GenericInternalRow(values.asInstanceOf[Array[Any]])
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = in.close()
+}

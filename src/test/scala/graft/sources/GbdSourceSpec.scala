@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** The DSv2 connector's contracts: exact round-trip vs the parquet
+  * original, stats-based block pruning visible in the executed plan,
+  * payload skipping under column pruning, and filters staying residual
+  * (pruning never changes results).
+  */
+class GbdSourceSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val shard = GbdFormat.stageDocuments(spark, dir, blockRecords = 64)
+  private def gbd = spark.read.format("graft.sources.GbdSource").load(shard)
+
+  test("round-trip: every (doc_id, lang, payload) matches the parquet original") {
+    val got = gbd.select(col("doc_id"), col("lang"), col("payload").cast("string").as("text"))
+    val want = Tables(spark, dir, "documents").select("doc_id", "lang", "text")
+    assert(got.exceptAll(want).count() == 0)
+    assert(want.exceptAll(got).count() == 0)
+  }
+
+  test("block pruning: a doc_id range schedules only the overlapping blocks") {
+    val df = gbd.filter(col("doc_id") >= 64 && col("doc_id") < 192)
+    val desc = df.queryExecution.executedPlan.toString
+    // 500 docs / 64 per block = 8 blocks; [64, 192) overlaps exactly 2
+    assert(desc.contains("blocks=2/8"), s"plan did not prune:\n$desc")
+    // and pruning kept every matching row
+    assert(df.count() == 128)
+  }
+
+  test("column pruning: payload is not materialized for a metadata-only scan") {
+    val df = gbd.filter(col("doc_id") < 64).select("doc_id", "lang")
+    val desc = df.queryExecution.executedPlan.toString
+    assert(desc.contains("cols=doc_id,lang"), s"payload not pruned:\n$desc")
+    assert(df.count() == 64)
+  }
+
+  test("filters are residual: a predicate the index can't prune still filters rows") {
+    // lang equality is not pushed (only doc_id is); Spark must apply it
+    val perLang = gbd.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { case (lang, n) =>
+      assert(gbd.filter(col("lang") === lang).count() == n)
+    }
+    // and a doc_id predicate inside a surviving block is re-applied
+    // row-by-row (block granularity is 64, the range is narrower)
+    assert(gbd.filter(col("doc_id") >= 70 && col("doc_id") < 80).count() == 10)
+  }
+}
