@@ -165,4 +165,26 @@ class PlanSpec extends SparkSpec {
       .queryExecution.explainString(ExplainMode.fromString("simple"))
     assert(!p.contains("Exchange"), p)
   }
+
+  test("q135: PII scrub is map-only regex work — no joins, one agg exchange") {
+    val p = SparkEntry.queries("q135_pii_redaction")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("Join"), p)
+    assert("Exchange".r.findAllIn(p).size === 1, p)
+  }
+
+  test("q136: entropy top-25 is TakeOrdered, and every window/agg is keyed") {
+    val p = SparkEntry.queries("q136_char_entropy")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("q137: anchors broadcast; the sample window is keyed, never single-partition") {
+    val p = SparkEntry.queries("q137_negative_sampling")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(p.contains("Broadcast"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
