@@ -320,5 +320,26 @@ object Events {
                                         ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
               FROM events)
         WHERE rn <= 2""")),
+
+    // ---- streaming first-touch per (user, event_type) via
+    // transformWithState — the Spark 4 arbitrary-state API
+    // (StatefulProcessor + MapState over the RocksDB state store), one
+    // tier up from q111's flatMapGroupsWithState. One row per (user,
+    // type) at its first occurrence; on the single-batch harness file
+    // that set is exactly the batch min(ts) per (user, type), which is
+    // the oracle. Cross-batch state carry is pinned in StreamingSpec.
+    QueryDef(
+      "q139_stream_first_touch",
+      (s, d) => {
+        import graft.streaming.EventStreams
+        EventStreams.runToMemorySink(
+          EventStreams.firstTouchPerType(Tables.eventsStream(s, d)),
+          "append")
+      },
+      Some("""
+        SELECT user_id, event_type,
+               min(epoch_us(CAST(ts AS TIMESTAMP))) AS first_ts_us
+        FROM events
+        GROUP BY 1, 2""")),
   )
 }

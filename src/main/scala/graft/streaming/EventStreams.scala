@@ -101,6 +101,37 @@ object EventStreams {
       .toDF("user_id", "event_id", "ts_us")
   }
 
+  /** First touch per (user, event_type) via `transformWithState` — the
+    * Spark 4 arbitrary-state API (StatefulProcessor + typed state
+    * primitives over the RocksDB state store, the successor of
+    * flatMapGroupsWithState used by quotaPerKey). Emits one row the
+    * first time a user produces each event type. State per user is a
+    * MapState[event_type → first ts] — bounded by the (small) type
+    * space per key, never the stream length; TTLConfig.NONE here, but
+    * the same handle takes a TTL for state that must age out. Arrivals
+    * are ordered by (ts, event_id) within a micro-batch, so on the
+    * single-batch harness file the result is exactly the batch
+    * min-per-(user, type) the oracle computes; cross-batch state
+    * semantics are pinned in StreamingSpec with a MemoryStream.
+    */
+  def firstTouchPerType(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    // transformWithState requires the RocksDB state store provider
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new FirstTouchProcessor, TimeMode.None(), OutputMode.Append())
+      .toDF("user_id", "event_type", "first_ts_us")
+  }
+
   /** Drive a streaming frame to completion into an in-memory table and
     * return it as a batch DataFrame (used by the declared queries to
     * exercise the streaming engine inside a batch contract).
@@ -116,4 +147,36 @@ object EventStreams {
     finally q.stop()
     streamingDf.sparkSession.table(sinkName)
   }
+}
+
+/** Per-user first-touch tracker for [[EventStreams.firstTouchPerType]].
+  * Input rows are (user_id, event_id, event_type, ts_us); output is
+  * (user_id, event_type, first_ts_us). The micro-batch's rows are
+  * sorted by (ts_us, event_id) before admission so emission order — and
+  * therefore the emitted SET — is a pure function of the batch
+  * contents, not of partition arrival order.
+  */
+class FirstTouchProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, String, Long), (Long, String, Long)] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{MapState, OutputMode, TTLConfig, TimeMode, TimerValues}
+
+  @transient private var seen: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    seen = getHandle.getMapState[String, Long](
+      "firstSeen", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, Long, String, Long)],
+      timerValues: TimerValues): Iterator[(Long, String, Long)] =
+    rows.toSeq.sortBy(e => (e._4, e._2)).flatMap { e =>
+      if (seen.containsKey(e._3)) None
+      else {
+        seen.updateValue(e._3, e._4)
+        Some((key, e._3, e._4))
+      }
+    }.iterator
 }

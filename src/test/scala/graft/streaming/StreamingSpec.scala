@@ -139,4 +139,34 @@ class StreamingSpec extends SparkSpec {
       assert(admitted === Set((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L)))
     } finally q.stop()
   }
+
+  test("firstTouchPerType (transformWithState): MapState carries first-seen across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String, Timestamp)]
+    val touched = graft.streaming.EventStreams.firstTouchPerType(
+      input.toDF().toDF("user_id", "event_id", "event_type", "ts"))
+    val q = touched.writeStream
+      .outputMode("append").format("memory").queryName("first_touch_sink").start()
+    try {
+      // batch 1: u1 views (first touch), u1 views again (suppressed)
+      input.addData(
+        (1L, 10L, "view", ts("2024-01-01 10:00:00")),
+        (1L, 11L, "view", ts("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      // batch 2: u1 view AGAIN (state must remember across batches →
+      // suppressed), u1 purchase (new type → emitted), u2 view (new
+      // key → emitted)
+      input.addData(
+        (1L, 12L, "view", ts("2024-01-01 12:00:00")),
+        (1L, 13L, "purchase", ts("2024-01-01 12:30:00")),
+        (2L, 20L, "view", ts("2024-01-01 09:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("first_touch_sink").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows === Set(
+        (1L, "view", ts("2024-01-01 10:00:00").getTime * 1000),
+        (1L, "purchase", ts("2024-01-01 12:30:00").getTime * 1000),
+        (2L, "view", ts("2024-01-01 09:00:00").getTime * 1000)))
+    } finally q.stop()
+  }
 }
