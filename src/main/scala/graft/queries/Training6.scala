@@ -317,5 +317,41 @@ object Training6 {
         FROM documents
         WHERE doc_id >= 64 AND doc_id < 320
         GROUP BY 1""")),
+
+    // ---- Bloom-filter FPP gate, completing the sketch-contract family
+    // (HLL q32, CMS q133, t-digest q134): the filter behind the q72
+    // runtime pre-join must honor BOTH its guarantees — zero false
+    // negatives (hard), and an observed false-positive rate near the
+    // configured fpp (probabilistic; ≤3× nominal leaves ample margin
+    // and is deterministic for fixed data, since the filter's hashing
+    // carries no random seed). Members = distinct order keys (built
+    // distributed via stat.bloomFilter's partition-merge agg); probes =
+    // 100k keys far outside the key domain. The exact member count is
+    // the oracle-checkable witness.
+    QueryDef(
+      "q140_bloom_fpp_gate",
+      (s, d) => {
+        val orders = t(s, d, "orders").select(col("o_orderkey"))
+        val bloom = orders.stat.bloomFilter("o_orderkey", 2000000L, 0.01)
+        val bc = s.sparkContext.broadcast(bloom)
+        val mightContain =
+          udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+        val members = orders.distinct()
+        val nMembers = members.count()
+        val falseNeg = members.filter(!mightContain(col("o_orderkey"))).count()
+        val nProbes = 100000L
+        val probeBase = 1000000000000L // far above any o_orderkey
+        val falsePos = s.range(probeBase, probeBase + nProbes)
+          .filter(mightContain(col("id"))).count()
+        import s.implicits._
+        Seq((nMembers, nProbes, falseNeg, falsePos <= (nProbes * 3) / 100))
+          .toDF("n_members", "n_probes", "false_negatives", "fpp_ok")
+      },
+      Some("""
+        SELECT count(DISTINCT o_orderkey) AS n_members,
+               CAST(100000 AS BIGINT) AS n_probes,
+               CAST(0 AS BIGINT) AS false_negatives,
+               TRUE AS fpp_ok
+        FROM orders""")),
   )
 }
