@@ -366,5 +366,74 @@ object Text {
           GROUP BY 1)
         SELECT d.doc_id, CAST(coalesce(g.n_near, 0) AS BIGINT) AS n_near
         FROM documents d LEFT JOIN deg g ON g.doc_id = d.doc_id""")),
+
+    // ---- q132's production variant, evidence-backed: the 16-bit/8-bit-
+    // band scheme has only 256 buckets, so bucket occupancy grows
+    // linearly with the corpus and candidate pairs quadratically
+    // (ScaleCheck measured 5.2× wall at 10× data). Here the signature is
+    // 60-bit (the word hashes are 60-bit, so higher simhash bits are
+    // degenerate) with 4×15-bit bands — 32768 buckets PER BAND, so
+    // occupancy stays O(corpus/32768) and the four band-joins stay
+    // linear. Pigeonhole for Hamming ≤ 1: one differing bit can touch
+    // at most one band, so every qualifying pair agrees on ≥3 bands and
+    // each band-join can find it; the union of all four + exact
+    // bit_count verify is lossless. Same emitted surface as q132
+    // (per-doc near-dup degree).
+    QueryDef(
+      "q141_simhash60_degree",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val sh = graft.operators.Dedup.simhash(docs, "doc_id", "text", bits = 60)
+        val banded = (0 until 4).foldLeft(sh) { (df, i) =>
+          df.withColumn(s"b$i", expr(s"shiftright(simhash60, ${15 * i}) & 32767"))
+        }.cache()
+        try {
+          val pairs = (0 until 4).map { i =>
+            banded.as("a").join(banded.as("b"),
+              col(s"a.b$i") === col(s"b.b$i") && col("a.doc_id") < col("b.doc_id"))
+              .select(
+                col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+                col("a.simhash60").as("sa"), col("b.simhash60").as("sb"))
+          }.reduce(_ unionByName _)
+            .dropDuplicates("da", "db")
+            .filter(expr("bit_count(sa ^ sb) <= 1"))
+          val deg = pairs.select(col("da").as("doc_id"))
+            .unionAll(pairs.select(col("db").as("doc_id")))
+            .groupBy("doc_id").agg(count(lit(1)).as("n_near"))
+          docs.select("doc_id")
+            .join(deg, Seq("doc_id"), "left")
+            .select(col("doc_id"), coalesce(col("n_near"), lit(0L)).as("n_near"))
+            .localCheckpoint()
+        } finally banded.unpersist()
+      },
+      Some(s"""
+        WITH h AS (SELECT doc_id, ${wordHashesDuck()} AS hs FROM documents),
+        sh AS (SELECT doc_id, ${simhashDuck("hs", 60)} AS s FROM h),
+        b AS (SELECT doc_id, s,
+                     (s >> 0) & 32767 AS b0, (s >> 15) & 32767 AS b1,
+                     (s >> 30) & 32767 AS b2, (s >> 45) & 32767 AS b3
+              FROM sh),
+        cand AS (
+          SELECT a.doc_id AS da, c.doc_id AS db, a.s AS sa, c.s AS sb
+          FROM b a JOIN b c ON a.b0 = c.b0 AND a.doc_id < c.doc_id
+          UNION
+          SELECT a.doc_id, c.doc_id, a.s, c.s
+          FROM b a JOIN b c ON a.b1 = c.b1 AND a.doc_id < c.doc_id
+          UNION
+          SELECT a.doc_id, c.doc_id, a.s, c.s
+          FROM b a JOIN b c ON a.b2 = c.b2 AND a.doc_id < c.doc_id
+          UNION
+          SELECT a.doc_id, c.doc_id, a.s, c.s
+          FROM b a JOIN b c ON a.b3 = c.b3 AND a.doc_id < c.doc_id),
+        pairs AS (
+          SELECT * FROM cand
+          WHERE bit_count(xor(CAST(sa AS BIGINT), CAST(sb AS BIGINT))) <= 1),
+        deg AS (
+          SELECT doc_id, count(*) AS n_near FROM (
+            SELECT da AS doc_id FROM pairs
+            UNION ALL SELECT db FROM pairs)
+          GROUP BY 1)
+        SELECT d.doc_id, CAST(coalesce(g.n_near, 0) AS BIGINT) AS n_near
+        FROM documents d LEFT JOIN deg g ON g.doc_id = d.doc_id""")),
   )
 }

@@ -76,7 +76,9 @@ object ScaleCheck {
       "q72_bloom_semi_join", "q74_bm25", "q85_interval_join",
       "q105_line_dedup", "q109_pagerank", "q112_ivf_pq_ann",
       "q115_dup_spans", "q117_unigram_surprisal", "q119_salted_agg",
-      "q125_topk_perkey", "q126_bpe_encode", "q132_simhash_degree")
+      "q125_topk_perkey", "q126_bpe_encode", "q132_simhash_degree",
+      "q133_cms_heavy_hitters", "q135_pii_redaction", "q136_char_entropy",
+      "q137_negative_sampling", "q141_simhash60_degree")
     val qs = graft.SparkEntry.queries
     def timeIt(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
