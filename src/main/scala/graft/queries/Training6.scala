@@ -353,5 +353,70 @@ object Training6 {
                CAST(0 AS BIGINT) AS false_negatives,
                TRUE AS fpp_ok
         FROM orders""")),
+
+    // ---- bigram-LM cross-entropy (the CCNet LM-filter shape, one
+    // order up from q117's unigram surprisal): train an add-one-
+    // smoothed bigram model on the corpus, score every document by
+    // average token surprisal −ln P(w₂|w₁), emit the 25 worst-fit
+    // documents. Unlike q117's driver-size vocabulary, the bigram
+    // table does NOT broadcast at corpus scale — the scale shape is
+    // two co-keyed shuffle equi-joins (token stream ⋈ bigram counts on
+    // the bigram, ⋈ context counts on the left word) + a broadcast
+    // scalar |V|. All arithmetic is exact BIGINT micro-nats (ln
+    // rounded once at source, half-up division), so the ranking is
+    // bit-identical across engines.
+    QueryDef(
+      "q142_bigram_xent",
+      (s, d) => {
+        val withWs = t(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .filter(size(col("ws")) >= 2)
+        val bg = withWs.select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(ws) - 1),
+             i -> struct(element_at(ws, i) AS w1,
+                         concat(element_at(ws, i), ' ', element_at(ws, i + 1)) AS bg))"""))
+          .as("t"))
+          .select(col("doc_id"), col("t.w1"), col("t.bg"))
+        val cbg = bg.groupBy("bg").agg(count(lit(1)).as("c_bg"))
+        val cctx = bg.groupBy("w1").agg(count(lit(1)).as("c_ctx"))
+        val vocab = t(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(col("w") =!= "")
+          .agg(countDistinct(col("w")).as("v"))
+        bg.join(cbg, "bg").join(cctx, "w1").crossJoin(broadcast(vocab))
+          .select(col("doc_id"),
+            (expr(lnMicroSpark.format("c_ctx + v")) -
+              expr(lnMicroSpark.format("c_bg + 1"))).as("sup"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum("sup").as("s2"))
+          .select(col("doc_id"), col("n_bigrams"),
+            expr("(2 * s2 + n_bigrams) div (2 * n_bigrams)").as("xent_micro"))
+          .orderBy(col("xent_micro").desc, col("doc_id").asc)
+          .limit(25)
+      },
+      Some(s"""
+        WITH d2 AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+          WHERE len(string_split(text, ' ')) >= 2),
+        bgs AS (
+          SELECT doc_id, ws[i] AS w1, ws[i] || ' ' || ws[i + 1] AS bg
+          FROM d2, unnest(range(1, len(ws))) AS t(i)),
+        cbg AS (SELECT bg, count(*) AS c_bg FROM bgs GROUP BY 1),
+        cctx AS (SELECT w1, count(*) AS c_ctx FROM bgs GROUP BY 1),
+        v AS (
+          SELECT count(DISTINCT word) AS v FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+          WHERE word <> ''),
+        sc AS (
+          SELECT doc_id,
+                 ${lnMicroDuck.format("c_ctx + v")} -
+                 ${lnMicroDuck.format("c_bg + 1")} AS sup
+          FROM bgs JOIN cbg USING (bg) JOIN cctx USING (w1), v),
+        p AS (
+          SELECT doc_id, count(*) AS n_bigrams, CAST(sum(sup) AS BIGINT) AS s2
+          FROM sc GROUP BY 1)
+        SELECT doc_id, n_bigrams,
+               CAST((2 * s2 + n_bigrams) // (2 * n_bigrams) AS BIGINT) AS xent_micro
+        FROM p ORDER BY xent_micro DESC, doc_id LIMIT 25""")),
   )
 }
