@@ -332,9 +332,11 @@ object Events {
       "q139_stream_first_touch",
       (s, d) => {
         import graft.streaming.EventStreams
-        EventStreams.runToMemorySink(
-          EventStreams.firstTouchPerType(Tables.eventsStream(s, d)),
-          "append")
+        EventStreams.withRocksDbStateStore(s) {
+          EventStreams.runToMemorySink(
+            EventStreams.firstTouchPerType(Tables.eventsStream(s, d)),
+            "append")
+        }
       },
       Some("""
         SELECT user_id, event_type,

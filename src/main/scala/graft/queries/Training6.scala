@@ -371,28 +371,34 @@ object Training6 {
         val withWs = t(s, d, "documents")
           .select(col("doc_id"), split(col("text"), " ").as("ws"))
           .filter(size(col("ws")) >= 2)
+        // the token stream feeds model training (cbg, cctx) AND scoring;
+        // cache it so the corpus is scanned/exploded once, not three times
         val bg = withWs.select(col("doc_id"), explode(expr(
           """transform(sequence(1, size(ws) - 1),
              i -> struct(element_at(ws, i) AS w1,
                          concat(element_at(ws, i), ' ', element_at(ws, i + 1)) AS bg))"""))
           .as("t"))
           .select(col("doc_id"), col("t.w1"), col("t.bg"))
-        val cbg = bg.groupBy("bg").agg(count(lit(1)).as("c_bg"))
-        val cctx = bg.groupBy("w1").agg(count(lit(1)).as("c_ctx"))
-        val vocab = t(s, d, "documents")
-          .select(explode(split(col("text"), " ")).as("w"))
-          .filter(col("w") =!= "")
-          .agg(countDistinct(col("w")).as("v"))
-        bg.join(cbg, "bg").join(cctx, "w1").crossJoin(broadcast(vocab))
-          .select(col("doc_id"),
-            (expr(lnMicroSpark.format("c_ctx + v")) -
-              expr(lnMicroSpark.format("c_bg + 1"))).as("sup"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bigrams"), sum("sup").as("s2"))
-          .select(col("doc_id"), col("n_bigrams"),
-            expr("(2 * s2 + n_bigrams) div (2 * n_bigrams)").as("xent_micro"))
-          .orderBy(col("xent_micro").desc, col("doc_id").asc)
-          .limit(25)
+          .cache()
+        try {
+          val cbg = bg.groupBy("bg").agg(count(lit(1)).as("c_bg"))
+          val cctx = bg.groupBy("w1").agg(count(lit(1)).as("c_ctx"))
+          val vocab = t(s, d, "documents")
+            .select(explode(split(col("text"), " ")).as("w"))
+            .filter(col("w") =!= "")
+            .agg(countDistinct(col("w")).as("v"))
+          bg.join(cbg, "bg").join(cctx, "w1").crossJoin(broadcast(vocab))
+            .select(col("doc_id"),
+              (expr(lnMicroSpark.format("c_ctx + v")) -
+                expr(lnMicroSpark.format("c_bg + 1"))).as("sup"))
+            .groupBy("doc_id")
+            .agg(count(lit(1)).as("n_bigrams"), sum("sup").as("s2"))
+            .select(col("doc_id"), col("n_bigrams"),
+              expr("(2 * s2 + n_bigrams) div (2 * n_bigrams)").as("xent_micro"))
+            .orderBy(col("xent_micro").desc, col("doc_id").asc)
+            .limit(25)
+            .localCheckpoint()
+        } finally bg.unpersist()
       },
       Some(s"""
         WITH d2 AS (

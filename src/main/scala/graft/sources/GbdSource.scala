@@ -65,8 +65,12 @@ object GbdFormat {
     * and tests (see class doc for the production-writer story).
     */
   def write(path: String, rows: Seq[(Long, String, Array[Byte])], blockRecords: Int): Unit = {
-    val tmpData = Paths.get(path + ".tmp")
-    val tmpIdx = Paths.get(path + ".gbx.tmp")
+    // unique write-aside names: concurrent stagers of the same path each
+    // write their own tmp pair and the (idempotent, same-content) renames
+    // race harmlessly — no writer ever truncates another's in-progress file
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val tmpData = Paths.get(s"$path.$tag.tmp")
+    val tmpIdx = Paths.get(s"$path.gbx.$tag.tmp")
     val blocks = ArrayBuffer.empty[BlockMeta]
     val out = new DataOutputStream(new java.io.BufferedOutputStream(
       new FileOutputStream(tmpData.toFile)))
@@ -121,9 +125,12 @@ object GbdFormat {
     * safe.
     */
   def stageDocuments(spark: SparkSession, sfDir: String, blockRecords: Int = 512): String = {
+    // cache key carries the block geometry: stagers asking for different
+    // blockRecords must not share a shard (the harness parquet itself is
+    // read-only, so content staleness is not a concern here)
     val path = Paths.get(
       sys.props("java.io.tmpdir"),
-      s"graft_gbd_${Integer.toHexString(sfDir.hashCode)}.gbd").toString
+      s"graft_gbd_${Integer.toHexString(sfDir.hashCode)}_b$blockRecords.gbd").toString
     if (!Files.exists(Paths.get(path)) || !Files.exists(Paths.get(path + ".gbx"))) {
       val rows = spark.read.parquet(s"$sfDir/documents.parquet")
         .selectExpr("doc_id", "lang", "text")
@@ -242,12 +249,16 @@ final class GbdBlockReader(p: GbdBlockPartition, cols: Array[String])
   private val needPayload = cols.contains("payload")
   private val in = {
     val fis = new FileInputStream(p.path)
-    var toSkip = p.offset
-    while (toSkip > 0) toSkip -= fis.skip(toSkip)
-    val d = new DataInputStream(new java.io.BufferedInputStream(fis, 1 << 16))
-    val n = d.readInt()
-    require(n == p.nRecords, s"index/block mismatch at offset ${p.offset}: $n vs ${p.nRecords}")
-    d
+    try {
+      var toSkip = p.offset
+      while (toSkip > 0) toSkip -= fis.skip(toSkip)
+      val d = new DataInputStream(new java.io.BufferedInputStream(fis, 1 << 16))
+      val n = d.readInt()
+      require(n == p.nRecords, s"index/block mismatch at offset ${p.offset}: $n vs ${p.nRecords}")
+      d
+    } catch {
+      case e: Throwable => fis.close(); throw e // no fd leak on a bad block/index
+    }
   }
   private var remaining = p.nRecords
   private var row: InternalRow = _

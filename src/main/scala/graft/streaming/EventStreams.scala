@@ -114,14 +114,29 @@ object EventStreams {
     * min-per-(user, type) the oracle computes; cross-batch state
     * semantics are pinned in StreamingSpec with a MemoryStream.
     */
+  /** transformWithState requires the RocksDB state store provider. The
+    * provider class is read from the session conf when a streaming query
+    * STARTS, so the swap must surround start-to-drain; this helper
+    * restores the prior provider afterwards — other stateful queries in
+    * the same session keep the store they were written against instead
+    * of silently inheriting RocksDB in execution-order-dependent ways.
+    */
+  def withRocksDbStateStore[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   def firstTouchPerType(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     val spark = events.sparkSession
     import spark.implicits._
-    // transformWithState requires the RocksDB state store provider
-    spark.conf.set(
-      "spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     events
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("ts_us"))

@@ -77,7 +77,10 @@ class Training6Spec extends SparkSpec {
       val prefix = text.take(256)
       val counts = prefix.groupBy(identity).values.map(_.length.toLong)
       val n = counts.sum
-      def lnMicro(x: Long): Long = math.rint(math.log(x.toDouble) * 1e6).toLong
+      // SQL round() is half-AWAY-FROM-ZERO; ln(x) >= 0 here, so
+      // floor(x + 0.5) reproduces it exactly (math.rint would round
+      // half-to-even and diverge on exact .5 boundaries)
+      def lnMicro(x: Long): Long = math.floor(math.log(x.toDouble) * 1e6 + 0.5).toLong
       val num = n * lnMicro(n) - counts.map(c => c * lnMicro(c)).sum
       (2 * num + n) / (2 * n)
     }

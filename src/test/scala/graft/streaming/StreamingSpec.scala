@@ -145,6 +145,7 @@ class StreamingSpec extends SparkSpec {
     val input = MemoryStream[(Long, Long, String, Timestamp)]
     val touched = graft.streaming.EventStreams.firstTouchPerType(
       input.toDF().toDF("user_id", "event_id", "event_type", "ts"))
+    graft.streaming.EventStreams.withRocksDbStateStore(spark) {
     val q = touched.writeStream
       .outputMode("append").format("memory").queryName("first_touch_sink").start()
     try {
@@ -168,5 +169,6 @@ class StreamingSpec extends SparkSpec {
         (1L, "purchase", ts("2024-01-01 12:30:00").getTime * 1000),
         (2L, "view", ts("2024-01-01 09:00:00").getTime * 1000)))
     } finally q.stop()
+    }
   }
 }
