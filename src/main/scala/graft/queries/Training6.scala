@@ -424,5 +424,52 @@ object Training6 {
         SELECT doc_id, n_bigrams,
                CAST((2 * s2 + n_bigrams) // (2 * n_bigrams) AS BIGINT) AS xent_micro
         FROM p ORDER BY xent_micro DESC, doc_id LIMIT 25""")),
+
+    // ---- triangle counting over the co-purchase graph (parts that
+    // share an order), completing the graph family (q71/q109 CC +
+    // PageRank). The plan is the standard oriented-edge scheme: edges
+    // are kept only as u < v, so each triangle is ONE (e1:a→b, e2:b→c,
+    // e3:a→c) row and the count needs no /6 correction — two shuffle
+    // equi-joins over the edge list, never a cross join. Skew notes for
+    // corpus scale: per-order pair fan-out is (items/order)², bounded
+    // by the order size cap upstream; the production hardening for a
+    // power-law graph is degree orientation (low-degree → high-degree
+    // endpoint), same plan with the orientation predicate swapped.
+    QueryDef(
+      "q143_triangle_count",
+      (s, d) => {
+        val op = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val e = op.as("a").join(op.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .select(col("a.p").as("u"), col("b.p").as("v"))
+          .distinct()
+          .cache()
+        try {
+          val tri = e.as("e1")
+            .join(e.as("e2"), col("e1.v") === col("e2.u"))
+            .join(e.as("e3"),
+              col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
+            .count()
+          val nodes = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+            .distinct().count()
+          val edges = e.count()
+          import s.implicits._
+          Seq((nodes, edges, tri)).toDF("n_nodes", "n_edges", "n_triangles")
+        } finally e.unpersist()
+      },
+      Some("""
+        WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        e AS (
+          SELECT DISTINCT a.p AS u, b.p AS v
+          FROM op a JOIN op b ON a.o = b.o AND a.p < b.p)
+        SELECT (SELECT count(*) FROM (SELECT u AS n FROM e UNION SELECT v FROM e))
+                 AS n_nodes,
+               (SELECT count(*) FROM e) AS n_edges,
+               (SELECT count(*)
+                FROM e e1 JOIN e e2 ON e1.v = e2.u
+                          JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v)
+                 AS n_triangles""")),
   )
 }
