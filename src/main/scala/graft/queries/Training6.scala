@@ -471,5 +471,94 @@ object Training6 {
                 FROM e e1 JOIN e e2 ON e1.v = e2.u
                           JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v)
                  AS n_triangles""")),
+
+    // ---- time-series linear interpolation: densify each user's daily
+    // value series onto the global day spine and fill interior gaps by
+    // linear interpolation between the neighboring known days (leading/
+    // trailing gaps stay empty — the pandas `interpolate` contract).
+    // The neighbors come from two keyed IGNORE-NULLS window passes
+    // (running last known / upcoming first known), so the plan is one
+    // join + one keyed window — no self-join per gap, no per-user loop.
+    // Values are exact micro-units; the interpolated value is the
+    // integer weighted mean pv·(nd−day) + nv·(day−pd) over (nd−pd) with
+    // sign-split half-up division, so both engines agree bit-for-bit.
+    QueryDef(
+      "q144_interpolate",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 86400000000").as("day"), col("value"))
+        val known = ev.groupBy("user_id", "day")
+          .agg(expr("CAST(sum(CAST(value AS DECIMAL(28,6))) * 1000000 AS BIGINT)").as("v"))
+        val bounds = ev.agg(min("day").as("lo"), max("day").as("hi"))
+        val spine = known.select("user_id").distinct()
+          .crossJoin(broadcast(bounds))
+          .select(col("user_id"), explode(expr("sequence(lo, hi)")).as("day"))
+        val wP = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wN = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(0, Window.unboundedFollowing)
+        spine.join(known, Seq("user_id", "day"), "left")
+          .withColumn("pv", last(col("v"), ignoreNulls = true).over(wP))
+          .withColumn("pd", last(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(wP))
+          .withColumn("nv", first(col("v"), ignoreNulls = true).over(wN))
+          .withColumn("nd", first(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(wN))
+          .withColumn("interp",
+            when(col("v").isNull && col("pv").isNotNull && col("nv").isNotNull,
+              expr("""CASE WHEN pv * (nd - day) + nv * (day - pd) >= 0
+                      THEN (2 * (pv * (nd - day) + nv * (day - pd)) + (nd - pd))
+                           div (2 * (nd - pd))
+                      ELSE -((2 * (-(pv * (nd - day) + nv * (day - pd))) + (nd - pd))
+                           div (2 * (nd - pd))) END""")))
+          .groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n_days"),
+            count(col("v")).as("n_known"),
+            count(col("interp")).as("n_interp"),
+            sum(coalesce(col("interp"), lit(0L))).as("sum_interp_micro"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, value
+          FROM events),
+        known AS (
+          SELECT user_id, day,
+                 CAST(sum(CAST(value AS DECIMAL(28,6))) * 1000000 AS BIGINT) AS v
+          FROM ev GROUP BY 1, 2),
+        b AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
+        spine AS (
+          SELECT user_id, unnest(range(lo, hi + 1)) AS day
+          FROM (SELECT DISTINCT user_id FROM known), b),
+        f AS (
+          SELECT s.user_id, s.day, k.v
+          FROM spine s LEFT JOIN known k USING (user_id, day)),
+        w AS (
+          SELECT user_id, day, v,
+            last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+            last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+            first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+            first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY day
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+          FROM f),
+        i AS (
+          SELECT user_id, v,
+            CASE WHEN v IS NULL AND pv IS NOT NULL AND nv IS NOT NULL THEN
+              CASE WHEN pv * (nd - day) + nv * (day - pd) >= 0
+                   THEN (2 * (pv * (nd - day) + nv * (day - pd)) + (nd - pd))
+                        // (2 * (nd - pd))
+                   ELSE -((2 * (-(pv * (nd - day) + nv * (day - pd))) + (nd - pd))
+                        // (2 * (nd - pd))) END
+            END AS interp
+          FROM w)
+        SELECT user_id, count(*) AS n_days, count(v) AS n_known,
+               count(interp) AS n_interp,
+               CAST(sum(coalesce(interp, 0)) AS BIGINT) AS sum_interp_micro
+        FROM i GROUP BY 1""")),
   )
 }
