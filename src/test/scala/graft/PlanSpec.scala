@@ -187,4 +187,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("q144: interpolation windows are keyed by user; no cartesian product") {
+    val p = SparkEntry.queries("q144_interpolate")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("CartesianProduct"), p)
+    // every window must partition by user_id (a global window would be
+    // the scale-killer here)
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty, p)
+    windows.foreach(w => assert(w.contains("user_id"), w))
+    // the ONLY single-partition exchange allowed is the 1-row global
+    // min/max bounds scalar aggregate (2 partial rows -> 1 scalar)
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 1, p)
+  }
 }
