@@ -115,4 +115,63 @@ class Training6Spec extends SparkSpec {
     val again = q("q137_negative_sampling").collect()
     assert(rows.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
   }
+
+  test("q143: triangle count matches a JVM adjacency-set reference") {
+    val op = Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = op.groupBy(_._1).values.flatMap { items =>
+      val ps = items.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    // oriented adjacency: neighbors greater than the node
+    val adj = edges.groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+    val triRef = edges.toSeq.map { case (u, v) =>
+      adj.getOrElse(u, Set.empty).count(w => w > v && adj.getOrElse(v, Set.empty).contains(w))
+    }.sum
+    val row = q("q143_triangle_count").collect().head
+    assert(row.getAs[Long]("n_edges") == edges.size)
+    assert(row.getAs[Long]("n_triangles") == triRef)
+  }
+
+  test("q144: interpolation matches a JVM reference per user") {
+    val ev = Tables(spark, dir, "events")
+      .selectExpr("user_id", "unix_micros(ts) div 86400000000 AS day", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val lo = ev.map(_._2).min
+    val hi = ev.map(_._2).max
+    def micro(vals: Seq[Double]): Long =
+      vals.map(v => BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        .sum.*(BigDecimal(1000000)).toLongExact
+    val ref = ev.groupBy(_._1).map { case (u, rows) =>
+      val known = rows.groupBy(_._2).map { case (day, rs) => day -> micro(rs.map(_._3).toSeq) }
+      val days = (lo to hi).toSeq
+      var nInterp = 0L
+      var sumInterp = 0L
+      days.foreach { day =>
+        if (!known.contains(day)) {
+          val prev = known.keys.filter(_ < day)
+          val next = known.keys.filter(_ > day)
+          if (prev.nonEmpty && next.nonEmpty) {
+            val pd = prev.max; val nd = next.min
+            val num = known(pd) * (nd - day) + known(nd) * (day - pd)
+            val den = nd - pd
+            val v = if (num >= 0) (2 * num + den) / (2 * den)
+                    else -((2 * -num + den) / (2 * den))
+            nInterp += 1; sumInterp += v
+          }
+        }
+      }
+      u -> (days.length.toLong, known.size.toLong, nInterp, sumInterp)
+    }
+    val got = q("q144_interpolate").collect()
+    assert(got.length == ref.size)
+    got.foreach { r =>
+      val (nDays, nKnown, nInterp, sumInterp) = ref(r.getAs[Long]("user_id"))
+      assert(r.getAs[Long]("n_days") == nDays)
+      assert(r.getAs[Long]("n_known") == nKnown)
+      assert(r.getAs[Long]("n_interp") == nInterp)
+      assert(r.getAs[Long]("sum_interp_micro") == sumInterp)
+    }
+  }
 }
