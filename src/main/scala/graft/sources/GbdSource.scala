@@ -9,9 +9,10 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -40,11 +41,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    a metadata-only scan of a multimodal shard reads ~16 bytes/record.
   *
   * Each block is one `InputPartition` — on a cluster, one task per
-  * block, scheduled wherever the block's byte range is local. The
-  * writer (`GbdFormat.write`) is single-stream test/staging scaffolding;
-  * a production writer would be a `FileFormatWriter`-style per-partition
-  * task emitting one shard per task, which composes with this reader
-  * unchanged (the index is per shard file).
+  * block, scheduled wherever the block's byte range is local. Writes go
+  * through the DSv2 write path (`SupportsWrite` → `GbdBatchWrite`): one
+  * shard + index per input partition, written executor-side and
+  * committed atomically per task; the reader accepts either a single
+  * shard or a directory of `part-*.gbd` shards (each with its own
+  * index), so the two halves compose. `GbdFormat.write` remains as
+  * driver-side staging scaffolding for tests.
   *
   * Shard layout (all big-endian, via DataOutputStream):
   *   header: magic "GBD1"
@@ -153,14 +156,16 @@ class GbdSource extends TableProvider {
   override def supportsExternalMetadata(): Boolean = false
 }
 
-final class GbdTable(path: String) extends Table with SupportsRead {
-  require(path != null, "gbd source requires a path (use .load(path))")
+final class GbdTable(path: String) extends Table with SupportsRead with SupportsWrite {
+  require(path != null, "gbd source requires a path (use .load(path) / .save(path))")
   override def name(): String = s"gbd:$path"
   override def schema(): StructType = GbdFormat.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GbdScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GbdWriteBuilder(path, info)
 }
 
 final class GbdScanBuilder(path: String)
@@ -211,10 +216,20 @@ final class GbdScan(path: String, required: StructType, pushed: Array[Filter])
       case _ => true
     }
 
+  // a path may be a single shard or a directory of part-*.gbd shards
+  // (the distributed writer's output); each shard carries its own index
+  private lazy val shards: Seq[String] = {
+    val f = new java.io.File(path)
+    if (f.isDirectory)
+      f.listFiles().filter(_.getName.endsWith(".gbd")).map(_.getPath).sorted.toSeq
+    else Seq(path)
+  }
+
   private lazy val planned: (Int, Array[InputPartition]) = {
-    val all = GbdFormat.readIndex(path)
-    val kept = all.filter(blockSurvives)
-    (all.length, kept.map(b => GbdBlockPartition(path, b.offset, b.nRecords): InputPartition).toArray)
+    val all = shards.flatMap(p => GbdFormat.readIndex(p).map(b => (p, b)))
+    val kept = all.filter { case (_, b) => blockSurvives(b) }
+    (all.length,
+      kept.map { case (p, b) => GbdBlockPartition(p, b.offset, b.nRecords): InputPartition }.toArray)
   }
 
   override def planInputPartitions(): Array[InputPartition] = planned._2
@@ -297,4 +312,110 @@ final class GbdBlockReader(p: GbdBlockPartition, cols: Array[String])
 
   override def get(): InternalRow = row
   override def close(): Unit = in.close()
+}
+
+/** Distributed write path: one shard (+ its gbx index) per input
+  * partition, written by the executor that holds the partition — the
+  * production counterpart of `GbdFormat.write`'s driver-side staging.
+  * Each task streams its rows into `part-<partition>-<uuid>.gbd.tmp`
+  * in `blockRecords` blocks, tracking per-block (minId, maxId) as it
+  * goes; task commit renames index-then-data (readers discover shards
+  * by `*.gbd` listing, so an index without its data file is invisible
+  * and a half-written tmp is never visible at all). Input rows arrive
+  * in the table schema (doc_id, lang, payload); null lang/payload are
+  * stored as empty values.
+  */
+final class GbdWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuilder {
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new GbdBatchWrite(
+      path, info.options.getInt("blockRecords", 512))
+  }
+}
+
+final class GbdBatchWrite(dir: String, blockRecords: Int) extends BatchWrite {
+  java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GbdWriterFactory(dir, blockRecords)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final case class GbdShardCommitted(path: String, nRecords: Long) extends WriterCommitMessage
+
+final class GbdWriterFactory(dir: String, blockRecords: Int) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GbdShardWriter(dir, partitionId, blockRecords)
+}
+
+final class GbdShardWriter(dir: String, partitionId: Int, blockRecords: Int)
+    extends DataWriter[InternalRow] {
+  private val tag = java.util.UUID.randomUUID().toString.take(8)
+  private val finalPath =
+    java.nio.file.Paths.get(dir, f"part-$partitionId%05d-$tag.gbd")
+  private val tmpData = java.nio.file.Paths.get(s"$finalPath.tmp")
+  private val tmpIdx = java.nio.file.Paths.get(s"$finalPath.gbx.tmp")
+
+  private val out = new DataOutputStream(new java.io.BufferedOutputStream(
+    new FileOutputStream(tmpData.toFile)))
+  out.writeBytes("GBD1")
+  private var offset = 4L
+  private var total = 0L
+
+  // current block accumulator: record bytes are buffered so the block
+  // header (nRecords) can be written first, as the reader expects
+  private val blockBuf = new java.io.ByteArrayOutputStream()
+  private val blockOut = new DataOutputStream(blockBuf)
+  private var blockN = 0
+  private var blockMin = Long.MaxValue
+  private var blockMax = Long.MinValue
+  private val blocks = ArrayBuffer.empty[GbdFormat.BlockMeta]
+
+  private def flushBlock(): Unit = if (blockN > 0) {
+    val bytes = blockBuf.toByteArray
+    blocks += GbdFormat.BlockMeta(offset, blockN, blockMin, blockMax)
+    out.writeInt(blockN)
+    out.write(bytes)
+    offset += 4 + bytes.length
+    blockBuf.reset(); blockN = 0
+    blockMin = Long.MaxValue; blockMax = Long.MinValue
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val id = row.getLong(0)
+    val lang = if (row.isNullAt(1)) Array.emptyByteArray else row.getUTF8String(1).getBytes
+    val payload = if (row.isNullAt(2)) Array.emptyByteArray else row.getBinary(2)
+    blockOut.writeLong(id)
+    blockOut.writeInt(lang.length); blockOut.write(lang)
+    blockOut.writeInt(payload.length); blockOut.write(payload)
+    blockMin = math.min(blockMin, id); blockMax = math.max(blockMax, id)
+    blockN += 1; total += 1
+    if (blockN >= blockRecords) flushBlock()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flushBlock()
+    out.close()
+    val idx = new DataOutputStream(new FileOutputStream(tmpIdx.toFile))
+    try {
+      idx.writeBytes("GBX1")
+      idx.writeInt(blocks.length)
+      blocks.foreach { b =>
+        idx.writeLong(b.offset); idx.writeInt(b.nRecords)
+        idx.writeLong(b.minId); idx.writeLong(b.maxId)
+      }
+    } finally idx.close()
+    // index first, then data: readers list *.gbd, so the shard only
+    // becomes visible once both files are in place
+    Files.move(tmpIdx, Paths.get(s"$finalPath.gbx"), StandardCopyOption.REPLACE_EXISTING)
+    Files.move(tmpData, finalPath, StandardCopyOption.REPLACE_EXISTING)
+    GbdShardCommitted(finalPath.toString, total)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    Files.deleteIfExists(tmpData)
+    Files.deleteIfExists(tmpIdx)
+  }
+
+  override def close(): Unit = ()
 }

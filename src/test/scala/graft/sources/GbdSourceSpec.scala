@@ -48,4 +48,35 @@ class GbdSourceSpec extends SparkSpec {
     // row-by-row (block granularity is 64, the range is narrower)
     assert(gbd.filter(col("doc_id") >= 70 && col("doc_id") < 80).count() == 10)
   }
+
+  test("distributed write: N partitions -> N pruned-readable shards, exact round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("gbd_write_spec").toString
+    // range-cluster the shards: a min/max index is only selective when
+    // the layout is id-clustered (the Z-order/q118 discipline) — range
+    // partition across shards, sort within each
+    val src = Tables(spark, this.dir, "documents")
+      .selectExpr("doc_id", "lang", "CAST(text AS BINARY) AS payload")
+      .repartitionByRange(4, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+    src.write.format("graft.sources.GbdSource")
+      .option("blockRecords", 32).mode("append").save(dir)
+    val shards = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".gbd"))
+    assert(shards.length == 4, shards.mkString(","))
+    assert(shards.forall(s => new java.io.File(s.getPath + ".gbx").exists()))
+    // exact round-trip through the directory read path
+    val back = spark.read.format("graft.sources.GbdSource").load(dir)
+      .select(col("doc_id"), col("lang"), col("payload").cast("string").as("text"))
+    val want = Tables(spark, this.dir, "documents").select("doc_id", "lang", "text")
+    assert(back.exceptAll(want).count() == 0)
+    assert(want.exceptAll(back).count() == 0)
+    // block pruning works across shards: hash-partitioned shards all
+    // overlap the range, but sub-blocks within them are dropped
+    val filtered = spark.read.format("graft.sources.GbdSource").load(dir)
+      .filter(col("doc_id") < 100)
+    val desc = filtered.queryExecution.executedPlan.toString
+    val re = "blocks=(\\d+)/(\\d+)".r
+    val m = re.findFirstMatchIn(desc).get
+    assert(m.group(2).toInt > m.group(1).toInt, desc) // some blocks pruned
+    assert(filtered.count() == 100)
+  }
 }
