@@ -147,6 +147,26 @@ object EventStreams {
       .toDF("user_id", "event_type", "first_ts_us")
   }
 
+  /** Closed-session summaries via event-time TIMERS (see
+    * [[SessionTimeoutProcessor]]): emits (user_id, n_events, last_ts_ms)
+    * once the watermark passes last event + gap. Requires a watermark on
+    * `ts` (applied here) and the RocksDB store (wrap the run in
+    * withRocksDbStateStore).
+    */
+  def sessionTimeout(events: DataFrame, gapMs: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("ts"))
+      .withWatermark("ts", "1 second")
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new SessionTimeoutProcessor(gapMs), TimeMode.EventTime(), OutputMode.Append())
+      .toDF("user_id", "n_events", "last_ts_ms")
+  }
+
   /** Drive a streaming frame to completion into an in-memory table and
     * return it as a batch DataFrame (used by the declared queries to
     * exercise the streaming engine inside a batch contract).
@@ -194,4 +214,52 @@ class FirstTouchProcessor
         Some((key, e._3, e._4))
       }
     }.iterator
+}
+
+/** Session-timeout summaries via transformWithState EVENT-TIME TIMERS —
+  * the third tier of the stateful API (state alone: FirstTouchProcessor;
+  * state + timers: here). Each user's open session is one ValueState
+  * (n_events, last_ts_ms, timer_ms); every arrival slides the
+  * registered event-time timer to last_ts + gap, and when the WATERMARK
+  * passes that point Spark calls handleExpiredTimer, which emits the
+  * closed session (user_id, n_events, last_ts_ms) and clears the state.
+  * Nothing is emitted on the data path — output happens only when
+  * event time proves the session over, which is exactly what a
+  * watermark is for. State per key is one triple; timers are one per
+  * key (re-registered, old deleted) — both bounded by the key space.
+  */
+class SessionTimeoutProcessor(gapMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, java.sql.Timestamp), (Long, Long, Long)] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+
+  @transient private var sess: ValueState[(Long, Long)] = _ // (nEvents, lastTsMs)
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    sess = getHandle.getValueState[(Long, Long)](
+      "sess", Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, java.sql.Timestamp)],
+      timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+    val batch = rows.toSeq
+    val (n0, last0) = if (sess.exists()) sess.get() else (0L, Long.MinValue)
+    if (last0 != Long.MinValue) getHandle.deleteTimer(last0 + gapMs)
+    val n = n0 + batch.size
+    val last = math.max(last0, batch.map(_._2.getTime).max)
+    sess.update((n, last))
+    getHandle.registerTimer(last + gapMs)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(
+      key: Long,
+      timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long)] = {
+    val (n, last) = sess.get()
+    sess.clear()
+    Iterator((key, n, last))
+  }
 }

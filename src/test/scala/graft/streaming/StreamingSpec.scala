@@ -171,4 +171,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
     }
   }
+
+  test("sessionTimeout (transformWithState timers): watermark closes the session") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val sessions = graft.streaming.EventStreams.sessionTimeout(
+      input.toDF().toDF("user_id", "ts"), gapMs = 3600 * 1000L)
+    graft.streaming.EventStreams.withRocksDbStateStore(spark) {
+    val q = sessions.writeStream
+      .outputMode("append").format("memory").queryName("session_timeout_sink").start()
+    try {
+      // batch 1: u1's session (2 events, last at 10:10) — nothing emits
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00")),
+        (1L, ts("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      assert(spark.table("session_timeout_sink").count() == 0)
+      // batch 2: u2 far in the future pushes max event time to 13:00;
+      // batch 3's watermark (13:00 - 1s) then passes u1's timer at
+      // 11:10 and the expired-timer path emits u1's closed session
+      input.addData((2L, ts("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      input.addData((2L, ts("2024-01-01 13:10:00")))
+      q.processAllAvailable()
+      val rows = spark.table("session_timeout_sink").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows === Set((1L, 2L, ts("2024-01-01 10:10:00").getTime)))
+    } finally q.stop()
+    }
+  }
 }
