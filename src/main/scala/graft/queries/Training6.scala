@@ -560,5 +560,58 @@ object Training6 {
                count(interp) AS n_interp,
                CAST(sum(coalesce(interp, 0)) AS BIGINT) AS sum_interp_micro
         FROM i GROUP BY 1""")),
+
+    // ---- probabilistic record linkage (Fellegi–Sunter): score blocked
+    // candidate pairs by summing per-field agreement/disagreement
+    // weights (precomputed ln(m/u) as integer micro-nat LITERALS — the
+    // EM-estimated m/u probabilities are model inputs, so no runtime
+    // libm at all; the whole score is exact BIGINT arithmetic). Fields:
+    // fuzzy name (levenshtein ≤ 4), brand, type, size ±2. Blocking is
+    // the q89 scheme (2-char name prefix + lossless length band), which
+    // bounds the pair stream; the emitted surface is the reviewer
+    // queue — the 1000 strongest candidates above the threshold, via
+    // TakeOrdered (per-partition top-k, never a global sort), so the
+    // result stays driver-size at any corpus scale.
+    QueryDef(
+      "q145_record_linkage",
+      (s, d) => {
+        val p = t(s, d, "part")
+          .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"), col("p_size"))
+        p.as("a").join(p.as("b"),
+          substring(col("a.p_name"), 1, 2) === substring(col("b.p_name"), 1, 2) &&
+            abs(length(col("a.p_name")) - length(col("b.p_name"))) <= 4 &&
+            col("a.p_partkey") < col("b.p_partkey"))
+          .select(
+            col("a.p_partkey").as("key_a"), col("b.p_partkey").as("key_b"),
+            (when(levenshtein(col("a.p_name"), col("b.p_name")) <= 4, 2800000L)
+              .otherwise(-2200000L) +
+              when(col("a.p_brand") === col("b.p_brand"), 1600000L).otherwise(-900000L) +
+              when(col("a.p_type") === col("b.p_type"), 1900000L).otherwise(-1100000L) +
+              when(abs(col("a.p_size") - col("b.p_size")) <= 2, 1200000L)
+                .otherwise(-700000L)).as("score_micro"))
+          .filter(col("score_micro") >= 3000000L)
+          .orderBy(col("score_micro").desc, col("key_a").asc, col("key_b").asc)
+          .limit(1000)
+      },
+      Some("""
+        SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+               CAST(CASE WHEN levenshtein(a.p_name, b.p_name) <= 4
+                         THEN 2800000 ELSE -2200000 END
+                  + CASE WHEN a.p_brand = b.p_brand THEN 1600000 ELSE -900000 END
+                  + CASE WHEN a.p_type = b.p_type THEN 1900000 ELSE -1100000 END
+                  + CASE WHEN abs(a.p_size - b.p_size) <= 2 THEN 1200000 ELSE -700000 END
+                 AS BIGINT) AS score_micro
+        FROM part a JOIN part b
+          ON substr(a.p_name, 1, 2) = substr(b.p_name, 1, 2)
+         AND abs(length(a.p_name) - length(b.p_name)) <= 4
+         AND a.p_partkey < b.p_partkey
+        WHERE CASE WHEN levenshtein(a.p_name, b.p_name) <= 4
+                   THEN 2800000 ELSE -2200000 END
+            + CASE WHEN a.p_brand = b.p_brand THEN 1600000 ELSE -900000 END
+            + CASE WHEN a.p_type = b.p_type THEN 1900000 ELSE -1100000 END
+            + CASE WHEN abs(a.p_size - b.p_size) <= 2 THEN 1200000 ELSE -700000 END
+              >= 3000000
+        ORDER BY score_micro DESC, key_a, key_b
+        LIMIT 1000""")),
   )
 }
