@@ -613,5 +613,78 @@ object Training6 {
               >= 3000000
         ORDER BY score_micro DESC, key_a, key_b
         LIMIT 1000""")),
+
+    // ---- two-sample KS drift statistic (distribution monitoring):
+    // D = sup |F_R − F_A| between the R and A return-flag price
+    // distributions, evaluated on a 199-point global percentile grid.
+    // The grid is the scale contract: the exact sup needs a global sort
+    // of the data, the grid needs one percentile agg + a per-row O(B)
+    // bucket fold + a B-row cumulative — the only window runs over the
+    // 200-row BOUNDARY table, never the data (the q91 discipline). The
+    // statistic is exact integer arithmetic on the grid: max |cum_R·n_A
+    // − cum_A·n_R| scaled to ppm by half-up division; boundaries are
+    // rounded at source.
+    QueryDef(
+      "q146_ks_drift",
+      (s, d) => {
+        val qs = (1 to 199).map(i => i / 200.0).mkString(", ")
+        val v = t(s, d, "lineitem")
+          .filter(col("l_returnflag").isin("R", "A"))
+          .select(col("l_returnflag").as("f"), col("l_extendedprice").as("x"))
+        val b = v.agg(
+          expr(s"transform(percentile(x, array($qs)), q -> round(q, 6))").as("bs"))
+        val c = v.crossJoin(broadcast(b))
+          .select(col("f"),
+            expr("aggregate(bs, 0, (acc, e) -> acc + IF(x > e, 1, 0))").as("bucket"))
+          .groupBy("bucket")
+          .agg(
+            sum(when(col("f") === "R", 1L).otherwise(0L)).as("cr"),
+            sum(when(col("f") === "A", 1L).otherwise(0L)).as("ca"))
+        val w = Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val totals = v.groupBy().agg(
+          sum(when(col("f") === "R", 1L).otherwise(0L)).as("nr"),
+          sum(when(col("f") === "A", 1L).otherwise(0L)).as("na"))
+        c.withColumn("cum_r", sum("cr").over(w))
+          .withColumn("cum_a", sum("ca").over(w))
+          .crossJoin(broadcast(totals))
+          .agg(
+            max(col("nr")).as("n_r"), max(col("na")).as("n_a"),
+            max(abs(col("cum_r") * col("na") - col("cum_a") * col("nr"))).as("__m"))
+          .select(col("n_r"), col("n_a"),
+            expr("(2 * 1000000 * __m + n_r * n_a) div (2 * n_r * n_a)").as("d_ppm"))
+      },
+      Some({
+        val qs = (1 to 199).map(i => i / 200.0).mkString(", ")
+        s"""
+        WITH v AS (
+          SELECT l_returnflag AS f, l_extendedprice AS x FROM lineitem
+          WHERE l_returnflag IN ('R', 'A')),
+        b AS (
+          SELECT list_transform(quantile_cont(x, [$qs]), q -> round(q, 6)) AS bs
+          FROM v),
+        bk AS (
+          SELECT f, len(list_filter(bs, e -> x > e)) AS bucket FROM v, b),
+        c AS (
+          SELECT bucket,
+                 sum(CASE WHEN f = 'R' THEN 1 ELSE 0 END) AS cr,
+                 sum(CASE WHEN f = 'A' THEN 1 ELSE 0 END) AS ca
+          FROM bk GROUP BY 1),
+        cum AS (
+          SELECT bucket,
+                 CAST(sum(cr) OVER (ORDER BY bucket) AS BIGINT) AS cum_r,
+                 CAST(sum(ca) OVER (ORDER BY bucket) AS BIGINT) AS cum_a
+          FROM c),
+        t AS (
+          SELECT CAST(sum(CASE WHEN f = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+                 CAST(sum(CASE WHEN f = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na
+          FROM v),
+        m AS (
+          SELECT CAST(max(abs(cum_r * na - cum_a * nr)) AS BIGINT) AS mm
+          FROM cum, t)
+        SELECT nr AS n_r, na AS n_a,
+               CAST((2 * 1000000 * mm + nr * na) // (2 * nr * na) AS BIGINT) AS d_ppm
+        FROM m, t"""
+      })),
   )
 }
