@@ -51,4 +51,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(math.abs(session.sql(q).head().getDouble(0) - 499.5) <= 1.0)
     } finally session.conf.set(ApproxQuantileRewrite.flag, "false")
   }
+
+  test("the rewrite also covers multi-cutpoint percentile arrays (the q146 grid)") {
+    import session.implicits._
+    val df = Seq.tabulate(1000)(i => ("g", i.toDouble)).toDF("g", "x")
+    df.createOrReplaceTempView("ext_probe_grid")
+    // the q146 KS-grid shape: one percentile call, an array of cutpoints
+    val q = "SELECT percentile(x, array(0.25, 0.5, 0.75)) AS ps FROM ext_probe_grid GROUP BY g"
+    session.conf.set(ApproxQuantileRewrite.flag, "true")
+    try {
+      val plan = session.sql(q).queryExecution.optimizedPlan.toString
+      assert(plan.contains("percentile_approx"), s"expected rewrite, got:\n$plan")
+      val ps = session.sql(q).head().getSeq[Double](0)
+      assert(ps.length == 3)
+      assert(math.abs(ps(1) - 499.5) <= 1.0)
+    } finally session.conf.set(ApproxQuantileRewrite.flag, "false")
+  }
 }
