@@ -485,9 +485,14 @@ object Training6 {
     QueryDef(
       "q144_interpolate",
       (s, d) => {
+        // Spark's `div` truncates toward zero but DuckDB's `//` floors;
+        // they agree only for non-negative micros, so emulate floor
+        // explicitly — pre-1970 timestamps must bucket identically
+        val floorDay =
+          """(unix_micros(ts) div 86400000000) +
+             CASE WHEN unix_micros(ts) % 86400000000 < 0 THEN -1 ELSE 0 END"""
         val ev = t(s, d, "events")
-          .select(col("user_id"),
-            expr("unix_micros(ts) div 86400000000").as("day"), col("value"))
+          .select(col("user_id"), expr(floorDay).as("day"), col("value"))
         val known = ev.groupBy("user_id", "day")
           .agg(expr("CAST(sum(CAST(value AS DECIMAL(28,6))) * 1000000 AS BIGINT)").as("v"))
         val bounds = ev.agg(min("day").as("lo"), max("day").as("hi"))
@@ -622,8 +627,13 @@ object Training6 {
     // bucket fold + a B-row cumulative — the only window runs over the
     // 200-row BOUNDARY table, never the data (the q91 discipline). The
     // statistic is exact integer arithmetic on the grid: max |cum_R·n_A
-    // − cum_A·n_R| scaled to ppm by half-up division; boundaries are
-    // rounded at source.
+    // − cum_A·n_R| scaled to ppm by half-up division. The cross
+    // products run in DECIMAL(38,0) (HUGEINT on the oracle side) —
+    // cum·n reaches n² and would wrap a BIGINT near n ≈ 3×10⁹ rows;
+    // 38 digits carry the contract to any realistic corpus. Boundaries
+    // are rounded at source; totals come from the 200-row bucket table
+    // (every row lands in exactly one bucket), so the data is scanned
+    // exactly twice: the percentile agg and the bucket fold.
     QueryDef(
       "q146_ks_drift",
       (s, d) => {
@@ -640,19 +650,25 @@ object Training6 {
           .agg(
             sum(when(col("f") === "R", 1L).otherwise(0L)).as("cr"),
             sum(when(col("f") === "A", 1L).otherwise(0L)).as("ca"))
-        val w = Window.orderBy("bucket")
-          .rowsBetween(Window.unboundedPreceding, 0)
-        val totals = v.groupBy().agg(
-          sum(when(col("f") === "R", 1L).otherwise(0L)).as("nr"),
-          sum(when(col("f") === "A", 1L).otherwise(0L)).as("na"))
-        c.withColumn("cum_r", sum("cr").over(w))
-          .withColumn("cum_a", sum("ca").over(w))
-          .crossJoin(broadcast(totals))
-          .agg(
-            max(col("nr")).as("n_r"), max(col("na")).as("n_a"),
-            max(abs(col("cum_r") * col("na") - col("cum_a") * col("nr"))).as("__m"))
-          .select(col("n_r"), col("n_a"),
-            expr("(2 * 1000000 * __m + n_r * n_a) div (2 * n_r * n_a)").as("d_ppm"))
+          .cache()
+        try {
+          val w = Window.orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, 0)
+          val totals = c.agg(sum("cr").as("nr"), sum("ca").as("na"))
+          val dec = "CAST(%s AS DECIMAL(38,0))"
+          c.withColumn("cum_r", sum("cr").over(w))
+            .withColumn("cum_a", sum("ca").over(w))
+            .crossJoin(broadcast(totals))
+            .agg(
+              max(col("nr")).as("n_r"), max(col("na")).as("n_a"),
+              max(abs(
+                expr(dec.format("cum_r")) * expr(dec.format("na")) -
+                  expr(dec.format("cum_a")) * expr(dec.format("nr")))).as("__m"))
+            .select(col("n_r"), col("n_a"),
+              expr(s"""CAST((2 * 1000000 * __m + ${dec.format("n_r")} * n_a)
+                       div (2 * ${dec.format("n_r")} * n_a) AS BIGINT)""").as("d_ppm"))
+            .localCheckpoint()
+        } finally c.unpersist()
       },
       Some({
         val qs = (1 to 199).map(i => i / 200.0).mkString(", ")
@@ -672,17 +688,16 @@ object Training6 {
           FROM bk GROUP BY 1),
         cum AS (
           SELECT bucket,
-                 CAST(sum(cr) OVER (ORDER BY bucket) AS BIGINT) AS cum_r,
-                 CAST(sum(ca) OVER (ORDER BY bucket) AS BIGINT) AS cum_a
+                 CAST(sum(cr) OVER (ORDER BY bucket) AS HUGEINT) AS cum_r,
+                 CAST(sum(ca) OVER (ORDER BY bucket) AS HUGEINT) AS cum_a
           FROM c),
         t AS (
-          SELECT CAST(sum(CASE WHEN f = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS nr,
-                 CAST(sum(CASE WHEN f = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na
-          FROM v),
+          SELECT CAST(sum(cr) AS HUGEINT) AS nr, CAST(sum(ca) AS HUGEINT) AS na
+          FROM c),
         m AS (
-          SELECT CAST(max(abs(cum_r * na - cum_a * nr)) AS BIGINT) AS mm
+          SELECT max(abs(cum_r * na - cum_a * nr)) AS mm
           FROM cum, t)
-        SELECT nr AS n_r, na AS n_a,
+        SELECT CAST(nr AS BIGINT) AS n_r, CAST(na AS BIGINT) AS n_a,
                CAST((2 * 1000000 * mm + nr * na) // (2 * nr * na) AS BIGINT) AS d_ppm
         FROM m, t"""
       })),

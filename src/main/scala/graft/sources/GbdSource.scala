@@ -337,7 +337,17 @@ final class GbdBatchWrite(dir: String, blockRecords: Int) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GbdWriterFactory(dir, blockRecords)
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  /** Job-level abort: tasks that already committed renamed their shards
+    * into place, so roll them back here — otherwise a failed job leaves
+    * a partial (and on rerun, duplicated) directory.
+    */
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GbdShardCommitted(p, _) if p.nonEmpty =>
+        Files.deleteIfExists(Paths.get(p))
+        Files.deleteIfExists(Paths.get(s"$p.gbx"))
+      case _ => ()
+    }
 }
 
 final case class GbdShardCommitted(path: String, nRecords: Long) extends WriterCommitMessage
@@ -395,6 +405,10 @@ final class GbdShardWriter(dir: String, partitionId: Int, blockRecords: Int)
   override def commit(): WriterCommitMessage = {
     flushBlock()
     out.close()
+    if (total == 0) { // empty partition: no shard litter
+      Files.deleteIfExists(tmpData)
+      return GbdShardCommitted("", 0L)
+    }
     val idx = new DataOutputStream(new FileOutputStream(tmpIdx.toFile))
     try {
       idx.writeBytes("GBX1")

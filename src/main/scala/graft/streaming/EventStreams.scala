@@ -258,8 +258,17 @@ class SessionTimeoutProcessor(gapMs: Long)
       key: Long,
       timerValues: TimerValues,
       expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long)] = {
-    val (n, last) = sess.get()
-    sess.clear()
-    Iterator((key, n, last))
+    // trust only the timer this state registered: a stale timer (e.g.
+    // restored from a checkpoint written with a different gap) must not
+    // close a live session or fire against already-cleared state
+    if (!sess.exists()) Iterator.empty
+    else {
+      val (n, last) = sess.get()
+      if (expiredTimerInfo.getExpiryTimeInMs != last + gapMs) Iterator.empty
+      else {
+        sess.clear()
+        Iterator((key, n, last))
+      }
+    }
   }
 }

@@ -69,8 +69,9 @@ class GbdSourceSpec extends SparkSpec {
     val want = Tables(spark, this.dir, "documents").select("doc_id", "lang", "text")
     assert(back.exceptAll(want).count() == 0)
     assert(want.exceptAll(back).count() == 0)
-    // block pruning works across shards: hash-partitioned shards all
-    // overlap the range, but sub-blocks within them are dropped
+    // block pruning works across shards: with range-clustered shards the
+    // doc_id < 100 predicate drops whole non-overlapping shards (every
+    // block in their index fails) and keeps only the head of shard 0
     val filtered = spark.read.format("graft.sources.GbdSource").load(dir)
       .filter(col("doc_id") < 100)
     val desc = filtered.queryExecution.executedPlan.toString
