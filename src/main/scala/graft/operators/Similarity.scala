@@ -31,6 +31,30 @@ object Similarity {
       .select("query_id", "cand_id", "cos_sim", "rnk")
   }
 
+  /** Hard-negative mining for contrastive training: top-k most-similar
+    * corpus vectors whose `labelCol` DIFFERS from the query's. Same
+    * shape as [[bruteForceTopK]] plus the contrast predicate; swap the
+    * broadcast cross join for LSH/IVF candidates (q50/q63 paths) when
+    * the corpus outgrows exact scoring — the predicate composes
+    * unchanged.
+    */
+  def hardNegativesTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+    CosineSimilarity.register(queries.sparkSession)
+    val q = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("__qv"), col(labelCol).as("__ql"))
+    val c = corpus.select(
+      col(idCol).as("cand_id"), col(vecCol).as("__cv"), col(labelCol).as("__cl"))
+    val sims = broadcast(q)
+      .join(c, col("query_id") =!= col("cand_id") && col("__ql") =!= col("__cl"))
+      .withColumn("cos_sim", round(expr("graft_cosine(__qv, __cv)"), 4))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("cand_id").asc)
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "cand_id", "cos_sim", "rnk")
+  }
+
   /** Attach `tables` LSH bucket columns (b0..b{tables-1}) of
     * `planesPerTable` hyperplanes each.
     */
