@@ -201,4 +201,39 @@ class PlanSpec extends SparkSpec {
     // min/max bounds scalar aggregate (2 partial rows -> 1 scalar)
     assert("Exchange SinglePartition".r.findAllIn(p).size <= 1, p)
   }
+
+  test("q147: both retrieval sides broadcast their query set; fusion windows are keyed") {
+    val p = SparkEntry.queries("q147_rrf_fusion")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    // the query sets (3 rows each) must join by broadcast, never shuffle
+    // the corpus on a non-key
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size === 2, p)
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty, p)
+    windows.foreach(w => assert(w.contains("query_id"), w))
+  }
+
+  test("q148: PSI is two fact passes + broadcast boundaries, no data-sized window") {
+    val p = SparkEntry.queries("q148_psi_drift")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    // decile boundaries and totals reach the fold by broadcast
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2, p)
+    // no window at all — the bucket fold is a groupBy, cumulative logic
+    // never touches row space
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q150: vocabulary joins broadcast; the pair join is an equi-join on doc_id") {
+    val p = SparkEntry.queries("q150_pmi_pairs")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("NestedLoop") || p.contains("BroadcastNestedLoop"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // df-capped vocab is a broadcast join on both arms of the self-join
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    // global top-20 is TakeOrdered, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
