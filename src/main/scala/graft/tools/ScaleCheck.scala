@@ -85,7 +85,10 @@ object ScaleCheck {
       // that measures the replication artifact (an adversarial name
       // distribution), not the plan; the q145 scaladoc documents the
       // LSH-blocking swap for that regime.
-      "q143_triangle_count", "q146_ks_drift")
+      "q143_triangle_count", "q146_ks_drift",
+      // wave VII: fusion lists are rank-truncated before the join, PSI
+      // is two passes + 10-row arithmetic, PMI fan-out is vocab-capped
+      "q147_rrf_fusion", "q148_psi_drift", "q150_pmi_pairs")
     val qs = graft.SparkEntry.queries
     def timeIt(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
