@@ -25,6 +25,7 @@ object SparkEntry {
       graft.queries.Training5.defs ++
       graft.queries.Training6.defs ++
       graft.queries.Training7.defs ++
+      graft.queries.Training8.defs ++
       graft.queries.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -236,4 +236,36 @@ class PlanSpec extends SparkSpec {
     // global top-20 is TakeOrdered, not a global sort
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("q151: attribution joins on the user key; windows keyed by purchase") {
+    val p = SparkEntry.queries("q151_attribution")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty, p)
+    windows.foreach(w => assert(w.contains("pid"), w))
+  }
+
+  test("q152: skyline's only data-sized pass is the agg; verify join is broadcast") {
+    val p = SparkEntry.queries("q152_skyline")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    // the dominance verify must be a broadcast NLJ over the pruned
+    // candidates, never a shuffle/cartesian over the full input
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // both arms of the verify join read the checkpointed candidate set —
+    // the agg+prune pipeline (and its parquet scan) ran exactly once
+    assert("Scan parquet".r.findAllIn(p).isEmpty, p)
+    assert("Scan ExistingRDD".r.findAllIn(p).size === 2, p)
+  }
+
+  test("q153: weighted-median windows are keyed by return flag") {
+    val p = SparkEntry.queries("q153_weighted_median")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("Exchange SinglePartition"), p)
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty, p)
+    windows.foreach(w => assert(w.contains("l_returnflag"), w))
+  }
 }
