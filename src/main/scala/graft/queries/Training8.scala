@@ -154,5 +154,87 @@ object Training8 {
         SELECT l_returnflag, CAST(min(x_c) AS BIGINT) AS wmedian_c,
                CAST(max(tw) AS BIGINT) AS total_w
         FROM c WHERE cw * 2 >= tw GROUP BY 1""")),
+
+    // ---- CUSUM changepoint detection on the per-type daily event
+    // series: S_d = Σ_{i≤d}(x_i·D − T) is the cumulative deviation from
+    // the series mean scaled by D (pure integers — no mean division),
+    // and the day maximizing |S_d| is the classic CUSUM changepoint.
+    // One small agg (type × day) then windows over the per-type day
+    // table — the data-sized pass is the daily count only; everything
+    // after runs on |types|·|days| rows.
+    QueryDef(
+      "q154_cusum_changepoint",
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"),
+            date_trunc("day", col("ts")).cast("date").as("day"))
+          .agg(count(lit(1)).as("x"))
+        val per = Window.partitionBy("event_type")
+        val cum = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        daily
+          .withColumn("dcount", count(lit(1)).over(per))
+          .withColumn("t", sum("x").over(per))
+          .withColumn("s", sum(expr("x * dcount - t")).over(cum))
+          .withColumn("m", max(abs(col("s"))).over(per))
+          .filter(abs(col("s")) === col("m"))
+          .groupBy("event_type")
+          .agg(max("dcount").as("n_days"), max("m").as("max_abs_s"),
+            min("day").as("cp_day"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type,
+                 CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+                 count(*) AS x
+          FROM events GROUP BY 1, 2),
+        w AS (
+          SELECT event_type, day, x,
+                 count(*) OVER (PARTITION BY event_type) AS dcount,
+                 sum(x) OVER (PARTITION BY event_type) AS t
+          FROM daily),
+        c AS (
+          SELECT event_type, day, dcount,
+                 sum(x * dcount - t) OVER (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+          FROM w),
+        m AS (
+          SELECT event_type, day, dcount, abs(s) AS a,
+                 max(abs(s)) OVER (PARTITION BY event_type) AS mm
+          FROM c)
+        SELECT event_type, CAST(max(dcount) AS BIGINT) AS n_days,
+               CAST(max(mm) AS BIGINT) AS max_abs_s, min(day) AS cp_day
+        FROM m WHERE a = mm GROUP BY 1""")),
+
+    // ---- ordered-pattern detection via transformWithState ListState:
+    // emit (user, ts) whenever a user's events complete the sequence
+    // view → click → purchase in event order. Completes the Spark 4
+    // state-primitive tier: MapState (q139), ValueState+timers
+    // (sessionTimeout), ListState here — the state is the BOUNDED
+    // last-2-types buffer per user, never the stream. The single-batch
+    // harness run equals the batch lag-window oracle; cross-batch
+    // buffer carry is pinned in StreamingSpec with a MemoryStream.
+    QueryDef(
+      "q155_stream_pattern",
+      (s, d) => {
+        import graft.streaming.EventStreams
+        EventStreams.withRocksDbStateStore(s) {
+          EventStreams.runToMemorySink(
+            EventStreams.patternMatches(Tables.eventsStream(s, d)),
+            "append")
+        }
+      },
+      Some("""
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                 lag(event_type, 1) OVER w AS p1,
+                 lag(event_type, 2) OVER w AS p2
+          FROM events
+          WINDOW w AS (PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id))
+        SELECT user_id, ts_us AS purchase_ts_us
+        FROM seq
+        WHERE event_type = 'purchase' AND p1 = 'click' AND p2 = 'view'""")),
   )
 }

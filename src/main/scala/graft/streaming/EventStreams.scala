@@ -167,6 +167,25 @@ object EventStreams {
       .toDF("user_id", "n_events", "last_ts_ms")
   }
 
+  /** Ordered-pattern matches (view → click → purchase per user) via
+    * transformWithState ListState — the bounded last-2-types buffer per
+    * user (see [[PatternProcessor]]). Emits (user_id, purchase_ts_us)
+    * at each completion. Wrap the run in withRocksDbStateStore.
+    */
+  def patternMatches(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new PatternProcessor, TimeMode.None(), OutputMode.Append())
+      .toDF("user_id", "purchase_ts_us")
+  }
+
   /** Drive a streaming frame to completion into an in-memory table and
     * return it as a batch DataFrame (used by the declared queries to
     * exercise the streaming engine inside a batch contract).
@@ -270,5 +289,43 @@ class SessionTimeoutProcessor(gapMs: Long)
         Iterator((key, n, last))
       }
     }
+  }
+}
+
+/** Ordered-pattern detector for [[EventStreams.patternMatches]] — the
+  * ListState tier of the transformWithState API (MapState:
+  * FirstTouchProcessor; ValueState + timers: SessionTimeoutProcessor).
+  * State per user is the last TWO event types as a ListState buffer,
+  * rewritten bounded on every arrival — O(1) per key regardless of
+  * stream length. A purchase arriving while the buffer reads
+  * [view, click] completes the pattern and emits (user_id, ts_us).
+  * Micro-batch rows are sorted by (ts_us, event_id) before admission so
+  * the emitted set is a pure function of the batch contents.
+  */
+class PatternProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, String, Long), (Long, Long)] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{ListState, OutputMode, TTLConfig, TimeMode, TimerValues}
+
+  @transient private var recent: ListState[String] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    recent = getHandle.getListState[String](
+      "recentTypes", Encoders.STRING, TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, Long, String, Long)],
+      timerValues: TimerValues): Iterator[(Long, Long)] = {
+    var buf = recent.get().toSeq
+    val out = rows.toSeq.sortBy(e => (e._4, e._2)).flatMap { e =>
+      val hit = e._3 == "purchase" &&
+        buf.length == 2 && buf.head == "view" && buf(1) == "click"
+      buf = (buf :+ e._3).takeRight(2)
+      if (hit) Some((key, e._4)) else None
+    }
+    recent.put(buf.toArray)
+    out.iterator
   }
 }

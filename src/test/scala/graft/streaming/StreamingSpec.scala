@@ -200,4 +200,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
     }
   }
+
+  test("patternMatches (transformWithState ListState): buffer carries across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String, Timestamp)]
+    val matches = graft.streaming.EventStreams.patternMatches(
+      input.toDF().toDF("user_id", "event_id", "event_type", "ts"))
+    graft.streaming.EventStreams.withRocksDbStateStore(spark) {
+    val q = matches.writeStream
+      .outputMode("append").format("memory").queryName("pattern_sink").start()
+    try {
+      // batch 1: u1 view→click (pattern open, nothing emits);
+      // u2 view→purchase (wrong order, nothing ever emits)
+      input.addData(
+        (1L, 10L, "view", ts("2024-01-01 10:00:00")),
+        (1L, 11L, "click", ts("2024-01-01 10:05:00")),
+        (2L, 20L, "view", ts("2024-01-01 10:00:00")),
+        (2L, 21L, "purchase", ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      assert(spark.table("pattern_sink").count() == 0)
+      // batch 2: u1's purchase completes the buffered view→click from
+      // batch 1 (ListState carry); an error event then breaks the
+      // buffer, so a second immediate purchase must NOT match
+      input.addData(
+        (1L, 12L, "purchase", ts("2024-01-01 10:10:00")),
+        (1L, 13L, "error", ts("2024-01-01 10:15:00")),
+        (1L, 14L, "purchase", ts("2024-01-01 10:20:00")))
+      q.processAllAvailable()
+      val rows = spark.table("pattern_sink").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows === Set((1L, ts("2024-01-01 10:10:00").getTime * 1000)))
+    } finally q.stop()
+    }
+  }
 }
