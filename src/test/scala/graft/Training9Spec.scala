@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants for the ninth wave (q156-q157) beyond the row/hash
+  * oracle: HLL union must equal the single-pass sketch (true
+  * mergeability, not merely "close"), and the Benford table must be a
+  * complete, conserving distribution whose expected masses are the
+  * real log10 values.
+  */
+class Training9Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+  private def q(name: String) =
+    SparkEntry.allDefs.find(_.name == name).get.fn(spark, dir)
+
+  test("q156: merged daily sketches estimate EXACTLY like one global sketch") {
+    // mergeability identity: union of per-day sketches == sketch of the
+    // union — same registers, same estimate, not just within the bound
+    val ev = Tables(spark, dir, "events").select(col("event_type"), col("user_id"),
+      date_trunc("day", col("ts")).cast("date").as("day"))
+    val merged = ev.groupBy("event_type", "day")
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      .groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est_merged"))
+    val global = ev.groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("est_global"))
+    val joined = merged.join(global, "event_type").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("est_merged") == r.getAs[Long]("est_global"),
+        r.getAs[String]("event_type"))
+    }
+    val rows = q("q156_hll_merge").collect()
+    assert(rows.forall(_.getAs[Boolean]("merged_ok")))
+    assert(rows.forall(_.getAs[Long]("n_days") > 1)) // non-vacuous merge
+  }
+
+  test("q157: digit table conserves mass and expected ppm are true log10 values") {
+    val rows = q("q157_benford").collect()
+    val digits = rows.map(_.getAs[Long]("digit")).sorted
+    assert(digits.forall(d => d >= 1 && d <= 9))
+    val totalObs = rows.map(_.getAs[Long]("n_obs")).sum
+    assert(totalObs == Tables(spark, dir, "lineitem").count())
+    // obs_ppm sums to 1e6 within per-row half-up rounding slack
+    val ppmSum = rows.map(_.getAs[Long]("obs_ppm")).sum
+    assert(math.abs(ppmSum - 1000000L) <= rows.length, s"ppmSum $ppmSum")
+    rows.foreach { r =>
+      val d = r.getAs[Long]("digit").toInt
+      val expected = math.round(math.log10(1.0 + 1.0 / d) * 1000000)
+      assert(r.getAs[Long]("exp_ppm") == expected, s"digit $d")
+      assert(r.getAs[Long]("dev_ppm") ==
+        math.abs(r.getAs[Long]("obs_ppm") - r.getAs[Long]("exp_ppm")))
+    }
+  }
+}
