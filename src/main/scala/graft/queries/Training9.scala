@@ -67,10 +67,13 @@ object Training9 {
         val expCase = benford.zipWithIndex
           .map { case (ppm, i) => s"WHEN ${i + 1} THEN ${ppm}L" }
           .mkString("CASE digit ", " ", " END")
+        // the 9-row digit table is localCheckpointed so the total
+        // branch folds it instead of re-running the data-sized agg
         val digits = t(s, d, "lineitem")
           .select(expr("""CAST(substr(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
                           AS STRING), 1, 1) AS BIGINT)""").as("digit"))
           .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+          .localCheckpoint()
         val tot = digits.agg(sum("n_obs").as("n_total"))
         digits.crossJoin(broadcast(tot))
           .select(col("digit"), col("n_obs"),

@@ -88,7 +88,10 @@ object ScaleCheck {
       "q143_triangle_count", "q146_ks_drift",
       // wave VII: fusion lists are rank-truncated before the join, PSI
       // is two passes + 10-row arithmetic, PMI fan-out is vocab-capped
-      "q147_rrf_fusion", "q148_psi_drift", "q150_pmi_pairs")
+      "q147_rrf_fusion", "q148_psi_drift", "q150_pmi_pairs",
+      // wave VIII/IX lineitem shapes (events-based q151/q154/q156 are
+      // excluded for the same copied-not-replicated reason as q144)
+      "q152_skyline", "q153_weighted_median", "q157_benford")
     val qs = graft.SparkEntry.queries
     def timeIt(dir: String, name: String): Double = {
       val t0 = System.nanoTime()

@@ -260,6 +260,26 @@ class PlanSpec extends SparkSpec {
     assert("Scan ExistingRDD".r.findAllIn(p).size === 2, p)
   }
 
+  test("q154/q156: the only data-sized pass is the keyed agg; windows run on day tables") {
+    for (q <- Seq("q154_cusum_changepoint", "q156_hll_merge")) {
+      val p = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.explainString(ExplainMode.fromString("simple"))
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("Exchange SinglePartition"), s"$q:\n$p")
+    }
+  }
+
+  test("q157: the data-sized digit agg runs once; total folds the checkpointed 9 rows") {
+    val p = SparkEntry.queries("q157_benford")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    // both branches read the checkpointed digit table — the parquet
+    // scan + digit aggregation ran exactly once, at checkpoint time
+    assert("Scan parquet".r.findAllIn(p).isEmpty, p)
+    assert("Scan ExistingRDD".r.findAllIn(p).size === 2, p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
   test("q153: weighted-median windows are keyed by return flag") {
     val p = SparkEntry.queries("q153_weighted_median")(spark, dir)
       .queryExecution.explainString(ExplainMode.fromString("simple"))
