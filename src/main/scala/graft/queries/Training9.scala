@@ -101,5 +101,78 @@ object Training9 {
                CAST(exp_ppm AS BIGINT) AS exp_ppm,
                CAST(abs(obs_ppm - exp_ppm) AS BIGINT) AS dev_ppm
         FROM e""")),
+
+    // ---- Hill estimator of the power-law tail index over the supplier
+    // fan-out distribution (distinct parts per supplier). THE statistic
+    // behind the engine's skew playbook: alpha near 1-2 means heavy
+    // tail → salting/AQE-skew-split territory; large alpha means
+    // salting is wasted work. Top-k degrees by TakeOrdered (never a
+    // global sort), the 50-row tail localCheckpointed, ln on
+    // exact-integer ratios rounded to micro-nats, half-up alpha_milli.
+    QueryDef(
+      "q158_hill_tail",
+      (s, d) => {
+        val deg = t(s, d, "lineitem")
+          .groupBy("l_suppkey")
+          .agg(countDistinct("l_partkey").as("degree"))
+        val top = deg.orderBy(col("degree").desc, col("l_suppkey").asc)
+          .limit(50).select("degree").localCheckpoint()
+        val mn = top.agg(min("degree").as("x_min"))
+        top.crossJoin(broadcast(mn))
+          .agg(count(lit(1)).as("k"), max(col("x_min")).as("x_min"),
+            sum(expr("""CAST(round(ln(CAST(degree AS DOUBLE) / CAST(x_min AS DOUBLE))
+                        * 1000000) AS BIGINT)""")).as("denom_micro"))
+          .select(col("k"), col("x_min"), col("denom_micro"),
+            expr("""CASE WHEN denom_micro > 0
+                    THEN CAST((2 * (k - 1) * 1000000000 + denom_micro)
+                              div (2 * denom_micro) AS BIGINT)
+                    ELSE 0 END""").as("alpha_milli"))
+      },
+      Some("""
+        WITH deg AS (
+          SELECT l_suppkey, count(DISTINCT l_partkey) AS degree
+          FROM lineitem GROUP BY 1),
+        top AS (
+          SELECT degree FROM deg ORDER BY degree DESC, l_suppkey LIMIT 50),
+        mn AS (SELECT min(degree) AS x_min FROM top),
+        t AS (
+          SELECT count(*) AS k,
+                 CAST(sum(CAST(round(ln(CAST(degree AS DOUBLE) / CAST(x_min AS DOUBLE))
+                     * 1000000) AS BIGINT)) AS BIGINT) AS denom_micro
+          FROM top, mn)
+        SELECT CAST(k AS BIGINT) AS k, x_min, denom_micro,
+               CASE WHEN denom_micro > 0
+                    THEN CAST((2 * (k - 1) * 1000000000 + denom_micro)
+                              // (2 * denom_micro) AS BIGINT)
+                    ELSE 0 END AS alpha_milli
+        FROM t, mn""")),
+
+    // ---- tokenizer fertility: tokens per character by (lang, source) —
+    // the corpus-budgeting metric (how many tokens a byte budget buys,
+    // per slice). One scan, one agg, exact integers with half-up ppm.
+    QueryDef(
+      "q159_fertility",
+      (s, d) =>
+        t(s, d, "documents")
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(expr("size(split(text, ' '))")).as("n_tokens"),
+            sum(length(col("text"))).as("n_chars"))
+          .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+            col("n_chars"),
+            expr("""CAST((2 * 1000000 * n_tokens + n_chars)
+                    div (2 * n_chars) AS BIGINT)""").as("tok_per_char_ppm")),
+      Some("""
+        WITH a AS (
+          SELECT lang, source, count(*) AS n_docs,
+                 sum(len(string_split(text, ' '))) AS n_tokens,
+                 sum(length(text)) AS n_chars
+          FROM documents GROUP BY 1, 2)
+        SELECT lang, source, n_docs,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               CAST((2 * 1000000 * n_tokens + n_chars)
+                    // (2 * n_chars) AS BIGINT) AS tok_per_char_ppm
+        FROM a""")),
   )
 }

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
 
 /** Physical-plan regression gate: the properties that make these plans
   * survive a 100x scale-up — filter pushdown into parquet, column
@@ -278,6 +279,15 @@ class PlanSpec extends SparkSpec {
     assert("Scan ExistingRDD".r.findAllIn(p).size === 2, p)
     assert(p.contains("BroadcastExchange"), p)
     assert(!p.contains("windowspecdefinition"), p)
+  }
+
+  test("q158: the degree tail comes from TakeOrdered, never a global sort") {
+    val deg = Tables(spark, dir, "lineitem")
+      .groupBy("l_suppkey")
+      .agg(countDistinct("l_partkey").as("degree"))
+      .orderBy(col("degree").desc, col("l_suppkey").asc).limit(50)
+    val p = deg.queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(p.contains("TakeOrderedAndProject"), p)
   }
 
   test("q153: weighted-median windows are keyed by return flag") {

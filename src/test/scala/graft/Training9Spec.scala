@@ -52,4 +52,38 @@ class Training9Spec extends SparkSpec {
         math.abs(r.getAs[Long]("obs_ppm") - r.getAs[Long]("exp_ppm")))
     }
   }
+
+  test("q158: Hill alpha matches a JVM recount over the same top-k tail") {
+    val r = q("q158_hill_tail").collect().head
+    val degrees = Tables(spark, dir, "lineitem")
+      .groupBy("l_suppkey").agg(countDistinct("l_partkey").as("degree"))
+      .collect().map(x => (x.getAs[Long]("l_suppkey"), x.getAs[Long]("degree")))
+      .sortBy(t => (-t._2, t._1)).take(50).map(_._2)
+    val xMin = degrees.min
+    val denom = degrees.map(x =>
+      math.round(math.log(x.toDouble / xMin.toDouble) * 1000000)).sum
+    assert(r.getAs[Long]("k") == degrees.length)
+    assert(r.getAs[Long]("x_min") == xMin)
+    assert(r.getAs[Long]("denom_micro") == denom)
+    if (denom > 0) {
+      val alphaMilli = (2 * (degrees.length - 1) * 1000000000L + denom) / (2 * denom)
+      assert(r.getAs[Long]("alpha_milli") == alphaMilli)
+      assert(alphaMilli > 0)
+    }
+  }
+
+  test("q159: fertility conserves tokens and chars against a direct recount") {
+    val rows = q("q159_fertility").collect()
+    assert(rows.nonEmpty)
+    val docs = Tables(spark, dir, "documents").select("text").collect()
+    val totTokens = docs.map(_.getString(0).split(" ", -1).length.toLong).sum
+    val totChars = docs.map(_.getString(0).length.toLong).sum
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == totTokens)
+    assert(rows.map(_.getAs[Long]("n_chars")).sum == totChars)
+    rows.foreach { r =>
+      val expect = (2 * 1000000 * r.getAs[Long]("n_tokens") + r.getAs[Long]("n_chars")) /
+        (2 * r.getAs[Long]("n_chars"))
+      assert(r.getAs[Long]("tok_per_char_ppm") == expect)
+    }
+  }
 }
