@@ -174,5 +174,58 @@ object Training9 {
                CAST((2 * 1000000 * n_tokens + n_chars)
                     // (2 * n_chars) AS BIGINT) AS tok_per_char_ppm
         FROM a""")),
+
+    // ---- mutual information I(source; lang) — the categorical
+    // association statistic (is language mixture independent of
+    // source?), built like q148/q150: exact contingency counts, one
+    // micro-nat ln per CELL on an exact-integer ratio, Σ c_xy·ln_micro
+    // kept exact, MI emitted in nano-nats with sign-split half-up
+    // division (per-cell terms carry either sign; the true MI is ≥ 0
+    // but the rounded sum may sit a hair under for independent data).
+    // The contingency table is localCheckpointed so the three margin
+    // folds reuse it instead of re-scanning.
+    QueryDef(
+      "q160_mutual_information",
+      (s, d) => {
+        val cells = t(s, d, "documents")
+          .groupBy("source", "lang").agg(count(lit(1)).as("cxy"))
+          .localCheckpoint()
+        val mx = cells.groupBy("source").agg(sum("cxy").as("cx"))
+        val my = cells.groupBy("lang").agg(sum("cxy").as("cy"))
+        val n = cells.agg(sum("cxy").as("n"))
+        cells.join(mx, "source").join(my, "lang").crossJoin(broadcast(n))
+          .select(col("cxy"), col("n"),
+            expr("""cxy * CAST(round(ln((CAST(cxy AS DOUBLE) * CAST(n AS DOUBLE)) /
+                                       (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)))
+                               * 1000000) AS BIGINT)""").as("term"))
+          .groupBy("n")
+          .agg(count(lit(1)).as("n_cells"), sum("term").as("s"))
+          .select(col("n_cells"), col("n").as("n_docs"),
+            expr("""CASE WHEN s >= 0
+                    THEN CAST((2 * 1000 * s + n) div (2 * n) AS BIGINT)
+                    ELSE -CAST((2 * 1000 * (-s) + n) div (2 * n) AS BIGINT)
+                    END""").as("mi_nano"))
+      },
+      Some("""
+        WITH cells AS (
+          SELECT source, lang, count(*) AS cxy FROM documents GROUP BY 1, 2),
+        mx AS (SELECT source, CAST(sum(cxy) AS BIGINT) AS cx FROM cells GROUP BY 1),
+        my AS (SELECT lang, CAST(sum(cxy) AS BIGINT) AS cy FROM cells GROUP BY 1),
+        t AS (SELECT CAST(sum(cxy) AS BIGINT) AS n FROM cells),
+        terms AS (
+          SELECT cxy * CAST(round(ln((CAST(cxy AS DOUBLE) * CAST(n AS DOUBLE)) /
+                                     (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)))
+                            * 1000000) AS BIGINT) AS term, n
+          FROM cells JOIN mx USING (source) JOIN my USING (lang), t),
+        agg AS (
+          SELECT count(*) AS n_cells, max(n) AS n_docs,
+                 CAST(sum(term) AS BIGINT) AS s
+          FROM terms)
+        SELECT CAST(n_cells AS BIGINT) AS n_cells, n_docs,
+               CASE WHEN s >= 0
+                    THEN CAST((2 * 1000 * s + n_docs) // (2 * n_docs) AS BIGINT)
+                    ELSE -CAST((2 * 1000 * (-s) + n_docs) // (2 * n_docs) AS BIGINT)
+                    END AS mi_nano
+        FROM agg""")),
   )
 }

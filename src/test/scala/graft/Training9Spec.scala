@@ -86,4 +86,26 @@ class Training9Spec extends SparkSpec {
       assert(r.getAs[Long]("tok_per_char_ppm") == expect)
     }
   }
+
+  test("q160: MI matches a JVM contingency recount and is near zero for independent data") {
+    val r = q("q160_mutual_information").collect().head
+    val pairs = Tables(spark, dir, "documents").select("source", "lang").collect()
+      .map(x => (x.getString(0), x.getString(1)))
+    val n = pairs.length.toLong
+    val cells = pairs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cx = pairs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val cy = pairs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val s = cells.map { case ((src, lg), cxy) =>
+      cxy * math.round(math.log(
+        (cxy.toDouble * n) / (cx(src).toDouble * cy(lg))) * 1000000)
+    }.sum
+    val expected =
+      if (s >= 0) (2 * 1000 * s + n) / (2 * n) else -((2 * 1000 * (-s) + n) / (2 * n))
+    assert(r.getAs[Long]("n_cells") == cells.size)
+    assert(r.getAs[Long]("n_docs") == n)
+    assert(r.getAs[Long]("mi_nano") == expected)
+    // source and lang are drawn independently in the harness corpus —
+    // MI must sit well under 0.1 nats (1e8 nano-nats)
+    assert(math.abs(r.getAs[Long]("mi_nano")) < 100000000L)
+  }
 }
