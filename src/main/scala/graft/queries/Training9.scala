@@ -227,5 +227,54 @@ object Training9 {
                     ELSE -CAST((2 * 1000 * (-s) + n_docs) // (2 * n_docs) AS BIGINT)
                     END AS mi_nano
         FROM agg""")),
+
+    // ---- robust anomaly days: flag days whose count deviates from the
+    // per-type median by more than 3·1.4826·MAD (the 50%-breakdown
+    // outlier rule, q127's MAD applied to the q154 daily series).
+    // Integer-exact throughout: medians of integer counts interpolate
+    // to halves at worst, so doubling (med2 half-units, mad4
+    // quarter-units) keeps every comparison in BIGINTs —
+    // 10000·dev_half > 22239·mad4 IS |x−med| > 4.4478·MAD. The daily
+    // table is localCheckpointed; both percentile passes and the final
+    // flag run over its |types|·|days| rows.
+    QueryDef(
+      "q161_anomaly_days",
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"),
+            date_trunc("day", col("ts")).cast("date").as("day"))
+          .agg(count(lit(1)).as("x"))
+          .localCheckpoint()
+        val med = daily.groupBy("event_type")
+          .agg(expr("CAST(round(2 * percentile(x, 0.5d)) AS BIGINT)").as("med2"))
+        val dev = daily.join(med, "event_type")
+          .withColumn("dev_half", abs(lit(2) * col("x") - col("med2")))
+        val mad = dev.groupBy("event_type")
+          .agg(expr("CAST(round(2 * percentile(dev_half, 0.5d)) AS BIGINT)").as("mad4"))
+        dev.join(mad, "event_type")
+          .select(col("event_type"), col("day"), col("x"),
+            (lit(10000L) * col("dev_half") > lit(22239L) * col("mad4"))
+              .as("is_anomaly"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type,
+                 CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+                 count(*) AS x
+          FROM events GROUP BY 1, 2),
+        med AS (
+          SELECT event_type,
+                 CAST(round(2 * quantile_cont(x, 0.5)) AS BIGINT) AS med2
+          FROM daily GROUP BY 1),
+        dev AS (
+          SELECT d.event_type, day, x, abs(2 * x - med2) AS dev_half
+          FROM daily d JOIN med USING (event_type)),
+        mad AS (
+          SELECT event_type,
+                 CAST(round(2 * quantile_cont(dev_half, 0.5)) AS BIGINT) AS mad4
+          FROM dev GROUP BY 1)
+        SELECT dev.event_type, day, CAST(x AS BIGINT) AS x,
+               (10000 * dev_half > 22239 * mad4) AS is_anomaly
+        FROM dev JOIN mad USING (event_type)""")),
   )
 }

@@ -108,4 +108,27 @@ class Training9Spec extends SparkSpec {
     // MI must sit well under 0.1 nats (1e8 nano-nats)
     assert(math.abs(r.getAs[Long]("mi_nano")) < 100000000L)
   }
+
+  test("q161: anomaly flags match a JVM median/MAD recount") {
+    val rows = q("q161_anomaly_days").collect()
+    assert(rows.nonEmpty)
+    def median2(xs: Seq[Long]): Long = { // 2x the interpolated median
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) 2 * s(n / 2) else s(n / 2 - 1) + s(n / 2)
+    }
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (_, g) =>
+      val xs = g.map(_.getAs[Long]("x")).toSeq
+      val med2 = median2(xs)
+      val mad4 = median2(xs.map(x => math.abs(2 * x - med2)))
+      g.foreach { r =>
+        val devHalf = math.abs(2 * r.getAs[Long]("x") - med2)
+        assert(r.getAs[Boolean]("is_anomaly") == (10000L * devHalf > 22239L * mad4))
+      }
+    }
+    // every (type, day) of the source appears exactly once
+    assert(rows.map(r => (r.getAs[String]("event_type"), r.get(1))).distinct.length
+      == rows.length)
+  }
 }
