@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -276,5 +277,54 @@ object Training9 {
         SELECT dev.event_type, day, CAST(x AS BIGINT) AS x,
                (10000 * dev_half > 22239 * mad4) AS is_anomaly
         FROM dev JOIN mad USING (event_type)""")),
+
+    // ---- conversion-latency distribution: for every purchase preceded
+    // by a view from the same user within 7 days, the lag to the MOST
+    // RECENT prior view (one keyed IGNORE-NULLS window — the q144
+    // two-pass trick, never a per-purchase self-join), summarized as
+    // exact-count + median + p90 per purchase hour-of-day. Percentiles
+    // interpolate on exact integer micros and round at source (the
+    // q146 grid precedent for cross-engine quantile_cont parity).
+    QueryDef(
+      "q162_conversion_lag",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("last_view_us",
+            last(when(col("event_type") === "view", unix_micros(col("ts"))), true)
+              .over(w))
+        ev.filter(col("event_type") === "purchase" && col("last_view_us").isNotNull)
+          .select(hour(col("ts")).as("hr"),
+            (unix_micros(col("ts")) - col("last_view_us")).as("lag_us"))
+          .filter(col("lag_us") > 0 && col("lag_us") <= 604800000000L)
+          .groupBy("hr")
+          .agg(count(lit(1)).as("n"),
+            expr("CAST(round(percentile(lag_us, 0.5d)) AS BIGINT)").as("med_us"),
+            expr("CAST(round(percentile(lag_us, 0.9d)) AS BIGINT)").as("p90_us"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+          FROM events),
+        lv AS (
+          SELECT user_id, ts, event_type,
+                 last_value(CASE WHEN event_type = 'view'
+                                 THEN epoch_us(ts) END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS last_view_us
+          FROM ev),
+        lags AS (
+          SELECT hour(ts) AS hr, epoch_us(ts) - last_view_us AS lag_us
+          FROM lv
+          WHERE event_type = 'purchase' AND last_view_us IS NOT NULL
+            AND epoch_us(ts) - last_view_us > 0
+            AND epoch_us(ts) - last_view_us <= 604800000000)
+        SELECT hr, count(*) AS n,
+               CAST(round(quantile_cont(lag_us, 0.5)) AS BIGINT) AS med_us,
+               CAST(round(quantile_cont(lag_us, 0.9)) AS BIGINT) AS p90_us
+        FROM lags GROUP BY 1""")),
   )
 }

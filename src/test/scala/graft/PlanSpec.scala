@@ -281,6 +281,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("windowspecdefinition"), p)
   }
 
+  test("q162: the last-view window is keyed by user; no self-join, no cartesian") {
+    val p = SparkEntry.queries("q162_conversion_lag")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(!p.contains("Join"), p) // one window pass, zero joins
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty, p)
+    windows.foreach(w => assert(w.contains("user_id"), w))
+  }
+
   test("q158: the degree tail comes from TakeOrdered, never a global sort") {
     val deg = Tables(spark, dir, "lineitem")
       .groupBy("l_suppkey")

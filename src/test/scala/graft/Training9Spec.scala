@@ -131,4 +131,44 @@ class Training9Spec extends SparkSpec {
     assert(rows.map(r => (r.getAs[String]("event_type"), r.get(1))).distinct.length
       == rows.length)
   }
+
+  test("q162: per-hour lags match a JVM last-prior-view recount") {
+    val rows = q("q162_conversion_lag").collect()
+      .map(r => r.getAs[Int]("hr") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("med_us"), r.getAs[Long]("p90_us"))).toMap
+    assert(rows.nonEmpty)
+    val ev = Tables(spark, dir, "events")
+      .selectExpr("user_id", "unix_micros(ts) AS ts_us", "event_id", "event_type",
+        "hour(ts) AS hr").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("ts_us"),
+        r.getAs[Long]("event_id"), r.getAs[String]("event_type"), r.getAs[Int]("hr")))
+    val lags = ev.groupBy(_._1).values.flatMap { g =>
+      val sorted = g.sortBy(e => (e._2, e._3))
+      var lastView = Option.empty[Long]
+      sorted.flatMap { e =>
+        val out =
+          if (e._4 == "purchase") lastView.map(v => (e._5, e._2 - v)) else None
+        if (e._4 == "view") lastView = Some(e._2)
+        out
+      }
+    }.filter(l => l._2 > 0 && l._2 <= 604800000000L).toSeq
+    def pct(xs: Seq[Long], p: Double): Long = {
+      // Spark's Percentile interpolation: lower·(1−d) + higher·d — the
+      // exact FP association matters for round-to-integer parity
+      val s = xs.sorted
+      val pos = (s.length - 1) * p
+      val lo = pos.toInt
+      val d = pos - lo
+      val v =
+        if (lo + 1 < s.length) s(lo) * (1.0 - d) + s(lo + 1) * d else s(lo).toDouble
+      math.round(v)
+    }
+    lags.groupBy(_._1).foreach { case (hr, g) =>
+      val xs = g.map(_._2).toSeq
+      val (n, med, p90) = rows(hr)
+      assert(n == xs.length, s"hr $hr")
+      assert(med == pct(xs, 0.5), s"hr $hr median")
+      assert(p90 == pct(xs, 0.9), s"hr $hr p90")
+    }
+  }
 }
