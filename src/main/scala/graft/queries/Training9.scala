@@ -326,5 +326,27 @@ object Training9 {
                CAST(round(quantile_cont(lag_us, 0.5)) AS BIGINT) AS med_us,
                CAST(round(quantile_cont(lag_us, 0.9)) AS BIGINT) AS p90_us
         FROM lags GROUP BY 1""")),
+
+    // ---- semi-structured via Spark 4 VARIANT: parse_json once into
+    // the binary variant encoding, then typed variant_get extraction —
+    // the scale path for JSON columns (parse once, shred cheaply;
+    // repeated get_json_object string-parses the blob per expression,
+    // which is exactly what q27 does for contrast). Same answer, newer
+    // engine surface; DuckDB oracles via its native JSON reader.
+    QueryDef(
+      "q163_variant_json",
+      (s, d) =>
+        t(s, d, "events")
+          .select(col("event_type"),
+            expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+          .groupBy(col("event_type"), expr("k % 7").as("k_mod7"))
+          .agg(count(lit(1)).as("n"), min("k").as("k_min"), max("k").as("k_max")),
+      Some("""
+        SELECT event_type,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) % 7 AS k_mod7,
+               count(*) AS n,
+               min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_min,
+               max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_max
+        FROM events GROUP BY 1, 2""")),
   )
 }

@@ -171,4 +171,16 @@ class Training9Spec extends SparkSpec {
       assert(p90 == pct(xs, 0.9), s"hr $hr p90")
     }
   }
+
+  test("q163: the variant path returns exactly what string JSON parsing returns") {
+    val variant = q("q163_variant_json")
+    val viaString = Tables(spark, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("event_type"), expr("k % 7").as("k_mod7"))
+      .agg(count(lit(1)).as("n"), min("k").as("k_min"), max("k").as("k_max"))
+    assert(variant.exceptAll(viaString).count() == 0)
+    assert(viaString.exceptAll(variant).count() == 0)
+    assert(variant.count() > 0)
+  }
 }
