@@ -348,5 +348,37 @@ object Training9 {
                min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_min,
                max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_max
         FROM events GROUP BY 1, 2""")),
+
+    // ---- order-invariant table digest: XOR of canonical-row hashes +
+    // row count, the O(1)-output reconciliation primitive ("did the
+    // migration/backfill preserve the data?" compares two digests, not
+    // 100 TB of rows). XOR commutes, so the digest is independent of
+    // partitioning and row order and each partition folds locally —
+    // one scan, one scalar. Honest caveat: XOR cancels even
+    // multiplicities of identical rows (the count catches pure
+    // additions/deletions; a paired duplicate+drop of the SAME row is
+    // the blind spot — the standard trade-off for this digest family).
+    QueryDef(
+      "q164_table_digest",
+      (s, d) => {
+        import graft.operators.TextOps.hash60Spark
+        val rowStr = """concat_ws('|',
+          CAST(l_orderkey AS STRING), CAST(l_partkey AS STRING),
+          CAST(l_suppkey AS STRING),
+          CAST(CAST(round(l_quantity * 100, 0) AS BIGINT) AS STRING),
+          CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS STRING))"""
+        t(s, d, "lineitem")
+          .select(expr(hash60Spark(rowStr)).as("h"))
+          .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("digest"))
+      },
+      Some(s"""
+        WITH h AS (
+          SELECT ${graft.operators.TextOps.hash60Duck("""concat_ws('|',
+            CAST(l_orderkey AS VARCHAR), CAST(l_partkey AS VARCHAR),
+            CAST(l_suppkey AS VARCHAR),
+            CAST(CAST(round(l_quantity * 100, 0) AS BIGINT) AS VARCHAR),
+            CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS VARCHAR))""")} AS h
+          FROM lineitem)
+        SELECT count(*) AS n_rows, bit_xor(h) AS digest FROM h""")),
   )
 }

@@ -183,4 +183,30 @@ class Training9Spec extends SparkSpec {
     assert(viaString.exceptAll(variant).count() == 0)
     assert(variant.count() > 0)
   }
+
+  test("q164: digest is partition/order-invariant and sensitive to a dropped row") {
+    import graft.operators.TextOps.hash60Spark
+    val r = q("q164_table_digest").collect().head
+    val rowStr = """concat_ws('|',
+      CAST(l_orderkey AS STRING), CAST(l_partkey AS STRING),
+      CAST(l_suppkey AS STRING),
+      CAST(CAST(round(l_quantity * 100, 0) AS BIGINT) AS STRING),
+      CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS STRING))"""
+    val hashed = Tables(spark, dir, "lineitem")
+      .select(expr(hash60Spark(rowStr)).as("h"))
+    def digestOf(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val x = df.agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("d")).collect().head
+      (x.getAs[Long]("n"), x.getAs[Long]("d"))
+    }
+    // invariance: any repartitioning/order yields the identical digest
+    for (parts <- Seq(1, 7, 32)) {
+      assert(digestOf(hashed.repartition(parts)) ==
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("digest")), s"parts $parts")
+    }
+    // sensitivity: dropping one row flips the digest by that row's hash
+    val firstHash = hashed.limit(1).collect().head.getAs[Long]("h")
+    val (nDrop, dDrop) = digestOf(hashed.exceptAll(hashed.limit(1)))
+    assert(nDrop == r.getAs[Long]("n_rows") - 1)
+    assert(dDrop == (r.getAs[Long]("digest") ^ firstHash))
+  }
 }
