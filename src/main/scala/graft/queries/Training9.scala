@@ -380,5 +380,73 @@ object Training9 {
             CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS VARCHAR))""")} AS h
           FROM lineitem)
         SELECT count(*) AS n_rows, bit_xor(h) AS digest FROM h""")),
+
+    // ---- degree-ordered triangle counting: the power-law hardening
+    // q143's scaladoc promises. Edges orient low-(degree, id) →
+    // high-(degree, id); every triangle then has exactly one apex with
+    // two out-edges and a directed closing edge between their heads, so
+    // the count is one wedge self-join + one closure join — and the
+    // out-degree of ANY node is O(√m) on arbitrary graphs (a
+    // high-degree hub receives edges instead of emitting them), which
+    // is the bound that keeps wedge fan-out tame where q143's id-order
+    // orientation degrades on hubs. max_outdeg is emitted as the
+    // witness of exactly that bound. Same n_triangles as q143 by
+    // construction — the spec asserts the identity.
+    QueryDef(
+      "q165_triangle_degree",
+      (s, d) => {
+        val op = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val e = op.as("a").join(op.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .select(col("a.p").as("u"), col("b.p").as("v"))
+          .distinct()
+        val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("dg"))
+        val de = e
+          .join(deg.withColumnRenamed("n", "u").withColumnRenamed("dg", "du"), "u")
+          .join(deg.withColumnRenamed("n", "v").withColumnRenamed("dg", "dv"), "v")
+          .select(
+            when(col("du") < col("dv") ||
+              (col("du") === col("dv") && col("u") < col("v")), col("u"))
+              .otherwise(col("v")).as("s"),
+            when(col("du") < col("dv") ||
+              (col("du") === col("dv") && col("u") < col("v")), col("v"))
+              .otherwise(col("u")).as("t"))
+          .localCheckpoint()
+        val tri = de.as("w1")
+          .join(de.as("w2"),
+            col("w1.s") === col("w2.s") && col("w1.t") =!= col("w2.t"))
+          .join(de.as("c"),
+            col("c.s") === col("w1.t") && col("c.t") === col("w2.t"))
+          .count()
+        val maxOut = de.groupBy("s").agg(count(lit(1)).as("od"))
+          .agg(max("od").as("m")).collect().head.getAs[Long]("m")
+        import s.implicits._
+        Seq((de.count(), tri, maxOut))
+          .toDF("n_edges", "n_triangles", "max_outdeg")
+      },
+      Some("""
+        WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        e AS (
+          SELECT DISTINCT a.p AS u, b.p AS v
+          FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+        deg AS (
+          SELECT n, count(*) AS dg
+          FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+          GROUP BY 1),
+        de AS (
+          SELECT CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND e.u < e.v)
+                      THEN e.u ELSE e.v END AS s,
+                 CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND e.u < e.v)
+                      THEN e.v ELSE e.u END AS t
+          FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v)
+        SELECT (SELECT count(*) FROM de) AS n_edges,
+               (SELECT count(*)
+                FROM de w1 JOIN de w2 ON w1.s = w2.s AND w1.t <> w2.t
+                           JOIN de c ON c.s = w1.t AND c.t = w2.t) AS n_triangles,
+               (SELECT max(od) FROM (SELECT s, count(*) AS od FROM de GROUP BY 1))
+                 AS max_outdeg""")),
   )
 }

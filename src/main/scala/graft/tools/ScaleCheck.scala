@@ -91,7 +91,9 @@ object ScaleCheck {
       "q147_rrf_fusion", "q148_psi_drift", "q150_pmi_pairs",
       // wave VIII/IX lineitem shapes (events-based q151/q154/q156 are
       // excluded for the same copied-not-replicated reason as q144)
-      "q152_skyline", "q153_weighted_median", "q157_benford")
+      "q152_skyline", "q153_weighted_median", "q157_benford",
+      // degree-oriented triangles, to compare against q143's id-order
+      "q165_triangle_degree")
     val qs = graft.SparkEntry.queries
     def timeIt(dir: String, name: String): Double = {
       val t0 = System.nanoTime()

@@ -209,4 +209,47 @@ class Training9Spec extends SparkSpec {
     assert(nDrop == r.getAs[Long]("n_rows") - 1)
     assert(dDrop == (r.getAs[Long]("digest") ^ firstHash))
   }
+
+  test("q165: degree orientation counts the same triangles as q143 within the √(2m) bound") {
+    val a = q("q165_triangle_degree").collect().head
+    val b = q("q143_triangle_count").collect().head
+    assert(a.getAs[Long]("n_triangles") == b.getAs[Long]("n_triangles"))
+    assert(a.getAs[Long]("n_edges") == b.getAs[Long]("n_edges"))
+    // the whole point of the orientation: no node emits more than
+    // ~√(2m) edges, whatever the degree distribution does
+    val m = a.getAs[Long]("n_edges").toDouble
+    assert(a.getAs[Long]("max_outdeg") <= math.ceil(math.sqrt(2 * m)).toLong + 1)
+  }
+
+  test("q165: on a planted hub, degree orientation does orders-of-magnitude fewer wedges") {
+    // wedge count (Σ out-degree choose 2) is the join's actual row
+    // budget — a deterministic complexity witness, unlike wall clock.
+    // Hub node 0 connects to 1..400: id-orientation (u<v) makes the
+    // hub emit ALL its edges (C(400,2) wedges); degree orientation
+    // makes it absorb them (0 hub wedges).
+    import spark.implicits._
+    val hub = (1L to 400L).map(i => (0L, i))
+    val ring = (1L to 399L).map(i => (i, i + 1))
+    val e = (hub ++ ring).toDF("u", "v")
+    def wedges(oriented: org.apache.spark.sql.DataFrame): Long =
+      oriented.groupBy("s").agg(count(lit(1)).as("od"))
+        .agg(sum(expr("od * (od - 1) div 2")).as("w")).collect().head.getAs[Long]("w")
+    val idOriented = e.select(col("u").as("s"), col("v").as("t"))
+    val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("dg"))
+    val degOriented = e
+      .join(deg.withColumnRenamed("n", "u").withColumnRenamed("dg", "du"), "u")
+      .join(deg.withColumnRenamed("n", "v").withColumnRenamed("dg", "dv"), "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("s"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("t"))
+    val wId = wedges(idOriented)
+    val wDeg = wedges(degOriented)
+    assert(wId >= 400L * 399L / 2) // the hub alone
+    assert(wDeg * 100 < wId, s"degree-oriented wedges $wDeg vs id-oriented $wId")
+  }
 }
