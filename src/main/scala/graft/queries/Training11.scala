@@ -226,13 +226,14 @@ object Training11 {
         ranked.agg(
           count(lit(1)).as("n"),
           sum("c").as("s"),
-          sum(expr("i * c")).as("ic"),
+          sum(expr("CAST(i AS DECIMAL(38,0)) * c")).as("ic"),
           sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("c2"),
           sum(when(col("i") > col("ntot") - 10, col("c")).otherwise(lit(0L))).as("t10"))
           .select(
             col("n").as("n_suppliers"),
             col("s").as("total_cents"),
-            expr("""(2 * (2000000 * CAST(ic AS DECIMAL(38,0)) - 1000000 * (n + 1) * s)
+            expr("""(2 * (2000000 * CAST(ic AS DECIMAL(38,0))
+                          - 1000000 * (CAST(n AS DECIMAL(38,0)) + 1) * s)
                     + CAST(n AS DECIMAL(38,0)) * s) div (2 * CAST(n AS DECIMAL(38,0)) * s)""")
               .as("gini_ppm"),
             expr("(2 * 1000000 * c2 + CAST(s AS DECIMAL(38,0)) * s) div (2 * CAST(s AS DECIMAL(38,0)) * s)")
@@ -304,7 +305,8 @@ object Training11 {
                  - CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
                    / CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
                    * sx)
-                / CAST(n AS DOUBLE), 6)""").as("zipf_intercept")),
+                / CAST(n AS DOUBLE), 6)""").as("zipf_intercept"))
+      },
       Some("""
         WITH v AS (
           SELECT word, count(*) AS nw

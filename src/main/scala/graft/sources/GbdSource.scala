@@ -53,6 +53,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   header: magic "GBD1"
   *   blocks: nRecords:int, then per record
   *           docId:long, langLen:int, langBytes, payloadLen:int, payload
+  *           (a length of -1 marks SQL NULL; no bytes follow)
   *   index file `<shard>.gbx`: magic "GBX1", nBlocks:int, then per block
   *           offset:long, nRecords:int, minId:long, maxId:long
   */
@@ -131,9 +132,13 @@ object GbdFormat {
     // cache key carries the block geometry: stagers asking for different
     // blockRecords must not share a shard (the harness parquet itself is
     // read-only, so content staleness is not a concern here)
+    // md5 of the full path, not String.hashCode: two dataset dirs with
+    // colliding 32-bit hashes must not silently share a staged shard
+    val dirKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
     val path = Paths.get(
       sys.props("java.io.tmpdir"),
-      s"graft_gbd_${Integer.toHexString(sfDir.hashCode)}_b$blockRecords.gbd").toString
+      s"graft_gbd_${dirKey}_b$blockRecords.gbd").toString
     if (!Files.exists(Paths.get(path)) || !Files.exists(Paths.get(path + ".gbx"))) {
       val rows = spark.read.parquet(s"$sfDir/documents.parquet")
         .selectExpr("doc_id", "lang", "text")
@@ -265,8 +270,15 @@ final class GbdBlockReader(p: GbdBlockPartition, cols: Array[String])
   private val in = {
     val fis = new FileInputStream(p.path)
     try {
+      // require forward progress: FileInputStream.skip returns 0 past
+      // EOF, so a truncated shard with a stale index must fail the task,
+      // not hang it
       var toSkip = p.offset
-      while (toSkip > 0) toSkip -= fis.skip(toSkip)
+      while (toSkip > 0) {
+        val s = fis.skip(toSkip)
+        require(s > 0, s"truncated shard ${p.path}: cannot seek to offset ${p.offset}")
+        toSkip -= s
+      }
       val d = new DataInputStream(new java.io.BufferedInputStream(fis, 1 << 16))
       val n = d.readInt()
       require(n == p.nRecords, s"index/block mismatch at offset ${p.offset}: $n vs ${p.nRecords}")
@@ -291,14 +303,17 @@ final class GbdBlockReader(p: GbdBlockPartition, cols: Array[String])
     if (remaining == 0) return false
     remaining -= 1
     val id = in.readLong()
+    // length -1 marks SQL NULL (distinct from length 0 = empty value)
     val langLen = in.readInt()
     val lang: AnyRef =
-      if (needLang) {
+      if (langLen < 0) null
+      else if (needLang) {
         val b = new Array[Byte](langLen); in.readFully(b); UTF8String.fromBytes(b)
       } else { skipFully(langLen); null }
     val payLen = in.readInt()
     val payload: AnyRef =
-      if (needPayload) {
+      if (payLen < 0) null
+      else if (needPayload) {
         val b = new Array[Byte](payLen); in.readFully(b); b
       } else { skipFully(payLen); null }
     val values = cols.map {
@@ -323,7 +338,7 @@ final class GbdBlockReader(p: GbdBlockPartition, cols: Array[String])
   * by `*.gbd` listing, so an index without its data file is invisible
   * and a half-written tmp is never visible at all). Input rows arrive
   * in the table schema (doc_id, lang, payload); null lang/payload are
-  * stored as empty values.
+  * stored with a -1 length marker and read back as null.
   */
 final class GbdWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuilder {
   override def build(): Write = new Write {
@@ -390,13 +405,19 @@ final class GbdShardWriter(dir: String, partitionId: Int, blockRecords: Int)
     blockMin = Long.MaxValue; blockMax = Long.MinValue
   }
 
+  // length -1 encodes SQL NULL so a write→read round trip preserves null
+  // semantics (empty string/bytes stay distinct from null)
+  private def writeField(bytes: Array[Byte]): Unit =
+    if (bytes == null) blockOut.writeInt(-1)
+    else { blockOut.writeInt(bytes.length); blockOut.write(bytes) }
+
   override def write(row: InternalRow): Unit = {
     val id = row.getLong(0)
-    val lang = if (row.isNullAt(1)) Array.emptyByteArray else row.getUTF8String(1).getBytes
-    val payload = if (row.isNullAt(2)) Array.emptyByteArray else row.getBinary(2)
+    val lang = if (row.isNullAt(1)) null else row.getUTF8String(1).getBytes
+    val payload = if (row.isNullAt(2)) null else row.getBinary(2)
     blockOut.writeLong(id)
-    blockOut.writeInt(lang.length); blockOut.write(lang)
-    blockOut.writeInt(payload.length); blockOut.write(payload)
+    writeField(lang)
+    writeField(payload)
     blockMin = math.min(blockMin, id); blockMax = math.max(blockMax, id)
     blockN += 1; total += 1
     if (blockN >= blockRecords) flushBlock()

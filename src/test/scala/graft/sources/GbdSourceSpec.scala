@@ -80,4 +80,23 @@ class GbdSourceSpec extends SparkSpec {
     assert(m.group(2).toInt > m.group(1).toInt, desc) // some blocks pruned
     assert(filtered.count() == 100)
   }
+
+  test("null semantics: write->read preserves NULL vs empty for lang and payload") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("gbd_null_spec").toString
+    val src = Seq(
+      (1L, null.asInstanceOf[String], null.asInstanceOf[Array[Byte]]),
+      (2L, "", Array.emptyByteArray),
+      (3L, "en", "body".getBytes("UTF-8")))
+      .toDF("doc_id", "lang", "payload")
+    src.write.format("graft.sources.GbdSource")
+      .option("blockRecords", 2).mode("append").save(dir)
+    val back = spark.read.format("graft.sources.GbdSource").load(dir)
+      .orderBy("doc_id").collect()
+    assert(back(0).isNullAt(1) && back(0).isNullAt(2), "row 1 must read back NULLs")
+    assert(back(1).getString(1) == "" &&
+      back(1).getAs[Array[Byte]](2).isEmpty, "row 2 must stay empty, not null")
+    assert(back(2).getString(1) == "en" &&
+      new String(back(2).getAs[Array[Byte]](2), "UTF-8") == "body")
+  }
 }
