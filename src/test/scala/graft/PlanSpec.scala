@@ -309,4 +309,35 @@ class PlanSpec extends SparkSpec {
     assert(windows.nonEmpty, p)
     windows.foreach(w => assert(w.contains("l_returnflag"), w))
   }
+
+  test("q182: the word self-join is an equi-join; size lookups broadcast") {
+    val p = SparkEntry.queries("q182_vocab_overlap")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    // per-word fan-out is bounded by #sources, so the pair join must be
+    // a hash equi-join on the word — never a cartesian/NLJ
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastExchange"), p) // the 20-row size frames
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
+  test("q184/q185: the only data-sized pass is the confusion-matrix agg") {
+    for (q <- Seq("q184_lang_kappa", "q185_lang_prf")) {
+      val p = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.explainString(ExplainMode.fromString("simple"))
+      // every scan is the checkpointed ≤classes² confusion matrix — the
+      // documents scan + marker scoring ran exactly once
+      assert("Scan parquet".r.findAllIn(p).isEmpty, s"$q:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("windowspecdefinition"), s"$q:\n$p")
+    }
+  }
+
+  test("q186: dispersion is two keyed aggs — no window, no join") {
+    val p = SparkEntry.queries("q186_event_dispersion")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
 }
