@@ -93,7 +93,14 @@ object ScaleCheck {
       // excluded for the same copied-not-replicated reason as q144)
       "q152_skyline", "q153_weighted_median", "q157_benford",
       // degree-oriented triangles, to compare against q143's id-order
-      "q165_triangle_degree")
+      "q165_triangle_degree",
+      // waves X-XII: rank/concentration machines whose windows run over
+      // dictionaries, the Zipf TakeOrdered vocabulary cut, and the
+      // corpus-audit shapes (ESS one-agg, source-bounded vocab overlap,
+      // checkpointed confusion matrix). events-based q176/q179/q186 are
+      // excluded — events is copied, not replicated.
+      "q174_spearman", "q177_concentration", "q178_zipf_slope",
+      "q181_ess_weights", "q182_vocab_overlap", "q184_lang_kappa")
     val qs = graft.SparkEntry.queries
     def timeIt(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
