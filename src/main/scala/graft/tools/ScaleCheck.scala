@@ -100,7 +100,14 @@ object ScaleCheck {
       // checkpointed confusion matrix). events-based q176/q179/q186 are
       // excluded — events is copied, not replicated.
       "q174_spearman", "q177_concentration", "q178_zipf_slope",
-      "q181_ess_weights", "q182_vocab_overlap", "q184_lang_kappa")
+      "q181_ess_weights", "q182_vocab_overlap", "q184_lang_kappa",
+      // wave XV: HRW fold is per-row compute into an 8-key agg; the
+      // compaction window runs over file metadata; welford-merge is
+      // one groupBy re-aggregated; q198's day dictionary stays the
+      // same size at 10x (dates aren't shifted) so the rolling window
+      // is constant and only the daily agg absorbs the growth.
+      "q194_shard_rendezvous", "q196_compaction_plan",
+      "q197_welford_merge", "q198_rolling_corr")
     val qs = graft.SparkEntry.queries
     def timeIt(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
