@@ -29,16 +29,33 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) — Spark has no nanosecond
-      // timestamp type and refuses the file outright. Read nanos as raw
-      // long and truncate to microseconds (floor division), exactly how
-      // DuckDB truncates on CAST(ts_ns AS TIMESTAMP) — oracle SQL casts
-      // ts the same way so both engines compare at µs.
+      // events.ts has shipped as parquet TIMESTAMP(NANOS) in some harness
+      // drops and TIMESTAMP(MICROS, isAdjustedToUTC=false) in others, so
+      // sniff the footer type instead of assuming. NANOS: Spark has no
+      // nanosecond timestamp type and refuses the file outright — read
+      // nanos as raw long and truncate to microseconds (floor division),
+      // exactly how DuckDB truncates on CAST(ts_ns AS TIMESTAMP). MICROS
+      // without UTC adjustment arrives as TIMESTAMP_NTZ — cast to the
+      // session-zoned type (a value no-op under the UTC session zone both
+      // mains set) so every downstream window/unix_ts op sees one type.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      normalizeEventTs(raw)
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
+    }
+
+  /** Bring `ts` to session-zoned TimestampType regardless of how the
+    * harness parquet encoded it (long nanos / TIMESTAMP_NTZ / already
+    * zoned).
+    */
+  private def normalizeEventTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
     }
 
   /** Streaming read of the events table (same µs truncation as the batch
@@ -59,8 +76,7 @@ object Tables {
     if (!java.nio.file.Files.exists(link))
       java.nio.file.Files.createSymbolicLink(
         link, java.nio.file.Paths.get(s"$dir/events.parquet"))
-    spark.readStream.schema(rawSchema).parquet(stage.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    normalizeEventTs(spark.readStream.schema(rawSchema).parquet(stage.toString))
   }
 }
 
