@@ -107,7 +107,16 @@ object ScaleCheck {
       // same size at 10x (dates aren't shifted) so the rolling window
       // is constant and only the daily agg absorbs the growth.
       "q194_shard_rendezvous", "q196_compaction_plan",
-      "q197_welford_merge", "q198_rolling_corr")
+      "q197_welford_merge", "q198_rolling_corr",
+      // wave XVI: the lateral top-k prunes map-side (WindowGroupLimit)
+      // before its one customer shuffle; the recursive frontier shrinks
+      // 10x per round so 10x data adds one round; try_divide is
+      // map-only into a 3-key agg; the null-safe join is key-sized
+      // because both sides aggregate first. events-based q201 is
+      // excluded (events is copied, not replicated).
+      "q199_lateral_topk", "q200_recursive_rollup",
+      "q202_listagg_top_langs", "q203_try_arithmetic",
+      "q204_nullsafe_join")
     val qs = graft.SparkEntry.queries
     def timeIt(dir: String, name: String): Double = {
       val t0 = System.nanoTime()

@@ -340,4 +340,53 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("windowspecdefinition"), p)
     assert(!p.contains("Exchange SinglePartition"), p)
   }
+
+  test("q199: LATERAL decorrelates to a group-limit window + broadcast, never a per-row re-scan") {
+    val p = SparkEntry.queries("q199_lateral_topk")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    // WindowGroupLimit = the top-3 prunes map-side BEFORE the shuffle;
+    // the nation side broadcasts; a correlated-loop plan would show a
+    // nested-loop or cartesian join.
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+  }
+
+  test("q200: recursion is a UnionLoop fixpoint feeding one keyed agg") {
+    val p = SparkEntry.queries("q200_recursive_rollup")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(p.contains("UnionLoop"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("q201: islands are ONE keyed exchange — windows and both aggs reuse it") {
+    val p = SparkEntry.queries("q201_interval_islands")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q202: listagg is keyed and the top-3 prunes map-side (partial WindowGroupLimit)") {
+    val p = SparkEntry.queries("q202_listagg_top_langs")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("q203: try_divide stays map-only into one agg exchange") {
+    val p = SparkEntry.queries("q203_try_arithmetic")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert("Scan parquet".r.findAllIn(p).size === 1, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q204: null-safe join hashes (coalesce, isnull) keys — broadcast, no NLJ") {
+    val p = SparkEntry.queries("q204_nullsafe_join")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("isnull"), p)
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+  }
 }
