@@ -1,0 +1,249 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.operators.TextOps.{bandDuck, ngramHashesDuck, wordHashesDuck}
+
+/** Seventeenth wave: completeness/quality machinery for ingest at scale.
+  * q205 is the sequence-gap census (did we lose records?) done with
+  * equi-joins only — the naive global LAG over ids is a single-partition
+  * sort, this shape shuffles on the id key. q206 is the time-weighted
+  * average of a step signal (the correct mean for irregularly-sampled
+  * telemetry), integer-exact via micro-unit decimals. q207 turns the
+  * MinHash candidate generator into the cross-source contamination
+  * matrix every multi-corpus training set needs. q208 is the
+  * prefix-filtering exact set-similarity join (PPJoin-style, Xiao et
+  * al., WWW'08): a LOSSLESS candidate cut — if J(A,B) ≥ τ, the τ-prefix
+  * of A and B under any common total order must share an element — so
+  * the result equals the plain threshold join while the candidate join
+  * touches ~(1−τ)·|set| tokens per doc instead of all of them.
+  *
+  * Scale shapes: q205 is two keyed aggs + one anti equi-join (no global
+  * window); q206 is ONE keyed window pass; q207's joins are
+  * candidate-bounded on one side (pairs ≪ docs after banding+cap);
+  * q208's expensive co-occurrence join runs only over candidate pairs'
+  * postings — the prefix join that feeds it is the only corpus-sized
+  * self-join and it is 5× thinner than q47's at τ=0.8.
+  */
+object Training17 {
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- sequence-gap census over the click event-id stream: how many
+    // ids are missing between min and max, and in how many contiguous
+    // runs? A break is a present id whose successor id is absent —
+    // counted with a LEFT ANTI equi-join on (id+1 = id), which shuffles
+    // by id; runs = breaks − 1 (the max id's break closes the sequence,
+    // not a gap). The 1-row stat frames cross-join at the end —
+    // driver-side arithmetic, no data motion.
+    QueryDef(
+      "q205_sequence_gaps",
+      (s, d) => {
+        val ids = t(s, d, "events")
+          .where(col("event_type") === "click")
+          .select(col("event_id").as("id"))
+        val st = ids.agg(
+          count(lit(1)).as("n_present"),
+          min("id").as("min_id"), max("id").as("max_id"))
+        val breaks = ids.select((col("id") + 1).as("id2"))
+          .join(ids, col("id2") === col("id"), "left_anti")
+          .agg(count(lit(1)).as("nb"))
+        st.crossJoin(breaks).select(
+          col("n_present"), col("min_id"), col("max_id"),
+          (col("max_id") - col("min_id") + 1 - col("n_present"))
+            .as("n_missing"),
+          (col("nb") - 1).as("n_gap_runs"))
+      },
+      Some("""
+        WITH ids AS (
+          SELECT event_id AS id FROM events WHERE event_type = 'click'),
+        st AS (
+          SELECT count(*) AS n_present, min(id) AS min_id, max(id) AS max_id
+          FROM ids),
+        breaks AS (
+          SELECT count(*) AS nb FROM ids a
+          WHERE NOT EXISTS (SELECT 1 FROM ids b WHERE b.id = a.id + 1))
+        SELECT CAST(n_present AS BIGINT) AS n_present, min_id, max_id,
+               CAST(max_id - min_id + 1 - n_present AS BIGINT) AS n_missing,
+               CAST(nb - 1 AS BIGINT) AS n_gap_runs
+        FROM st, breaks""")),
+
+    // ---- time-weighted average of the event value signal per user:
+    // each event's value holds until the next event (step
+    // interpolation), so the mean weights by segment duration, not by
+    // sample count — the correct aggregate for irregularly-sampled
+    // telemetry where burst periods would otherwise dominate. Values in
+    // micro-units, products in DECIMAL(38,0): order-independent and
+    // bit-equal cross-engine. Users with one event have no segment and
+    // drop out; a user whose events all share one timestamp gets NULL
+    // (zero total duration) instead of an ANSI division error.
+    QueryDef(
+      "q206_time_weighted_avg",
+      (s, d) => {
+        val ord = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        t(s, d, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            col("event_id"),
+            expr("CAST(round(value * 1000000) AS BIGINT)").as("v_micro"))
+          .withColumn("nxt", lead("ts_us", 1).over(ord))
+          .where(col("nxt").isNotNull)
+          .withColumn("dur", col("nxt") - col("ts_us"))
+          .groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n_segments"),
+            sum("dur").as("total_us"),
+            expr("""round(CAST(sum(CAST(v_micro AS DECIMAL(38,0)) * dur)
+                          AS DOUBLE)
+                    / (1e6 * nullif(sum(dur), 0)), 6)""").as("twa"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id,
+                 CAST(round(value * 1000000) AS BIGINT) AS v_micro
+          FROM events),
+        seg AS (
+          SELECT user_id, v_micro,
+                 lead(ts_us) OVER (PARTITION BY user_id
+                                   ORDER BY ts_us, event_id) - ts_us AS dur
+          FROM ev)
+        SELECT user_id, count(*) AS n_segments,
+               CAST(sum(dur) AS BIGINT) AS total_us,
+               round(CAST(sum(CAST(v_micro AS DECIMAL(38,0)) * dur) AS DOUBLE)
+                     / (1e6 * nullif(sum(dur), 0)), 6) AS twa
+        FROM seg WHERE dur IS NOT NULL GROUP BY user_id""")),
+
+    // ---- cross-source near-dup contamination matrix: MinHash-LSH
+    // candidate pairs (the production q46 operator, bucket cap
+    // included) attributed to their source pair. The source lookups
+    // join the candidate-bounded pair list against the doc→source map —
+    // at scale the pair side is ≪ the corpus, so AQE broadcasts it;
+    // pair (a,b) counted once under the lexically-ordered source pair.
+    // This is the table that answers "is crawlA leaking into crawlB's
+    // eval split?" before training.
+    QueryDef(
+      "q207_cross_source_neardup",
+      (s, d) => {
+        import graft.operators.Dedup
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.minhashCandidatePairs(
+          Dedup.minhashBands(docs, "doc_id", "text"), "doc_id")
+          .withColumnRenamed("doc_id_a", "doc_a")
+          .withColumnRenamed("doc_id_b", "doc_b")
+        val srcs = docs.select(col("doc_id"), col("source"))
+        pairs
+          .join(srcs.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+            "doc_a")
+          .join(srcs.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+            "doc_b")
+          .groupBy(
+            least(col("sa"), col("sb")).as("source_a"),
+            greatest(col("sa"), col("sb")).as("source_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+      },
+      Some(s"""
+        WITH wh AS (SELECT doc_id, ${wordHashesDuck()} AS wh FROM documents),
+        hashed AS (SELECT doc_id, ${ngramHashesDuck(3, "wh")} AS hh FROM wh),
+        sig AS (
+          SELECT doc_id,
+                 ${(0 until 4).map(b => s"${bandDuck(b, 2, "hh")} AS band$b").mkString(",\n                 ")}
+          FROM hashed),
+        stacked AS (
+          ${(0 until 4).map(b => s"SELECT doc_id, $b AS band_idx, band$b AS band_key FROM sig")
+        .mkString("\n          UNION ALL ")}),
+        ok AS (SELECT band_idx, band_key FROM stacked
+               GROUP BY 1, 2 HAVING count(*) <= 32),
+        kept AS (SELECT s.* FROM stacked s JOIN ok USING (band_idx, band_key)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM kept a JOIN kept b
+            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id)
+        SELECT least(da.source, db.source) AS source_a,
+               greatest(da.source, db.source) AS source_b,
+               count(*) AS n_pairs
+        FROM cand c
+        JOIN documents da ON c.doc_a = da.doc_id
+        JOIN documents db ON c.doc_b = db.doc_id
+        GROUP BY 1, 2""")),
+
+    // ---- prefix-filtering exact set-similarity join at τ = 0.8 over
+    // word-3-gram shingle sets. Lossless candidate cut: J(A,B) ≥ τ ⟹
+    // |A∩B| ≥ ⌈τ·|A|⌉, so the smallest common token (under the global
+    // hash order) sits within A's first |A| − ⌈τ·|A|⌉ + 1 tokens —
+    // likewise for B — hence the PREFIX self-join finds every
+    // qualifying pair while exploding ~1/5 of each posting list at
+    // τ=0.8. Verification joins the full postings only against the
+    // candidate pairs (candidate-bounded, not corpus²), and the τ test
+    // is the exact integer predicate 9c ≥ 4(na+nb) — no float compare
+    // at the boundary. Oracle: the plain exact threshold join, equal by
+    // losslessness.
+    QueryDef(
+      "q208_prefix_filter_join",
+      (s, d) => {
+        import graft.operators.TextOps
+        // cache the hashed shingle arrays: every downstream branch (two
+        // prefix sides, two verify sides, two size lookups) would
+        // otherwise re-run the md5+combine expressions from parquet —
+        // the per-row cost that dominates this job (same discipline as
+        // Dedup.jaccardPairs).
+        val docs = t(s, d, "documents")
+          .withColumn("__wh", expr(TextOps.wordHashesSpark("text")))
+          .select(col("doc_id"),
+            expr(TextOps.ngramHashesSpark(3, "__wh")).as("__ngrams"))
+          .cache()
+        val ex = docs.select(col("doc_id"), explode(col("__ngrams")).as("h"))
+        val sizes = docs.select(col("doc_id"),
+          size(col("__ngrams")).cast("long").as("n"))
+        // prefix length for τ = 4/5: n − ⌈4n/5⌉ + 1, all-integer
+        val prefix = ex
+          .withColumn("pos", row_number().over(
+            Window.partitionBy("doc_id").orderBy("h")))
+          .join(sizes, "doc_id")
+          .where(col("pos") <= expr("n - ((4 * n + 4) div 5) + 1"))
+          .select(col("doc_id"), col("h"))
+        val cand = prefix.as("a")
+          .join(prefix.as("b"),
+            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        val inter = cand
+          .join(ex.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+          .join(ex.select(col("doc_id").as("doc_b"), col("h")),
+            Seq("doc_b", "h"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
+        val result = inter
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
+            "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+            "doc_b")
+          .where(col("c") * 9 >= (col("na") + col("nb")) * 4)
+          .select(col("doc_a"), col("doc_b"),
+            round(col("c").cast("double") / (col("na") + col("nb") - col("c")),
+              6).as("jaccard"))
+          .localCheckpoint() // materialize so the cache can be freed
+        docs.unpersist()
+        result
+      },
+      Some(s"""
+        WITH wh AS (
+          SELECT doc_id, ${wordHashesDuck()} AS wh FROM documents),
+        docs AS (
+          SELECT doc_id, ${ngramHashesDuck(3, "wh")} AS ngrams FROM wh),
+        ex AS (SELECT doc_id, unnest(ngrams) AS h FROM docs),
+        sizes AS (SELECT doc_id, len(ngrams) AS n FROM docs),
+        shared AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+          FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+        FROM shared
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE c * 9 >= (sa.n + sb.n) * 4""")),
+  )
+}

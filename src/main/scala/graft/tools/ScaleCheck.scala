@@ -116,7 +116,12 @@ object ScaleCheck {
       // excluded (events is copied, not replicated).
       "q199_lateral_topk", "q200_recursive_rollup",
       "q202_listagg_top_langs", "q203_try_arithmetic",
-      "q204_nullsafe_join")
+      "q204_nullsafe_join",
+      // wave XVII: the cross-source matrix and prefix join run over
+      // documents (replicated with disjoint per-replica vocabularies,
+      // so near-dup structure stays per-replica realistic); q205/q206
+      // are events-based and excluded (copied, not replicated).
+      "q207_cross_source_neardup", "q208_prefix_filter_join")
     val qs = graft.SparkEntry.queries
     def timeIt(dir: String, name: String): Double = {
       val t0 = System.nanoTime()

@@ -389,4 +389,37 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("isnull"), p)
     assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
   }
+
+  test("q205: gap census is equi-joins + aggs — no window, no global sort") {
+    val p = SparkEntry.queries("q205_sequence_gaps")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    // the successor test must be a hash anti-join on the id key, never a
+    // data-sized window (the naive LAG-over-ids plan is one partition);
+    // the only NLJ is the 1-row × 1-row stat cross at the very top.
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(p.contains("EqualTo(event_type,click)"), s"filter not pushed:\n$p")
+  }
+
+  test("q206: TWA is ONE keyed window exchange into a keyed agg") {
+    val p = SparkEntry.queries("q206_time_weighted_avg")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("q207: source lookups are hash joins; candidate join is banded equi") {
+    val p = SparkEntry.queries("q207_cross_source_neardup")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+  }
+
+  test("q208: prefix join is an equi-join on the token hash; verify is candidate-bounded") {
+    val p = SparkEntry.queries("q208_prefix_filter_join")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
 }
