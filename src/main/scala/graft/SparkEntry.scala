@@ -35,6 +35,7 @@ object SparkEntry {
       graft.queries.Training15.defs ++
       graft.queries.Training16.defs ++
       graft.queries.Training17.defs ++
+      graft.queries.Training18.defs ++
       graft.queries.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -72,6 +72,13 @@ object Training16 {
     QueryDef(
       "q200_recursive_rollup",
       (s, d) => {
+        // the default working-set guard (1M rows across all iterations)
+        // trips on any real table: every part emits depth+1 frontier
+        // rows, so a 200k-part table at depth 10 is already 2M. Row
+        // count is not the resource to bound here — depth is (the conf
+        // left at its 100 default) — so lift the row guard to the
+        // per-executor scale the engine actually handles.
+        s.conf.set("spark.sql.cteRecursionRowLimit", "2000000000")
         t(s, d, "part").createOrReplaceTempView("graft_part_rec")
         s.sql("""
           WITH RECURSIVE walk(part_key, anc, depth) AS (

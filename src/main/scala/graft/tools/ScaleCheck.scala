@@ -121,7 +121,14 @@ object ScaleCheck {
       // documents (replicated with disjoint per-replica vocabularies,
       // so near-dup structure stays per-replica realistic); q205/q206
       // are events-based and excluded (copied, not replicated).
-      "q207_cross_source_neardup", "q208_prefix_filter_join")
+      "q207_cross_source_neardup", "q208_prefix_filter_join",
+      // wave XVIII: q209/q211 keep their bounded query sets (vec_id<10,
+      // first replica) so scoring grows linearly with the corpus.
+      // q210/q212 use EVERY vector as a query — quadratic by
+      // construction in the brute-force harness form — and are excluded
+      // here; their production form feeds the same downstream joins
+      // from an ANN candidate list (q50/q63), which is the linear path.
+      "q209_maxsim_late_interaction", "q211_rocchio_rerank")
     val qs = graft.SparkEntry.queries
     def timeIt(dir: String, name: String): Double = {
       val t0 = System.nanoTime()

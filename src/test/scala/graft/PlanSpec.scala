@@ -422,4 +422,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
     assert(!p.contains("Exchange SinglePartition"), p)
   }
+
+  test("q209: MaxSim is one codegen'd fold per candidate row — no explode, keyed top-k") {
+    val p = SparkEntry.queries("q209_maxsim_late_interaction")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    // brute-force scoring broadcasts the (bounded) query side by
+    // design — the scale swap is the ANN candidate generator; what must
+    // hold is: no Generate/explode of the 4x4 similarity matrix, and
+    // the per-query top-k window stays keyed.
+    assert(!p.contains("Generate"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // documented baseline shape
+  }
+
+  test("q210/q212: reciprocal and vote joins are hash equi-joins over top-k lists") {
+    for (name <- Seq("q210_mutual_knn", "q212_knn_label_audit")) {
+      val p = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.explainString(ExplainMode.fromString("simple"))
+      assert(!p.contains("Exchange SinglePartition"), s"$name:\n$p")
+      // exactly one non-equi join (the brute-force scorer); everything
+      // downstream of the top-k lists joins by key
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, s"$name:\n$p")
+    }
+  }
 }
