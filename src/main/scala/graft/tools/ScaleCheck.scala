@@ -128,7 +128,11 @@ object ScaleCheck {
       // construction in the brute-force harness form — and are excluded
       // here; their production form feeds the same downstream joins
       // from an ANN candidate list (q50/q63), which is the linear path.
-      "q209_maxsim_late_interaction", "q211_rocchio_rerank")
+      "q209_maxsim_late_interaction", "q211_rocchio_rerank",
+      // wave XIX: pruning stats and the price audit are lineitem/orders
+      // shapes (one data-sized agg each); events-based q214/q215 are
+      // excluded (copied, not replicated).
+      "q213_minmax_pruning", "q216_price_audit")
     val qs = graft.SparkEntry.queries
     def timeIt(dir: String, name: String): Double = {
       val t0 = System.nanoTime()

@@ -445,4 +445,29 @@ class PlanSpec extends SparkSpec {
       assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, s"$name:\n$p")
     }
   }
+
+  test("q214: run-length encoding is one keyed window pass — no join, never single-partition") {
+    val p = SparkEntry.queries("q214_event_runs")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("q215: funnel is keyed aggs + equi-joins — no window over raw events, no NLJ") {
+    val p = SparkEntry.queries("q215_constrained_funnel")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+    assert(p.contains("EqualTo(event_type,"), s"type filter not pushed:\n$p")
+  }
+
+  test("q216: price audit is one shuffle join on the order key; scans prune columns") {
+    val p = SparkEntry.queries("q216_price_audit")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+    val lineSchema = p.linesIterator
+      .filter(_.contains("ReadSchema")).find(_.contains("l_extendedprice"))
+    assert(lineSchema.exists(!_.contains("l_shipdate")),
+      s"lineitem scan should prune unused columns:\n$p")
+  }
 }
