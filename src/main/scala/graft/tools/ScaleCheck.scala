@@ -132,7 +132,13 @@ object ScaleCheck {
       // wave XIX: pruning stats and the price audit are lineitem/orders
       // shapes (one data-sized agg each); events-based q214/q215 are
       // excluded (copied, not replicated).
-      "q213_minmax_pruning", "q216_price_audit")
+      "q213_minmax_pruning", "q216_price_audit",
+      // wave XX: coverage curve's data pass is the word count (vocab
+      // grows ~10x with salted replicas but stays dictionary-sized);
+      // the sampled join reads 1/16 of each replicated side; the diff
+      // is one full-outer shuffle join.
+      "q217_vocab_coverage", "q218_join_card_estimate",
+      "q220_snapshot_diff")
     val qs = graft.SparkEntry.queries
     def timeIt(dir: String, name: String): Double = {
       val t0 = System.nanoTime()

@@ -470,4 +470,21 @@ class PlanSpec extends SparkSpec {
     assert(lineSchema.exists(!_.contains("l_shipdate")),
       s"lineitem scan should prune unused columns:\n$p")
   }
+
+  test("q218: both sampled sides filter before the hash join — no NLJ anywhere") {
+    val p = SparkEntry.queries("q218_join_card_estimate")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("NestedLoop") || // 1-row × 1-row stat cross only
+      "BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+    assert(!p.contains("Cartesian"), p)
+    assert("% 16\\) = 0".r.findAllIn(p).size >= 2,
+      s"slice predicate should sit on both scans:\n$p")
+  }
+
+  test("q220: snapshot diff is one full-outer equi-join, column-pruned scans") {
+    val p = SparkEntry.queries("q220_snapshot_diff")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+  }
 }
