@@ -138,7 +138,11 @@ object ScaleCheck {
       // the sampled join reads 1/16 of each replicated side; the diff
       // is one full-outer shuffle join.
       "q217_vocab_coverage", "q218_join_card_estimate",
-      "q220_snapshot_diff")
+      "q220_snapshot_diff",
+      // wave XXI: postings filtered to the term set before any shuffle
+      // (term df grows linearly with replicas); decile binning is the
+      // EquiDepthBins broadcast-fold shape.
+      "q221_conjunctive_search", "q222_source_decile_mix")
     val qs = graft.SparkEntry.queries
     def timeIt(dir: String, name: String): Double = {
       val t0 = System.nanoTime()

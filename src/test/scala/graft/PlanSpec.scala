@@ -487,4 +487,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("FullOuter"), p)
     assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
   }
+
+  test("q221: term filter sits under the explode before any shuffle; intersection is keyed") {
+    val p = SparkEntry.queries("q221_conjunctive_search")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(p.contains("Filter w#") || p.contains("IN (join,merge,window)") ||
+      p.contains("w#"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+  }
+
+  test("q222: binning is a broadcast fold — no sort, no global window") {
+    val p = SparkEntry.queries("q222_source_decile_mix")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p) // 1-row bounds broadcast
+  }
 }
