@@ -142,7 +142,10 @@ object ScaleCheck {
       // wave XXI: postings filtered to the term set before any shuffle
       // (term df grows linearly with replicas); decile binning is the
       // EquiDepthBins broadcast-fold shape.
-      "q221_conjunctive_search", "q222_source_decile_mix")
+      "q221_conjunctive_search", "q222_source_decile_mix",
+      // wave XXII: the wedge join is per-replica bounded (order sizes);
+      // events-based q224 excluded (copied, not replicated).
+      "q223_link_prediction")
     val qs = graft.SparkEntry.queries
     def timeIt(dir: String, name: String): Double = {
       val t0 = System.nanoTime()

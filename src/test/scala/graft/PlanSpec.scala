@@ -504,4 +504,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") ||
       p.contains("BroadcastExchange"), p) // 1-row bounds broadcast
   }
+
+  test("q223: top-20 is TakeOrdered over the wedge-bounded pair table, all joins equi") {
+    val p = SparkEntry.queries("q223_link_prediction")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+  }
+
+  test("q224: disorder profile is one keyed window — no join, never single-partition") {
+    val p = SparkEntry.queries("q224_disorder_profile")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
 }
