@@ -41,6 +41,7 @@ object SparkEntry {
       graft.queries.Training21.defs ++
       graft.queries.Training22.defs ++
       graft.queries.Training23.defs ++
+      graft.queries.Training24.defs ++
       graft.queries.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
