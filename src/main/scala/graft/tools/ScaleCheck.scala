@@ -145,7 +145,12 @@ object ScaleCheck {
       "q221_conjunctive_search", "q222_source_decile_mix",
       // wave XXII: the wedge join is per-replica bounded (order sizes);
       // events-based q224 excluded (copied, not replicated).
-      "q223_link_prediction")
+      "q223_link_prediction",
+      // waves XXIII-XXIV: hashing census and budget curve are
+      // dictionary shapes; containment rides the q47 join; the KMV
+      // merge is keyed-window + TakeOrdered.
+      "q225_feature_hashing", "q226_bottomk_sample_merge",
+      "q227_containment_pairs", "q228_budget_fill")
     val qs = graft.SparkEntry.queries
     def timeIt(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
