@@ -58,9 +58,10 @@ object Tables {
       case _ => raw
     }
 
-  /** Streaming read of the events table (same µs truncation as the batch
-    * path; the declared schema must be the RAW footer schema — ts as
-    * long nanos — because conversion happens after the source).
+  /** Streaming read of the events table (same ts handling as the batch
+    * path; the declared schema must be the RAW footer schema — whatever
+    * encoding the harness shipped: long nanos, TIMESTAMP_NTZ micros, or
+    * already-zoned — because normalizeEventTs converts after the source).
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -98,26 +98,7 @@ object Dedup {
       .select(col(idCol), expr(TextOps.ngramHashesSpark(3, "__wh")).as("__ngrams"))
       .cache()
     try {
-      val ex0 = docs.select(col(idCol), explode(col("__ngrams")).as("h"))
-      // cache: the df aggregation would otherwise rerun for each of the
-      // three consumers of `ex` (sizes + both sides of the self-join);
-      // the hot set itself is the small side, the exploded stream is not
-      // cached — at scale recomputing the explode from cached docs is
-      // cheaper than materializing it
-      val hot = ex0.groupBy("h").agg(count(lit(1)).as("__df"))
-        .filter(col("__df") > dfCap).drop("__df").cache()
-      // fast path when nothing is hot (the common case): the anti-join
-      // filters nothing and post-cap sizes equal the per-row array
-      // sizes, so skip both — results are identical by construction,
-      // and only the one df-scan pass is paid for the cap guarantee
-      val (ex, sizes) =
-        if (hot.isEmpty)
-          (ex0, docs.select(col(idCol), size(col("__ngrams")).cast("long").as("n")))
-        else {
-          val e = ex0.join(hot, Seq("h"), "left_anti")
-          // post-cap set sizes (keyed agg; co-keyed with the pair grouping)
-          (e, e.groupBy(col(idCol)).agg(count(lit(1)).as("n")))
-        }
+      val (ex, sizes, release) = cappedPostings(docs, idCol, "__ngrams", dfCap)
       val shared = ex.as("a").join(ex.as("b"),
         col("a.h") === col("b.h") && col(s"a.$idCol") < col(s"b.$idCol"))
         .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
@@ -129,9 +110,51 @@ object Dedup {
           round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6)
             .as("jaccard"))
         .localCheckpoint() // materialize so the caches can be freed
-      hot.unpersist()
+      release()
       result
     } finally docs.unpersist()
+  }
+
+  /** Hot-shingle-capped postings for a cached (idCol, ngramsCol array)
+    * frame: the exploded (idCol, h) stream with shingles of document
+    * frequency > dfCap removed, plus the post-cap set sizes — the
+    * interior of [[jaccardPairs]] exposed so every shingle
+    * co-occurrence join (jaccard, containment, prefix-filter) shares
+    * ONE cap discipline. A shingle in k documents contributes k² rows
+    * to any co-occurrence self-join, and real corpora have power-law
+    * shingles (stop-phrases, boilerplate) that carry no similarity
+    * signal — dropping them BEFORE the join (and from the set sizes,
+    * i.e. similarity is computed over the df≤cap shingle space) is what
+    * bounds the join at 100 TB.
+    *
+    * The hot set itself is cached (it is the small side of the
+    * anti-join; the exploded stream is NOT cached — at scale
+    * recomputing the explode from the cached docs frame is cheaper than
+    * materializing it). Fast path when no shingle is hot (the common
+    * case at harness SF): the anti-join would filter nothing and the
+    * post-cap sizes equal the per-row array sizes, so both are skipped
+    * — results identical by construction, and only the one df-scan pass
+    * is paid for the cap guarantee.
+    *
+    * Returns (postings, sizes, release); call release() after
+    * materializing downstream results to free the internal cache.
+    */
+  def cappedPostings(
+      docs: DataFrame, idCol: String, ngramsCol: String, dfCap: Int)
+      : (DataFrame, DataFrame, () => Unit) = {
+    val ex0 = docs.select(col(idCol), explode(col(ngramsCol)).as("h"))
+    val hot = ex0.groupBy("h").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > dfCap).drop("__df").cache()
+    val release = () => { hot.unpersist(); () }
+    if (hot.isEmpty)
+      (ex0,
+        docs.select(col(idCol), size(col(ngramsCol)).cast("long").as("n")),
+        release)
+    else {
+      val e = ex0.join(hot, Seq("h"), "left_anti")
+      // post-cap set sizes (keyed agg; co-keyed with the pair grouping)
+      (e, e.groupBy(col(idCol)).agg(count(lit(1)).as("n")), release)
+    }
   }
 
   /** End-to-end corpus dedup — the full pipeline composed: exact dedup

@@ -30,6 +30,40 @@ import graft.{QueryDef, Tables}
 object Training16 {
   private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
 
+  /** q200's lazy plan plus a conf-restore thunk. The default recursion
+    * working-set guard (1M rows across all iterations) trips on any
+    * real table: every part emits depth+1 frontier rows, so a 200k-part
+    * table at depth 10 is already 2M. Row count is not the resource to
+    * bound here — depth is (the conf left at its 100 default) — so the
+    * row guard is sized from THIS input (rows × max key-digit depth,
+    * padded). The caller runs/plans the frame, then calls restore() to
+    * put the session default back (exposed separately so PlanSpec can
+    * inspect the pre-execution plan — an eager helper would hide the
+    * UnionLoop behind a checkpointed RDD scan).
+    */
+  private[graft] def q200Plan(s: SparkSession, d: String): (DataFrame, () => Unit) = {
+    val parts = t(s, d, "part")
+    val bound = (parts.count() + 1000L) * 12L // ≤12 decimal digits/key
+    val prev = s.conf.getOption("spark.sql.cteRecursionRowLimit")
+    s.conf.set("spark.sql.cteRecursionRowLimit", bound.toString)
+    parts.createOrReplaceTempView("graft_part_rec")
+    val df = s.sql("""
+      WITH RECURSIVE walk(part_key, anc, depth) AS (
+        SELECT p_partkey, p_partkey, 0 FROM graft_part_rec
+        UNION ALL
+        SELECT part_key, anc div 10, depth + 1 FROM walk WHERE anc >= 10
+      )
+      SELECT anc AS root_digit, count(*) AS n_parts,
+             max(depth) AS max_depth,
+             CAST(sum(part_key) AS BIGINT) AS key_sum
+      FROM walk WHERE anc < 10 GROUP BY anc""")
+    val restore = () => prev match {
+      case Some(v) => s.conf.set("spark.sql.cteRecursionRowLimit", v)
+      case None    => s.conf.unset("spark.sql.cteRecursionRowLimit")
+    }
+    (df, restore)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- correlated LATERAL subquery with ORDER BY/LIMIT: top-3
@@ -72,24 +106,12 @@ object Training16 {
     QueryDef(
       "q200_recursive_rollup",
       (s, d) => {
-        // the default working-set guard (1M rows across all iterations)
-        // trips on any real table: every part emits depth+1 frontier
-        // rows, so a 200k-part table at depth 10 is already 2M. Row
-        // count is not the resource to bound here — depth is (the conf
-        // left at its 100 default) — so lift the row guard to the
-        // per-executor scale the engine actually handles.
-        s.conf.set("spark.sql.cteRecursionRowLimit", "2000000000")
-        t(s, d, "part").createOrReplaceTempView("graft_part_rec")
-        s.sql("""
-          WITH RECURSIVE walk(part_key, anc, depth) AS (
-            SELECT p_partkey, p_partkey, 0 FROM graft_part_rec
-            UNION ALL
-            SELECT part_key, anc div 10, depth + 1 FROM walk WHERE anc >= 10
-          )
-          SELECT anc AS root_digit, count(*) AS n_parts,
-                 max(depth) AS max_depth,
-                 CAST(sum(part_key) AS BIGINT) AS key_sum
-          FROM walk WHERE anc < 10 GROUP BY anc""")
+        val (df, restore) = q200Plan(s, d)
+        // eager: materialized while the bound is set, then the session
+        // default is restored so the runaway-recursion guard stays
+        // armed for every later query in a long-lived session.
+        try df.localCheckpoint()
+        finally restore()
       },
       Some("""
         WITH RECURSIVE walk(part_key, anc, depth) AS (

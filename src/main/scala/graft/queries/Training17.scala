@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
-import graft.operators.TextOps.{bandDuck, ngramHashesDuck, wordHashesDuck}
+import graft.operators.TextOps.{lshPairsCtesDuck, ngramHashesDuck, wordHashesDuck}
 
 /** Seventeenth wave: completeness/quality machinery for ingest at scale.
   * q205 is the sequence-gap census (did we lose records?) done with
@@ -144,30 +144,17 @@ object Training17 {
             greatest(col("sa"), col("sb")).as("source_b"))
           .agg(count(lit(1)).as("n_pairs"))
       },
+      // Oracle built on the ONE shared LSH CTE renderer (as q71/q99/
+      // q109/q114 are), so a change to the Spark-side banding defaults
+      // cannot silently desync a hand-copied SQL twin.
       Some(s"""
-        WITH wh AS (SELECT doc_id, ${wordHashesDuck()} AS wh FROM documents),
-        hashed AS (SELECT doc_id, ${ngramHashesDuck(3, "wh")} AS hh FROM wh),
-        sig AS (
-          SELECT doc_id,
-                 ${(0 until 4).map(b => s"${bandDuck(b, 2, "hh")} AS band$b").mkString(",\n                 ")}
-          FROM hashed),
-        stacked AS (
-          ${(0 until 4).map(b => s"SELECT doc_id, $b AS band_idx, band$b AS band_key FROM sig")
-        .mkString("\n          UNION ALL ")}),
-        ok AS (SELECT band_idx, band_key FROM stacked
-               GROUP BY 1, 2 HAVING count(*) <= 32),
-        kept AS (SELECT s.* FROM stacked s JOIN ok USING (band_idx, band_key)),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM kept a JOIN kept b
-            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-           AND a.doc_id < b.doc_id)
+        WITH ${lshPairsCtesDuck("documents", withWalk = false)}
         SELECT least(da.source, db.source) AS source_a,
                greatest(da.source, db.source) AS source_b,
                count(*) AS n_pairs
-        FROM cand c
-        JOIN documents da ON c.doc_a = da.doc_id
-        JOIN documents db ON c.doc_b = db.doc_id
+        FROM pairs c
+        JOIN documents da ON c.a = da.doc_id
+        JOIN documents db ON c.b = db.doc_id
         GROUP BY 1, 2""")),
 
     // ---- prefix-filtering exact set-similarity join at τ = 0.8 over
@@ -184,20 +171,25 @@ object Training17 {
     QueryDef(
       "q208_prefix_filter_join",
       (s, d) => {
-        import graft.operators.TextOps
+        import graft.operators.{Dedup, TextOps}
         // cache the hashed shingle arrays: every downstream branch (two
         // prefix sides, two verify sides, two size lookups) would
         // otherwise re-run the md5+combine expressions from parquet —
         // the per-row cost that dominates this job (same discipline as
-        // Dedup.jaccardPairs).
+        // Dedup.jaccardPairs). Postings come through Dedup.cappedPostings
+        // so a hot shingle (df > 64 — above the harness max of 25 at
+        // sf0.1, results byte-identical, oracle stays the uncapped form)
+        // cannot quadratically fan out the prefix OR verify joins;
+        // similarity is then over the df≤cap shingle space, prefix
+        // lengths included (sizes are post-cap, so the τ-prefix bound
+        // stays lossless w.r.t. that space).
         val docs = t(s, d, "documents")
           .withColumn("__wh", expr(TextOps.wordHashesSpark("text")))
           .select(col("doc_id"),
             expr(TextOps.ngramHashesSpark(3, "__wh")).as("__ngrams"))
           .cache()
-        val ex = docs.select(col("doc_id"), explode(col("__ngrams")).as("h"))
-        val sizes = docs.select(col("doc_id"),
-          size(col("__ngrams")).cast("long").as("n"))
+        val (ex, sizes, release) =
+          Dedup.cappedPostings(docs, "doc_id", "__ngrams", dfCap = 64)
         // prefix length for τ = 4/5: n − ⌈4n/5⌉ + 1, all-integer
         val prefix = ex
           .withColumn("pos", row_number().over(
@@ -225,6 +217,7 @@ object Training17 {
             round(col("c").cast("double") / (col("na") + col("nb") - col("c")),
               6).as("jaccard"))
           .localCheckpoint() // materialize so the cache can be freed
+        release()
         docs.unpersist()
         result
       },

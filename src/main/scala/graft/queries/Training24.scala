@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
-import graft.operators.TextOps
+import graft.operators.{Dedup, TextOps}
 
 /** Twenty-fourth wave: curation selection machinery. q227 is
   * containment search — the ASYMMETRIC near-dup relation |A∩B|/|A|
@@ -30,8 +30,12 @@ object Training24 {
     // of ONE side's shingles appear in the other. Both directions are
     // emitted (c/na, c/nb) with the integer gate 10c ≥ 9·min(na,nb) —
     // a pair qualifies iff its SMALLER side is mostly contained.
-    // Shared counts come from the same equi-join shape as q47; sizes
-    // join back by doc key.
+    // Shared counts come from the same equi-join shape as q47 through
+    // Dedup.cappedPostings, so the hot-shingle df cap (64, above the
+    // harness max df of 25 at sf0.1 — results byte-identical, oracle
+    // stays the uncapped form) bounds the self-join the same way
+    // jaccardPairs' does; sizes join back by doc key and are post-cap,
+    // i.e. containment is computed over the df≤cap shingle space.
     QueryDef(
       "q227_containment_pairs",
       (s, d) => {
@@ -40,9 +44,8 @@ object Training24 {
           .select(col("doc_id"),
             expr(TextOps.ngramHashesSpark(3, "__wh")).as("__ngrams"))
           .cache()
-        val ex = docs.select(col("doc_id"), explode(col("__ngrams")).as("h"))
-        val sizes = docs.select(col("doc_id"),
-          size(col("__ngrams")).cast("long").as("n"))
+        val (ex, sizes, release) =
+          Dedup.cappedPostings(docs, "doc_id", "__ngrams", dfCap = 64)
         val shared = ex.as("a").join(ex.as("b"),
           col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -57,6 +60,7 @@ object Training24 {
             round(col("c").cast("double") / col("na"), 6).as("cont_a_in_b"),
             round(col("c").cast("double") / col("nb"), 6).as("cont_b_in_a"))
           .localCheckpoint() // free the shingle cache
+        release()
         docs.unpersist()
         result
       },

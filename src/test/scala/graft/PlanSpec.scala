@@ -353,10 +353,14 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q200: recursion is a UnionLoop fixpoint feeding one keyed agg") {
-    val p = SparkEntry.queries("q200_recursive_rollup")(spark, dir)
-      .queryExecution.explainString(ExplainMode.fromString("simple"))
-    assert(p.contains("UnionLoop"), p)
-    assert(!p.contains("Exchange SinglePartition"), p)
+    // the declared query checkpoints eagerly (so it can restore the
+    // recursion row guard) — inspect the pre-execution plan instead
+    val (df, restore) = graft.queries.Training16.q200Plan(spark, dir)
+    try {
+      val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+      assert(p.contains("UnionLoop"), p)
+      assert(!p.contains("Exchange SinglePartition"), p)
+    } finally restore()
   }
 
   test("q201: islands are ONE keyed exchange — windows and both aggs reuse it") {
