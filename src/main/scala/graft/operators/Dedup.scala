@@ -165,16 +165,28 @@ object Dedup {
     * survivorship. Returns one row per surviving document with
     * `n_represented` = how many raw documents it stands for
     * (Σ n_represented = |corpus| — nothing is lost or double-counted).
+    *
+    * `components` defaults to [[connectedComponentsStar]] — O(log n)
+    * rounds on ANY pair graph, so an adversarial corpus (chained
+    * near-dups: doc₁≈doc₂≈…≈docₙ) cannot turn the clustering into
+    * O(diameter) shuffles. Both variants produce the identical min-id
+    * labeling, so the swap is invisible to results; pass
+    * [[connectedComponents]] (min-label propagation — one keyed agg +
+    * one join per round vs star's two of each) as the explicit option
+    * for graphs KNOWN shallow, where its ~2 rounds are cheaper than
+    * star's fixed ~log n.
     */
   def dedupe(
       df: DataFrame, idCol: String, textCol: String,
-      bands: Int = 4, rowsPerBand: Int = 2, maxBucket: Int = 32): DataFrame = {
+      bands: Int = 4, rowsPerBand: Int = 2, maxBucket: Int = 32,
+      components: (DataFrame, String, String) => DataFrame =
+        connectedComponentsStar(_, _, _)): DataFrame = {
     val exact = exactGroups(df, idCol, textCol)
       .select(col(s"keeper_$idCol").as(idCol), col("n_copies"))
     val keepers = df.join(exact, idCol)
     val pairs = minhashCandidatePairs(
       minhashBands(keepers, idCol, textCol, bands, rowsPerBand), idCol, maxBucket)
-    val comp = connectedComponents(pairs, s"${idCol}_a", s"${idCol}_b")
+    val comp = components(pairs, s"${idCol}_a", s"${idCol}_b")
     keepers.select(col(idCol), col("n_copies"))
       .join(comp.withColumnRenamed("node", idCol), Seq(idCol), "left")
       .withColumn("__rep", coalesce(col("cluster_id"), col(idCol)))

@@ -39,9 +39,36 @@ object Sinks {
     df.sortWithinPartitions(sortCols.map(col): _*)
       .write.mode("overwrite").parquet(path)
 
-  /** Streaming MERGE-upsert sink: per microbatch, union the batch with
-    * the previous snapshot and keep the highest-`versionCol` row per
-    * key (ties broken toward the incoming batch).
+  /** One MERGE step (the body of a streamUpsert microbatch, exposed for
+    * batch callers): union `incoming` with the latest complete snapshot
+    * under `snapshotRoot` (if any), keep the highest-`versionCol` row
+    * per key (ties broken toward the incoming batch), and write the
+    * result as snapshot directory `v<version>` — never overwriting what
+    * it reads, which is what makes every older version remain readable
+    * (time travel, [[readSnapshot]]).
+    */
+  def mergeSnapshot(
+      incoming: DataFrame, snapshotRoot: String,
+      keyCols: Seq[String], versionCol: String, version: Long): Unit = {
+    val spark = incoming.sparkSession
+    val in = incoming.withColumn("__src", lit(1))
+    val merged = latestSnapshotDir(snapshotRoot) match {
+      case Some(prev) =>
+        spark.read.parquet(prev).withColumn("__src", lit(0))
+          .unionByName(in)
+      case None => in
+    }
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc, col("__src").desc)
+    merged
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__src")
+      .write.mode("overwrite").parquet(s"$snapshotRoot/v$version")
+  }
+
+  /** Streaming MERGE-upsert sink: per microbatch, one [[mergeSnapshot]]
+    * step at version = batchId.
     */
   def streamUpsert(
       stream: DataFrame, checkpoint: String, snapshotRoot: String,
@@ -49,21 +76,7 @@ object Sinks {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val incoming = batch.withColumn("__src", lit(1))
-        val merged = latestSnapshotDir(snapshotRoot) match {
-          case Some(prev) =>
-            spark.read.parquet(prev).withColumn("__src", lit(0))
-              .unionByName(incoming)
-          case None => incoming
-        }
-        val w = Window.partitionBy(keyCols.map(col): _*)
-          .orderBy(col(versionCol).desc, col("__src").desc)
-        merged
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1)
-          .drop("__rn", "__src")
-          .write.mode("overwrite").parquet(s"$snapshotRoot/v$batchId")
+        mergeSnapshot(batch, snapshotRoot, keyCols, versionCol, batchId)
         ()
       }
       .start()
@@ -119,12 +132,37 @@ object Sinks {
     spark.read.parquet(latestSnapshotDir(snapshotRoot)
       .getOrElse(sys.error(s"no snapshot under $snapshotRoot")))
 
-  private def latestSnapshotDir(root: String): Option[String] = {
+  /** All complete snapshot versions under `root`, ascending. A version
+    * counts only with its `_SUCCESS` marker — a crashed writer's partial
+    * directory is invisible, which is the commit protocol that makes the
+    * versioned-directory scheme safe without a table format.
+    */
+  def snapshotVersions(root: String): Seq[Long] = {
     val d = new java.io.File(root)
-    Option(d.listFiles()).getOrElse(Array.empty)
+    Option(d.listFiles()).getOrElse(Array.empty).toSeq
       .filter(f => f.isDirectory && f.getName.startsWith("v") &&
         new java.io.File(f, "_SUCCESS").exists())
-      .sortBy(f => f.getName.drop(1).toLong)
-      .lastOption.map(_.getAbsolutePath)
+      .map(_.getName.drop(1).toLong)
+      .sorted
   }
+
+  /** Time-travel read: the snapshot AS OF `version` — the newest
+    * complete snapshot with version ≤ the requested one (the same
+    * resolution rule as a table format's `VERSION AS OF`: asking for a
+    * version between two commits reads the earlier commit). Upserts
+    * never rewrite old version directories, so this is a plain pruned
+    * read of one directory — no reconstruction, no log replay. On a
+    * real deployment this call is Delta/Iceberg `VERSION AS OF`;
+    * offline, the versioned directories ARE the commit log.
+    */
+  def readSnapshot(spark: SparkSession, root: String, version: Long): DataFrame = {
+    val vs = snapshotVersions(root)
+    val v = vs.filter(_ <= version).lastOption
+      .getOrElse(sys.error(
+        s"no snapshot at or before v$version under $root (have: ${vs.mkString(",")})"))
+    spark.read.parquet(s"$root/v$v")
+  }
+
+  private def latestSnapshotDir(root: String): Option[String] =
+    snapshotVersions(root).lastOption.map(v => s"$root/v$v")
 }

@@ -522,4 +522,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
     assert(!p.contains("Exchange SinglePartition"), p)
   }
+
+  test("q231: candidate generation is a banded equi-join; top-20 is TakeOrdered; no NLJ") {
+    val p = SparkEntry.queries("q231_link_prediction_minhash")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+  }
 }

@@ -63,6 +63,33 @@ class NearDupSpec extends SparkSpec {
     assert(out.contains(3L), "unrelated doc survives alone")
   }
 
+  test("dedupe default clustering collapses a deep near-dup CHAIN in O(log n) rounds") {
+    // sliding-window corpus: doc_i ≈ doc_{i+1} (jaccard ≈ 0.95) but
+    // doc_0 and doc_99 share nothing — a 100-hop chain. The default
+    // connectedComponentsStar closes it in ~log n rounds; min-label
+    // propagation would need ~99 (past its maxIter), which is exactly
+    // why star is the composed pipeline's default.
+    val words = (0 until 150).map(i => s"w${i}x")
+    val chain = (0 until 100).map(i =>
+      (i.toLong, words.slice(i, i + 40).mkString(" "))).toDF("doc_id", "text")
+    val out = Dedup.dedupe(chain, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(0L -> 100L),
+      s"chain must collapse to ONE survivor representing all 100 docs, got $out")
+  }
+
+  test("dedupe: star and propagation clustering produce identical output on shallow graphs") {
+    val raw = Seq(
+      (0L, base), (1L, base), (2L, oneEdit), (3L, different), (4L, reordered)
+    ).toDF("doc_id", "text")
+    val star = Dedup.dedupe(raw, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    val prop = Dedup.dedupe(raw, "doc_id", "text",
+      components = Dedup.connectedComponents(_, _, _))
+      .collect().map(_.toSeq).toSet
+    assert(star === prop)
+  }
+
   test("simhash: hamming distance orders near-dup < unrelated") {
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     val sh = docs

@@ -48,6 +48,36 @@ class SinksSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("time travel: old versions readable after upserts; AS OF resolves downward; read is pruned") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    val root = java.nio.file.Files.createTempDirectory("graft_tt").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tt_ck").toString
+    val q = Sinks.streamUpsert(
+      mem.toDF().toDF("k", "ver", "payload"), ckpt, root,
+      keyCols = Seq("k"), versionCol = "ver")
+    try {
+      mem.addData((1L, 1L, "a1"), (2L, 1L, "b1"))
+      q.processAllAvailable()
+      mem.addData((1L, 2L, "a2"), (3L, 1L, "c1"))
+      q.processAllAvailable()
+      assert(Sinks.snapshotVersions(root) === Seq(0L, 1L))
+      def asMap(v: Long) = Sinks.readSnapshot(spark, root, v)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+      // v0 is untouched by the v1 upsert
+      assert(asMap(0L) === Map(1L -> (1L, "a1"), 2L -> (1L, "b1")))
+      // AS OF a version between/after commits resolves to the newest ≤ it
+      assert(asMap(5L) === Map(
+        1L -> (2L, "a2"), 2L -> (1L, "b1"), 3L -> (1L, "c1")))
+      // before the first commit: loud error, not an empty frame
+      intercept[RuntimeException](Sinks.readSnapshot(spark, root, -1L))
+      // pruned read: the v0 read touches only the v0 directory's files
+      val files = Sinks.readSnapshot(spark, root, 0L)
+        .select(input_file_name()).distinct().collect().map(_.getString(0))
+      assert(files.nonEmpty && files.forall(_.contains("/v0/")))
+    } finally q.stop()
+  }
+
   test("compactSnapshot: file count drops to byte-target, reads identical") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/snap"
     (1 to 20000).map(i => (i.toLong, s"payload_$i"))
