@@ -78,12 +78,14 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
-    // Steady-state measurement (JMH-style): one untimed warmup execution
-    // per query (JIT + whole-stage-codegen compile + parquet footer
-    // caches), then one timed execution. Cold-JVM first-query cost is a
-    // constant of the harness process, not of the engine — on a real
-    // cluster the executors are long-lived.
-    def warmThenTime(name: String): Double = { runOne(name); runOne(name) }
+    // Steady-state measurement (JMH-style): one timed COLD execution per
+    // query (JIT + whole-stage-codegen compile + parquet footer caches —
+    // recorded so methodology drift between rounds is self-documenting),
+    // then one timed warm execution. The headline number stays the warm
+    // one: cold-JVM first-query cost is a constant of the harness
+    // process, not of the engine — on a real cluster the executors are
+    // long-lived.
+    def coldThenWarm(name: String): (Double, Double) = (runOne(name), runOne(name))
 
     // full wafer pipeline at the reference's canonical 63,909-row scale
     // (BASELINE.md self-baseline: must complete in seconds). Input is
@@ -110,10 +112,14 @@ object Bench {
     }
     waferInput.unpersist()
 
-    val results = headline.map(n => n -> warmThenTime(n)) :+ ("wafer_pipeline_63909" -> waferSecs)
+    val timed = headline.map(n => n -> coldThenWarm(n))
+    val results = timed.map { case (n, (_, w)) => n -> w } :+
+      ("wafer_pipeline_63909" -> waferSecs)
     val qjson = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val cjson = timed.map { case (k, (c, _)) => s""""$k":$c""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"headline_total","value":$total,"unit":"sec","mode":"warm","queries":$qjson,"sf":"$sfDir"}""")
+    val coldTotal = timed.map(_._2._1).filter(_ >= 0).sum
+    println(s"""{"metric":"headline_total","value":$total,"unit":"sec","mode":"warm","cold_total":$coldTotal,"queries":$qjson,"queries_cold":$cjson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

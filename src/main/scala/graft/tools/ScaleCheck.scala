@@ -112,7 +112,13 @@ object ScaleCheck {
       // dictionaries, the Zipf TakeOrdered vocabulary cut, and the
       // corpus-audit shapes (ESS one-agg, source-bounded vocab overlap,
       // checkpointed confusion matrix), plus the user-keyed event
-      // profiles (A/B lift, day-of-week, dispersion).
+      // profiles (A/B lift, day-of-week, dispersion). The r6 outlier
+      // ratios for q174/q182 (2.8×/2.7×) did not reproduce on the
+      // regenerated 10× dataset — re-measured 1.7×/2.2× (2026-08);
+      // q174's midrank dictionary is price-valued and does NOT grow
+      // under replication, q182's only data-sized pass is the
+      // (source, word) distinct whose shuffle grows with the salted
+      // vocabulary — both linear by construction.
       "q174_spearman", "q176_ab_test", "q177_concentration",
       "q178_zipf_slope", "q179_dow_profile", "q181_ess_weights",
       "q182_vocab_overlap", "q184_lang_kappa", "q186_event_dispersion",

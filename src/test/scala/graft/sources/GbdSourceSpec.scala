@@ -37,6 +37,34 @@ class GbdSourceSpec extends SparkSpec {
     assert(df.count() == 64)
   }
 
+  test("count(*) pushdown: answered from the index; filtered counts still scan") {
+    val agg = gbd.groupBy().count()
+    val desc = agg.queryExecution.executedPlan.toString
+    assert(desc.contains("count-pushdown") && desc.contains("index-only"),
+      s"count not index-answered:\n$desc")
+    assert(agg.collect()(0).getLong(0) === 500L)
+    assert(gbd.count() === 500L)
+    // with a WHERE clause the filter stays residual, so aggregate
+    // pushdown must NOT fire and the count must come from real rows
+    val filtered = gbd.filter(col("doc_id") < 64).groupBy().count()
+    val fdesc = filtered.queryExecution.executedPlan.toString
+    assert(!fdesc.contains("count-pushdown"), s"filtered count wrongly pushed:\n$fdesc")
+    assert(filtered.collect()(0).getLong(0) === 64L)
+  }
+
+  test("count(*) is truly index-only: succeeds with the shard data file ABSENT") {
+    // stage an index with no data file: any plan that opens the shard
+    // fails, so a correct answer proves zero data bytes were read
+    val ghost = java.nio.file.Files.createTempDirectory("gbd_ghost")
+      .resolve("ghost.gbd")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(shard + ".gbx"),
+      java.nio.file.Paths.get(ghost.toString + ".gbx"))
+    val n = spark.read.format("graft.sources.GbdSource").load(ghost.toString)
+      .groupBy().count().collect()(0).getLong(0)
+    assert(n === 500L)
+  }
+
   test("filters are residual: a predicate the index can't prune still filters rows") {
     // lang equality is not pushed (only doc_id is); Spark must apply it
     val perLang = gbd.groupBy("lang").count().collect()
