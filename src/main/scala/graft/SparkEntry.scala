@@ -43,6 +43,7 @@ object SparkEntry {
       graft.queries.Training23.defs ++
       graft.queries.Training24.defs ++
       graft.queries.Training25.defs ++
+      graft.queries.Training26.defs ++
       graft.queries.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -163,6 +163,86 @@ object Sinks {
     spark.read.parquet(s"$root/v$v")
   }
 
+  /** CDC between two snapshot versions: ONE full-outer equi-join on the
+    * key columns, each side first tagged with a presence marker (so a
+    * legitimately-NULL value column can never masquerade as a missing
+    * row). Rows classify as `insert` (absent at fromVersion), `delete`
+    * (absent at toVersion — produced when a writer with delete
+    * semantics drops a key; the upsert-only mergeSnapshot never emits
+    * one, but the classifier is written for the full contract), or
+    * `update` (present in both with ANY value column changed,
+    * null-safely compared). Unchanged rows are dropped — on a real
+    * deployment this is `table_changes(from, to)`; here it is derived
+    * from the immutable version directories, so it works for ANY two
+    * committed versions, not just adjacent ones. Value columns come
+    * back as old_<c> / new_<c> pairs beside the keys.
+    *
+    * Scale shape: one shuffle join keyed on the table key; the
+    * unchanged-row filter is a codegen'd null-safe conjunction, so the
+    * output is change-sized, not table-sized, before anything else
+    * runs.
+    */
+  def snapshotChanges(
+      spark: SparkSession, root: String,
+      fromVersion: Long, toVersion: Long, keyCols: Seq[String]): DataFrame = {
+    val a = readSnapshot(spark, root, fromVersion)
+    val b = readSnapshot(spark, root, toVersion)
+    val valCols = a.columns.filterNot(keyCols.contains).toSeq
+    val oldDf = a.select(
+      (keyCols.map(col) :+ lit(1).as("__in_old")) ++
+        valCols.map(c => col(c).as(s"old_$c")): _*)
+    val newDf = b.select(
+      (keyCols.map(col) :+ lit(1).as("__in_new")) ++
+        valCols.map(c => col(c).as(s"new_$c")): _*)
+    val changed = valCols
+      .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    oldDf.join(newDf, keyCols, "full_outer")
+      .withColumn("change_type",
+        when(col("__in_old").isNull, "insert")
+          .when(col("__in_new").isNull, "delete")
+          .when(changed, "update"))
+      .filter(col("change_type").isNotNull)
+      .drop("__in_old", "__in_new")
+  }
+
+  /** Retention plan for a snapshot chain: one row per committed version
+    * with its row count and the `expire` flag under a keep-latest-N
+    * policy — the table an operator reviews BEFORE [[vacuumSnapshots]]
+    * deletes anything. Row counts come from parquet footer metadata
+    * (a count(*) over a snapshot is a metadata read, no data scan).
+    */
+  def retentionPlan(spark: SparkSession, root: String, keepLast: Int): DataFrame = {
+    require(keepLast >= 1, s"retention must keep at least 1 version, got $keepLast")
+    import spark.implicits._
+    val vs = snapshotVersions(root)
+    val cut = if (vs.size > keepLast) vs(vs.size - keepLast) else Long.MinValue
+    vs.map { v =>
+      (v, spark.read.parquet(s"$root/v$v").count(), v < cut)
+    }.toDF("version", "n_rows", "expire")
+  }
+
+  /** Expire old snapshot versions: delete every version directory the
+    * keep-latest-N policy marks expired. Time-travel reads below the
+    * new horizon then fail loudly (readSnapshot errors on pre-history)
+    * instead of silently reading a half-deleted directory — delete is
+    * directory-at-a-time and the `_SUCCESS` marker goes FIRST, so a
+    * reader racing the vacuum sees either a complete version or no
+    * version, never a torn one. Returns the expired versions.
+    */
+  def vacuumSnapshots(spark: SparkSession, root: String, keepLast: Int): Seq[Long] = {
+    val expired = retentionPlan(spark, root, keepLast)
+      .filter(col("expire")).select("version")
+      .collect().map(_.getLong(0)).toSeq
+    expired.foreach { v =>
+      val dir = new java.io.File(s"$root/v$v")
+      new java.io.File(dir, "_SUCCESS").delete()
+      Option(dir.listFiles()).foreach(_.foreach(f => { f.delete(); () }))
+      dir.delete()
+    }
+    expired
+  }
+
   private def latestSnapshotDir(root: String): Option[String] =
     snapshotVersions(root).lastOption.map(v => s"$root/v$v")
 }

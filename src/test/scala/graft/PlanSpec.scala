@@ -529,4 +529,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
   }
+
+  test("q233: CDC is ONE full-outer equi-join on the key; unchanged mass filtered in-join") {
+    val p = SparkEntry.queries("q233_table_changes")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(p.contains("FullOuter"), p)
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+  }
 }

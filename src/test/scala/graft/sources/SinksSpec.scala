@@ -78,6 +78,50 @@ class SinksSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("snapshotChanges classifies insert/update/delete; NULL values never fake a delete") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    // hand-built chain (mergeSnapshot can't delete): v0 = {1,2,4-null},
+    // v1 = {2 modified, 3 new, 4-null unchanged} — 1 deleted
+    Seq((1L, Option("a"), 0L), (2L, Option("b"), 0L), (4L, Option.empty[String], 0L))
+      .toDF("k", "payload", "v").write.parquet(s"$root/v0")
+    Seq((2L, Option("B"), 1L), (3L, Option("c"), 1L), (4L, Option.empty[String], 1L))
+      .toDF("k", "payload", "v").write.parquet(s"$root/v1")
+    val got = Sinks.snapshotChanges(spark, root, 0L, 1L, Seq("k"))
+      .select("k", "change_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // key 4 (null payload on both sides, v changed) is an update of v;
+    // the presence markers keep it from classifying as insert/delete
+    assert(got === Map(1L -> "delete", 2L -> "update", 3L -> "insert", 4L -> "update"))
+    val payloadOnly = {
+      // rebuild with v dropped so only payload counts as a value column
+      val root2 = java.nio.file.Files.createTempDirectory("graft_cdc2").toString
+      spark.read.parquet(s"$root/v0").drop("v").write.parquet(s"$root2/v0")
+      spark.read.parquet(s"$root/v1").drop("v").write.parquet(s"$root2/v1")
+      Sinks.snapshotChanges(spark, root2, 0L, 1L, Seq("k"))
+        .select("k", "change_type").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    assert(payloadOnly === Map(1L -> "delete", 2L -> "update", 3L -> "insert"),
+      "null-payload row with no changed column must be dropped as unchanged")
+  }
+
+  test("retentionPlan + vacuumSnapshots: keep-last-N expires history, loudly") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vac").toString
+    (0 to 2).foreach { v =>
+      Seq((1L, v.toLong)).toDF("k", "v").write.parquet(s"$root/v$v")
+    }
+    val plan = Sinks.retentionPlan(spark, root, keepLast = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(plan === Map(0L -> (1L, true), 1L -> (1L, false), 2L -> (1L, false)))
+    assert(Sinks.vacuumSnapshots(spark, root, keepLast = 2) === Seq(0L))
+    assert(Sinks.snapshotVersions(root) === Seq(1L, 2L))
+    // pre-history reads now fail loudly; surviving versions stay readable
+    intercept[RuntimeException](Sinks.readSnapshot(spark, root, 0L).collect())
+    assert(Sinks.readSnapshot(spark, root, 1L).count() === 1L)
+    // idempotent: nothing left to expire
+    assert(Sinks.vacuumSnapshots(spark, root, keepLast = 2) === Seq.empty)
+  }
+
   test("compactSnapshot: file count drops to byte-target, reads identical") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/snap"
     (1 to 20000).map(i => (i.toLong, s"payload_$i"))
