@@ -98,7 +98,8 @@ object Dedup {
       .select(col(idCol), expr(TextOps.ngramHashesSpark(3, "__wh")).as("__ngrams"))
       .cache()
     try {
-      val (ex, sizes, release) = cappedPostings(docs, idCol, "__ngrams", dfCap)
+      val cp = cappedPostings(docs, idCol, "__ngrams", dfCap)
+      val (ex, sizes, release) = (cp.postings, cp.sizes, cp.release)
       val shared = ex.as("a").join(ex.as("b"),
         col("a.h") === col("b.h") && col(s"a.$idCol") < col(s"b.$idCol"))
         .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
@@ -136,26 +137,36 @@ object Dedup {
     * — results identical by construction, and only the one df-scan pass
     * is paid for the cap guarantee.
     *
-    * Returns (postings, sizes, release); call release() after
-    * materializing downstream results to free the internal cache.
+    * Returns postings + sizes + `anyHot` (false = the fast path fired,
+    * so postings are exactly the per-row arrays — callers can derive
+    * per-row structures like sorted prefixes straight from the array
+    * column in codegen); call release() after materializing downstream
+    * results to free the internal cache.
     */
   def cappedPostings(
       docs: DataFrame, idCol: String, ngramsCol: String, dfCap: Int)
-      : (DataFrame, DataFrame, () => Unit) = {
+      : CappedPostings = {
     val ex0 = docs.select(col(idCol), explode(col(ngramsCol)).as("h"))
     val hot = ex0.groupBy("h").agg(count(lit(1)).as("__df"))
       .filter(col("__df") > dfCap).drop("__df").cache()
     val release = () => { hot.unpersist(); () }
     if (hot.isEmpty)
-      (ex0,
+      CappedPostings(ex0,
         docs.select(col(idCol), size(col(ngramsCol)).cast("long").as("n")),
-        release)
+        anyHot = false, release)
     else {
       val e = ex0.join(hot, Seq("h"), "left_anti")
       // post-cap set sizes (keyed agg; co-keyed with the pair grouping)
-      (e, e.groupBy(col(idCol)).agg(count(lit(1)).as("n")), release)
+      CappedPostings(
+        e, e.groupBy(col(idCol)).agg(count(lit(1)).as("n")),
+        anyHot = true, release)
     }
   }
+
+  /** See [[cappedPostings]]. */
+  final case class CappedPostings(
+      postings: DataFrame, sizes: DataFrame,
+      anyHot: Boolean, release: () => Unit)
 
   /** End-to-end corpus dedup — the full pipeline composed: exact dedup
     * first (linear hash-groupBy removes identical mass BEFORE any pair

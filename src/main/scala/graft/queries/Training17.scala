@@ -188,23 +188,45 @@ object Training17 {
           .select(col("doc_id"),
             expr(TextOps.ngramHashesSpark(3, "__wh")).as("__ngrams"))
           .cache()
-        val (ex, sizes, release) =
-          Dedup.cappedPostings(docs, "doc_id", "__ngrams", dfCap = 64)
-        // prefix length for τ = 4/5: n − ⌈4n/5⌉ + 1, all-integer
-        val prefix = ex
-          .withColumn("pos", row_number().over(
-            Window.partitionBy("doc_id").orderBy("h")))
-          .join(sizes, "doc_id")
-          .where(col("pos") <= expr("n - ((4 * n + 4) div 5) + 1"))
-          .select(col("doc_id"), col("h"))
+        val cp = Dedup.cappedPostings(docs, "doc_id", "__ngrams", dfCap = 64)
+        val (ex, sizes, release) = (cp.postings, cp.sizes, cp.release)
+        // prefix length for τ = 4/5: n − ⌈4n/5⌉ + 1, all-integer. Fast
+        // path (no hot shingle — postings ARE the per-row arrays): the
+        // τ-prefix is the smallest slice of the per-row SORTED array,
+        // one codegen'd expression — never a posting-stream window (a
+        // 100 TB corpus' postings would otherwise shuffle AND sort just
+        // to pick each doc's smallest few hashes). Capped path: the
+        // per-row array no longer matches the postings, so fall back to
+        // the keyed window over the capped stream.
+        val prefix =
+          if (!cp.anyHot)
+            docs.select(col("doc_id"), explode(expr(
+              """slice(array_sort(__ngrams), 1,
+                 size(__ngrams) - ((4 * size(__ngrams) + 4) div 5) + 1)"""))
+              .as("h"))
+          else
+            ex.withColumn("pos", row_number().over(
+              Window.partitionBy("doc_id").orderBy("h")))
+              .join(sizes, "doc_id")
+              .where(col("pos") <= expr("n - ((4 * n + 4) div 5) + 1"))
+              .select(col("doc_id"), col("h"))
         val cand = prefix.as("a")
           .join(prefix.as("b"),
             col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .distinct()
+          .localCheckpoint() // candIds + verify both read it
+        // verification touches ONLY candidate postings: a semi-join on
+        // the (broadcast-small) candidate id set bounds both verify
+        // sides BEFORE any shuffle — the full posting stream never
+        // enters the composite-key join.
+        val candIds = cand.select(col("doc_a").as("doc_id"))
+          .unionAll(cand.select(col("doc_b").as("doc_id")))
+          .distinct()
+        val exCand = ex.join(candIds, Seq("doc_id"), "left_semi")
         val inter = cand
-          .join(ex.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
-          .join(ex.select(col("doc_id").as("doc_b"), col("h")),
+          .join(exCand.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+          .join(exCand.select(col("doc_id").as("doc_b"), col("h")),
             Seq("doc_b", "h"))
           .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
         val result = inter

@@ -44,8 +44,8 @@ object Training24 {
           .select(col("doc_id"),
             expr(TextOps.ngramHashesSpark(3, "__wh")).as("__ngrams"))
           .cache()
-        val (ex, sizes, release) =
-          Dedup.cappedPostings(docs, "doc_id", "__ngrams", dfCap = 64)
+        val cp = Dedup.cappedPostings(docs, "doc_id", "__ngrams", dfCap = 64)
+        val (ex, sizes, release) = (cp.postings, cp.sizes, cp.release)
         val shared = ex.as("a").join(ex.as("b"),
           col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

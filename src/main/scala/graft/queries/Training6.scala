@@ -447,9 +447,14 @@ object Training6 {
           .distinct()
           .cache()
         try {
+          // SHUFFLE_HASH on the closing edge: the wedge stream (Σ deg²
+          // rows) is the streamed side of the final join — a sort-merge
+          // plan would SORT it (the spill that dominated the 10× run),
+          // while a hash join builds on the edge list (per-task
+          // edges/32, trivially in memory) and streams wedges through.
           val tri = e.as("e1")
             .join(e.as("e2"), col("e1.v") === col("e2.u"))
-            .join(e.as("e3"),
+            .join(e.as("e3").hint("SHUFFLE_HASH"),
               col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
             .count()
           val nodes = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))

@@ -421,10 +421,13 @@ object Training9 {
               (col("du") === col("dv") && col("u") < col("v")), col("v"))
               .otherwise(col("u")).as("t"))
           .localCheckpoint()
+        // SHUFFLE_HASH on the closing edge (same rationale as q143):
+        // never sort the Σ out-deg² wedge stream — hash-build on the
+        // oriented edge list and stream wedges through.
         val tri = de.as("w1")
           .join(de.as("w2"),
             col("w1.s") === col("w2.s") && col("w1.t") =!= col("w2.t"))
-          .join(de.as("c"),
+          .join(de.as("c").hint("SHUFFLE_HASH"),
             col("c.s") === col("w1.t") && col("c.t") === col("w2.t"))
           .count()
         val maxOut = de.groupBy("s").agg(count(lit(1)).as("od"))

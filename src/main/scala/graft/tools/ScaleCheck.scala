@@ -99,6 +99,10 @@ object ScaleCheck {
       // x-fold per replica — that measures the replication artifact (an
       // adversarial name distribution), not the plan; the q145 scaladoc
       // documents the LSH-blocking swap for that regime.
+      // triangles stream Σ deg² wedge rows through the closing join —
+      // SHUFFLE_HASH-hinted so the wedge stream is hash-probed, never
+      // sorted (the hint halved BOTH scales: q143 measured 3.8× at 10×,
+      // q165 6.6× — linear wedge mass, shuffle-IO bound)
       "q143_triangle_count", "q144_interpolate", "q146_ks_drift",
       // wave VII: fusion lists are rank-truncated before the join, PSI
       // is two passes + 10-row arithmetic, PMI fan-out is vocab-capped
@@ -134,7 +138,10 @@ object ScaleCheck {
       // 10x per round so 10x data adds one round; try_divide is
       // map-only into a 3-key agg; the null-safe join is key-sized
       // because both sides aggregate first; islands are ONE keyed
-      // window pass (measured 1.7× at 10×).
+      // window pass (measured 1.7× at 10×). q200's measured 3.0× is
+      // partly a replication artifact: shifted keys are 10-digit, so
+      // every replica row walks ~1.7× more recursion levels than the
+      // 1× original — the frontier still shrinks 10× per round.
       "q199_lateral_topk", "q200_recursive_rollup",
       "q201_interval_islands", "q202_listagg_top_langs",
       "q203_try_arithmetic", "q204_nullsafe_join",
@@ -142,7 +149,10 @@ object ScaleCheck {
       // documents (replicated with disjoint per-replica vocabularies,
       // so near-dup structure stays per-replica realistic); the gap
       // census is keyed aggs + one anti equi-join (measured 1.7×), TWA
-      // one keyed window (1.4×).
+      // one keyed window (1.4×); the prefix join derives per-row
+      // codegen prefixes + candidate-bounded verify (4.8× at 10× —
+      // sub-linear in the 10× posting mass; the multi-pass hashing of
+      // the salted 10× vocabulary is the remaining linear cost).
       "q205_sequence_gaps", "q206_time_weighted_avg",
       "q207_cross_source_neardup", "q208_prefix_filter_join",
       // wave XVIII: q209/q211 keep their bounded query sets (vec_id<10,
