@@ -67,6 +67,78 @@ object Sinks {
       .write.mode("overwrite").parquet(s"$snapshotRoot/v$version")
   }
 
+  /** Optimistic-concurrency MERGE commit for INDEPENDENT writers (the
+    * case [[mergeSnapshot]]'s fixed-version overwrite is wrong for:
+    * that one exists for streamUpsert's microbatch retries, where
+    * re-writing the SAME version id must be idempotent). Protocol per
+    * attempt: read the latest committed version L, merge `incoming`
+    * onto it, stage the result to a hidden tmp directory, then CLAIM
+    * v{L+1} with one atomic directory rename — the filesystem analogue
+    * of a table format's conditional put. If another writer claimed
+    * v{L+1} first the rename fails, the stale merge is discarded, and
+    * the commit retries ON TOP OF THE WINNER — so concurrent commits
+    * serialize and neither's delta is lost. Readers are never exposed
+    * to a torn version: the rename is atomic and `_SUCCESS` rides
+    * inside the staged directory.
+    *
+    * Returns the committed version. Throws after `maxRetries` lost
+    * races (livelock guard — at that point the caller is contending
+    * with a faster writer and should back off).
+    */
+  def casMergeSnapshot(
+      incoming: DataFrame, snapshotRoot: String,
+      keyCols: Seq[String], versionCol: String, maxRetries: Int = 5): Long = {
+    val spark = incoming.sparkSession
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(snapshotRoot))
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val latest = snapshotVersions(snapshotRoot).lastOption
+      val next = latest.map(_ + 1).getOrElse(0L)
+      val in = incoming.withColumn("__src", lit(1))
+      val merged = latest match {
+        case Some(v) =>
+          spark.read.parquet(s"$snapshotRoot/v$v").withColumn("__src", lit(0))
+            .unionByName(in)
+        case None => in
+      }
+      val w = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(col(versionCol).desc, col("__src").desc)
+      val tmp = s"$snapshotRoot/.stage-${java.util.UUID.randomUUID().toString.take(8)}"
+      merged
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rn", "__src")
+        .write.mode("overwrite").parquet(tmp)
+      if (claimVersion(snapshotRoot, tmp, next)) return next
+      attempt += 1
+    }
+    sys.error(s"casMergeSnapshot: lost the commit race $maxRetries times under $snapshotRoot")
+  }
+
+  /** Atomically claim version `next` by renaming the staged directory
+    * into place. False (with the stage cleaned up) if another writer
+    * claimed it first — the conflict-detection primitive casMerge
+    * retries on.
+    */
+  private[sources] def claimVersion(root: String, stagedDir: String, next: Long): Boolean = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    try {
+      Files.move(Paths.get(stagedDir), Paths.get(s"$root/v$next"),
+        StandardCopyOption.ATOMIC_MOVE)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException
+          | _: java.nio.file.FileSystemException =>
+        // lost the race (or the target appeared mid-rename): discard
+        // the stale stage; the caller re-reads latest and re-merges
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(stagedDir))
+        false
+    }
+  }
+
   /** Streaming MERGE-upsert sink: per microbatch, one [[mergeSnapshot]]
     * step at version = batchId.
     */

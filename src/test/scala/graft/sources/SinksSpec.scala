@@ -105,6 +105,37 @@ class SinksSpec extends SparkSpec {
       "null-payload row with no changed column must be dropped as unchanged")
   }
 
+  test("casMergeSnapshot: versions serialize, conflicts retry on top of the winner") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cas").toString
+    // sequential commits claim consecutive versions
+    val v0 = Sinks.casMergeSnapshot(
+      Seq((1L, 1L, "a1")).toDF("k", "ver", "p"), root, Seq("k"), "ver")
+    val v1 = Sinks.casMergeSnapshot(
+      Seq((2L, 1L, "b1")).toDF("k", "ver", "p"), root, Seq("k"), "ver")
+    assert((v0, v1) === (0L, 1L))
+    // conflict primitive: claiming an already-committed version fails
+    // and cleans up its stage
+    val stage = s"$root/.stage-test"
+    Seq((9L, 9L, "x")).toDF("k", "ver", "p").write.parquet(stage)
+    assert(!Sinks.claimVersion(root, stage, 1L))
+    assert(!new java.io.File(stage).exists(), "lost stage must be discarded")
+    // concurrent committers: both succeed at DISTINCT versions and the
+    // final snapshot carries BOTH deltas (the loser re-merged on top of
+    // the winner — no lost update)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fa = Future(Sinks.casMergeSnapshot(
+      Seq((3L, 2L, "c2")).toDF("k", "ver", "p"), root, Seq("k"), "ver"))
+    val fb = Future(Sinks.casMergeSnapshot(
+      Seq((4L, 2L, "d2")).toDF("k", "ver", "p"), root, Seq("k"), "ver"))
+    val (va, vb) = (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
+    assert(Set(va, vb) === Set(2L, 3L), s"got versions $va/$vb")
+    val latest = Sinks.readLatestSnapshot(spark, root)
+      .select("k", "p").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(latest === Map(1L -> "a1", 2L -> "b1", 3L -> "c2", 4L -> "d2"))
+  }
+
   test("retentionPlan + vacuumSnapshots: keep-last-N expires history, loudly") {
     val root = java.nio.file.Files.createTempDirectory("graft_vac").toString
     (0 to 2).foreach { v =>
