@@ -54,8 +54,15 @@ object Sinks {
     val in = incoming.withColumn("__src", lit(1))
     val merged = latestSnapshotDir(snapshotRoot) match {
       case Some(prev) =>
+        // allowMissingColumns = ADDITIVE SCHEMA EVOLUTION: a batch may
+        // carry columns the snapshot has never seen (rows already
+        // committed read back NULL there), and a batch that stopped
+        // sending a column leaves history intact — the union schema is
+        // the new table schema, exactly a table format's mergeSchema
+        // commit rule. Renames/type changes stay out of scope (as they
+        // do in Delta/Iceberg without an explicit ALTER).
         spark.read.parquet(prev).withColumn("__src", lit(0))
-          .unionByName(in)
+          .unionByName(in, allowMissingColumns = true)
       case None => in
     }
     val w = Window.partitionBy(keyCols.map(col): _*)
@@ -97,8 +104,9 @@ object Sinks {
       val in = incoming.withColumn("__src", lit(1))
       val merged = latest match {
         case Some(v) =>
+          // same additive schema evolution as mergeSnapshot
           spark.read.parquet(s"$snapshotRoot/v$v").withColumn("__src", lit(0))
-            .unionByName(in)
+            .unionByName(in, allowMissingColumns = true)
         case None => in
       }
       val w = Window.partitionBy(keyCols.map(col): _*)

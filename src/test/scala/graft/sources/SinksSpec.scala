@@ -105,6 +105,30 @@ class SinksSpec extends SparkSpec {
       "null-payload row with no changed column must be dropped as unchanged")
   }
 
+  test("additive schema evolution: new columns join the snapshot, history reads NULL") {
+    val root = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    Sinks.mergeSnapshot(
+      Seq((1L, 1L, "a1")).toDF("k", "ver", "p"), root, Seq("k"), "ver", 0L)
+    // batch 2 carries a NEW column `q`; batch 3 goes back to NOT
+    // sending `p` — both directions must commit
+    Sinks.mergeSnapshot(
+      Seq((2L, 2L, "b2", 7L)).toDF("k", "ver", "p", "q"), root, Seq("k"), "ver", 1L)
+    Sinks.mergeSnapshot(
+      Seq((3L, 3L, 9L)).toDF("k", "ver", "q"), root, Seq("k"), "ver", 2L)
+    val latest = Sinks.readLatestSnapshot(spark, root)
+    assert(latest.columns.toSet === Set("k", "ver", "p", "q"),
+      "union schema is the table schema")
+    val rows = latest.collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.getAs[Any]("p")), Option(r.getAs[Any]("q"))))).toMap
+    assert(rows === Map(
+      1L -> ((Some("a1"), None)),     // pre-evolution row: q is NULL
+      2L -> ((Some("b2"), Some(7L))),
+      3L -> ((None, Some(9L)))))      // column withheld later: p is NULL
+    // time travel still reads the OLD schema for old versions
+    assert(Sinks.readSnapshot(spark, root, 0L).columns.toSet === Set("k", "ver", "p"))
+  }
+
   test("casMergeSnapshot: versions serialize, conflicts retry on top of the winner") {
     val root = java.nio.file.Files.createTempDirectory("graft_cas").toString
     // sequential commits claim consecutive versions
