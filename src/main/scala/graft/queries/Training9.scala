@@ -421,14 +421,19 @@ object Training9 {
               (col("du") === col("dv") && col("u") < col("v")), col("v"))
               .otherwise(col("u")).as("t"))
           .localCheckpoint()
-        // SHUFFLE_HASH on the closing edge (same rationale as q143):
-        // never sort the Σ out-deg² wedge stream — hash-build on the
-        // oriented edge list and stream wedges through.
+        // Each unordered out-pair enumerates ONCE (t1 < t2 — half the
+        // Σ out-deg² mass of the both-orders form); the closing edge
+        // joins in id-canonical rendering so one equi-key catches
+        // whichever way the degree orientation pointed it. SHUFFLE_HASH
+        // (same rationale as q143): never sort the wedge stream —
+        // hash-build on the edge list and stream wedges through.
+        val cDe = de.select(
+          least(col("s"), col("t")).as("x"), greatest(col("s"), col("t")).as("y"))
         val tri = de.as("w1")
           .join(de.as("w2"),
-            col("w1.s") === col("w2.s") && col("w1.t") =!= col("w2.t"))
-          .join(de.as("c").hint("SHUFFLE_HASH"),
-            col("c.s") === col("w1.t") && col("c.t") === col("w2.t"))
+            col("w1.s") === col("w2.s") && col("w1.t") < col("w2.t"))
+          .join(cDe.hint("SHUFFLE_HASH"),
+            col("x") === col("w1.t") && col("y") === col("w2.t"))
           .count()
         val maxOut = de.groupBy("s").agg(count(lit(1)).as("od"))
           .agg(max("od").as("m")).collect().head.getAs[Long]("m")

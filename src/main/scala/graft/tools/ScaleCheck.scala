@@ -101,8 +101,11 @@ object ScaleCheck {
       // documents the LSH-blocking swap for that regime.
       // triangles stream Σ deg² wedge rows through the closing join —
       // SHUFFLE_HASH-hinted so the wedge stream is hash-probed, never
-      // sorted (the hint halved BOTH scales: q143 measured 3.8× at 10×,
-      // q165 6.6× — linear wedge mass, shuffle-IO bound)
+      // sorted, and q165 enumerates each unordered out-pair ONCE
+      // against an id-canonical closing edge (half the mass of the
+      // both-orders form). Measured isolated at 10×: q143 3.9×
+      // (was 5.1×), q165 4.6× (was 7.0×) — linear wedge mass,
+      // shuffle-IO bound; full table in SCALE_r07.md
       "q143_triangle_count", "q144_interpolate", "q146_ks_drift",
       // wave VII: fusion lists are rank-truncated before the join, PSI
       // is two passes + 10-row arithmetic, PMI fan-out is vocab-capped
