@@ -196,7 +196,14 @@ object ScaleCheck {
       // length, fixed nprobe budget — see the conf hook below); the
       // minhash link predictor's candidate mass is band-bucket-capped.
       "q229_mutual_knn_ivf", "q230_knn_audit_ivf",
-      "q231_link_prediction_minhash")
+      "q231_link_prediction_minhash",
+      // wave XXVII: DSIR is a token explode into a 64-key agg + doc
+      // re-agg; the projection audit's pair mass is bounded per
+      // replica (|a−b| ≤ 500 under the 1e9 stride); CDC chunking is
+      // keyed window + keyed aggs; the run audit windows are
+      // partitioned by shard.
+      "q235_dsir_importance", "q236_random_projection",
+      "q237_cdc_chunk_dedup", "q238_shuffle_run_audit")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
