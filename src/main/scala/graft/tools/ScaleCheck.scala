@@ -203,7 +203,13 @@ object ScaleCheck {
       // keyed window + keyed aggs; the run audit windows are
       // partitioned by shard.
       "q235_dsir_importance", "q236_random_projection",
-      "q237_cdc_chunk_dedup", "q238_shuffle_run_audit")
+      "q237_cdc_chunk_dedup", "q238_shuffle_run_audit",
+      // wave XXVIII: the privacy audit is two keyed aggs + a broadcast
+      // mix; the DP release and calibration bins are single
+      // map-side-combinable aggs; PCA's data pass is ONE distributive
+      // aggregate (iteration cost is dim², row-independent).
+      "q239_l_diversity", "q240_dp_laplace",
+      "q241_calibration_bins", "q242_power_iteration_pca")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
