@@ -209,7 +209,13 @@ object ScaleCheck {
       // map-side-combinable aggs; PCA's data pass is ONE distributive
       // aggregate (iteration cost is dim², row-independent).
       "q239_l_diversity", "q240_dp_laplace",
-      "q241_calibration_bins", "q242_power_iteration_pca")
+      "q241_calibration_bins", "q242_power_iteration_pca",
+      // wave XXIX: the SQL-UDF and FILTER aggregates are single
+      // map-side passes; k-core is 6 rounds of keyed agg + semi-join
+      // on a shrinking localCheckpoint'd edge set; session-variable
+      // query is scan + one agg.
+      "q243_sql_udf", "q244_filter_clause_agg", "q245_kcore",
+      "q246_session_variables")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
