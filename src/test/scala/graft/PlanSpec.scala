@@ -537,4 +537,44 @@ class PlanSpec extends SparkSpec {
     assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size === 1, p)
     assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
   }
+
+  test("q235: DSIR bucket-LLR joins back by broadcast; no cartesian") {
+    val p = SparkEntry.queries("q235_dsir_importance")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    // ≥2 broadcast hash joins (token→lr scoring + raw←target bucket
+    // merge); the only nested-loop is the broadcast-SCALAR cross with
+    // the 1-row totals frame (the blessed pattern), never a cartesian
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q236: projection is pure codegen arithmetic (no UDF); pair join broadcasts the bounded sample") {
+    val p = SparkEntry.queries("q236_random_projection")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("ScalaUDF"), p)
+    // the non-equi pair join is allowed to be a nested-loop ONLY
+    // because the sampled side is bounded and broadcast
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q237/q238: chunking and run-audit windows are keyed — never single-partition") {
+    for (q <- Seq("q237_cdc_chunk_dedup", "q238_shuffle_run_audit")) {
+      val p = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.explainString(ExplainMode.fromString("simple"))
+      assert(!p.contains("Exchange SinglePartition"), s"$q:\n$p")
+    }
+  }
+
+  test("q241: calibration is ONE scan into one agg pass") {
+    val p = SparkEntry.queries("q241_calibration_bins")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert("Scan parquet".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q246: the session variable folds to a literal and pushes into the scan") {
+    val p = SparkEntry.queries("q246_session_variables")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice"), p)
+  }
 }
