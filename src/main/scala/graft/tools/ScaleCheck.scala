@@ -215,7 +215,13 @@ object ScaleCheck {
       // on a shrinking localCheckpoint'd edge set; session-variable
       // query is scan + one agg.
       "q243_sql_udf", "q244_filter_clause_agg", "q245_kcore",
-      "q246_session_variables")
+      "q246_session_variables",
+      // wave XXX: IVM's delta pass touches only the change mass;
+      // the cluster split rides the banded pair join + CC; pHash is
+      // per-row codegen + a bucket-capped equality join. (q247 is
+      // write-heavy — it commits a snapshot chain per run — so its
+      // ratio mixes storage and compute like q220.)
+      "q247_incremental_agg", "q248_cluster_split", "q249_phash_neardup")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
