@@ -221,7 +221,15 @@ object ScaleCheck {
       // per-row codegen + a bucket-capped equality join. (q247 is
       // write-heavy — it commits a snapshot chain per run — so its
       // ratio mixes storage and compute like q220.)
-      "q247_incremental_agg", "q248_cluster_split", "q249_phash_neardup")
+      "q247_incremental_agg", "q248_cluster_split", "q249_phash_neardup",
+      // wave XXXI: skip-gram pair mass is ≤ 4× the subsampled token
+      // mass (equi-join on doc,pos); target encoding is two
+      // dictionary aggs broadcast back; KMV is distinct + a map-side-
+      // pruned rank window over ≤2 types; the bucketed join pays its
+      // one-time bucketed write then joins exchange-free (write-heavy
+      // like q220/q247).
+      "q250_skipgram_pairs", "q251_target_encoding",
+      "q252_kmv_intersection", "q253_bucketed_join")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a

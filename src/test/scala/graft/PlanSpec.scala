@@ -577,4 +577,32 @@ class PlanSpec extends SparkSpec {
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(p.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice"), p)
   }
+
+  test("q250: skip-gram window join is an equi-join; the frequency table broadcasts") {
+    val p = SparkEntry.queries("q250_skipgram_pairs")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("NestedLoop"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q251: encode pass is broadcast-only (no shuffle-family join) and top-20 is TakeOrdered") {
+    val p = SparkEntry.queries("q251_target_encoding")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q252: the per-type k-smallest prunes map-side (WindowGroupLimit)") {
+    val p = SparkEntry.queries("q252_kmv_intersection")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q253: bucketed layout co-locates the join — zero exchanges below the SortMergeJoin") {
+    val p = SparkEntry.queries("q253_bucketed_join")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(p.contains("SortMergeJoin"), p)
+    val joinSection = p.split("SortMergeJoin").last
+    assert(!joinSection.contains("Exchange"), p)
+  }
 }
