@@ -229,7 +229,14 @@ object ScaleCheck {
       // one-time bucketed write then joins exchange-free (write-heavy
       // like q220/q247).
       "q250_skipgram_pairs", "q251_target_encoding",
-      "q252_kmv_intersection", "q253_bucketed_join")
+      "q252_kmv_intersection", "q253_bucketed_join",
+      // wave XXXII: contracts are per-table aggs + one FK equi-join;
+      // quantile normalization is a keyed rank window + a dictionary
+      // CDF broadcast fold (no data-sized unkeyed window); k-center is
+      // k rounds of min-update + TakeOrdered(1); the centroid audit
+      // is one explode-agg + broadcast argmin.
+      "q254_data_contracts", "q255_quantile_normalize",
+      "q256_kcenter_coreset", "q257_centroid_label_audit")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a

@@ -598,6 +598,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q254: every contract leg is a single agg; the FK check is the only join") {
+    val p = SparkEntry.queries("q254_data_contracts")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("NestedLoop"), p)
+    assert("Join".r.findAllIn(p).size <= 2, p) // FK leg only (AQE may print it twice)
+  }
+
+  test("q255: the only unkeyed window runs over the value dictionary, not the data") {
+    val df = SparkEntry.queries("q255_quantile_normalize")(spark, dir)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    // the per-source rank is keyed; the lookup is a broadcast array
+    // fold (no data-sized sort anywhere): exactly one Sort feeding the
+    // dictionary cum window plus the keyed rank sort
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q257: the audit is centroid-broadcast + map-side argmin — no shuffle-family join") {
+    val p = SparkEntry.queries("q257_centroid_label_audit")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
   test("q253: bucketed layout co-locates the join — zero exchanges below the SortMergeJoin") {
     val p = SparkEntry.queries("q253_bucketed_join")(spark, dir)
       .queryExecution.explainString(ExplainMode.fromString("simple"))
