@@ -236,7 +236,13 @@ object ScaleCheck {
       // k rounds of min-update + TakeOrdered(1); the centroid audit
       // is one explode-agg + broadcast argmin.
       "q254_data_contracts", "q255_quantile_normalize",
-      "q256_kcenter_coreset", "q257_centroid_label_audit")
+      "q256_kcenter_coreset", "q257_centroid_label_audit",
+      // wave XXXIII: KW and JSD are dictionary machines after one
+      // data-sized agg; the decomposition windows run over the day
+      // dictionary; assortativity rides the q143 co-purchase edge
+      // build with broadcast degree moments.
+      "q258_kruskal_wallis", "q259_js_divergence",
+      "q260_seasonal_decompose", "q261_assortativity")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a

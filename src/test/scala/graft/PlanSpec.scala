@@ -622,6 +622,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("q258: the (group,value) dictionary is checkpointed — no fact re-scan, no shuffle join") {
+    val p = SparkEntry.queries("q258_kruskal_wallis")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert("Scan parquet".r.findAllIn(p).size === 0, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q259: JSD grid joins are broadcast — no shuffle-family join") {
+    val p = SparkEntry.queries("q259_js_divergence")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("q260: the day series is checkpointed (no event re-scan); top-10 is TakeOrdered") {
+    val p = SparkEntry.queries("q260_seasonal_decompose")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    // events is read once into the checkpointed day dictionary; the
+    // decomposition plan itself touches no parquet at all
+    assert("Scan parquet".r.findAllIn(p).size === 0, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q261: degree tables broadcast onto the edge stream; no NLJ") {
+    val p = SparkEntry.queries("q261_assortativity")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("NestedLoop"), p)
+  }
+
   test("q253: bucketed layout co-locates the join — zero exchanges below the SortMergeJoin") {
     val p = SparkEntry.queries("q253_bucketed_join")(spark, dir)
       .queryExecution.explainString(ExplainMode.fromString("simple"))
