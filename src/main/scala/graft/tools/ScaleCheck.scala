@@ -242,7 +242,13 @@ object ScaleCheck {
       // dictionary; assortativity rides the q143 co-purchase edge
       // build with broadcast degree moments.
       "q258_kruskal_wallis", "q259_js_divergence",
-      "q260_seasonal_decompose", "q261_assortativity")
+      "q260_seasonal_decompose", "q261_assortativity",
+      // wave XXXIV: pivot/unpivot runs over the month dictionary after
+      // one keyed agg; the keyed trend is dims-broadcast + two-level
+      // agg; sliding distinct is a 7× explode into one keyed distinct;
+      // the path miner is a map-side-pruned keyed window.
+      "q262_sql_pivot_unpivot", "q263_grouped_trend",
+      "q264_sliding_distinct", "q265_top_paths")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a

@@ -652,6 +652,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("NestedLoop"), p)
   }
 
+  test("q262: pivot/unpivot runs over the month dictionary; the MoM window is keyed by status") {
+    val p = SparkEntry.queries("q262_sql_pivot_unpivot")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q263: dims broadcast onto the fact; sufficient statistics are map-side combined") {
+    val p = SparkEntry.queries("q263_grouped_trend")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("q264: sliding distinct is explode + keyed distinct — no window function at all") {
+    val p = SparkEntry.queries("q264_sliding_distinct")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("Window"), p)
+    assert(p.contains("Generate explode"), p)
+  }
+
+  test("q265: the first-3 window prunes map-side; top-10 is TakeOrdered") {
+    val p = SparkEntry.queries("q265_top_paths")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("q253: bucketed layout co-locates the join — zero exchanges below the SortMergeJoin") {
     val p = SparkEntry.queries("q253_bucketed_join")(spark, dir)
       .queryExecution.explainString(ExplainMode.fromString("simple"))
