@@ -248,7 +248,13 @@ object ScaleCheck {
       // agg; sliding distinct is a 7× explode into one keyed distinct;
       // the path miner is a map-side-pruned keyed window.
       "q262_sql_pivot_unpivot", "q263_grouped_trend",
-      "q264_sliding_distinct", "q265_top_paths")
+      "q264_sliding_distinct", "q265_top_paths",
+      // wave XXXV: the isotonic fit and Shapley lattice are dictionary
+      // machines after one keyed agg each; Wilson is a single agg
+      // pass; PPR is the q109 join-agg rounds over the banded near-dup
+      // edge list.
+      "q266_isotonic_calibration", "q267_shapley_attribution",
+      "q268_wilson_intervals", "q269_personalized_pagerank")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a

@@ -681,6 +681,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
+  test("q266: the fit runs on the checkpointed bin dictionary — no fact re-scan") {
+    val p = SparkEntry.queries("q266_isotonic_calibration")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert("Scan parquet".r.findAllIn(p).size === 0, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q267: the subset lattice joins broadcast; the data pass is one keyed agg") {
+    val p = SparkEntry.queries("q267_shapley_attribution")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("q268: the slice report is ONE scan into one agg — no joins") {
+    val p = SparkEntry.queries("q268_wilson_intervals")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert("Scan parquet".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q269: every PPR round is an equi-join, never NLJ or cartesian") {
+    val p = SparkEntry.queries("q269_personalized_pagerank")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+  }
+
   test("q253: bucketed layout co-locates the join — zero exchanges below the SortMergeJoin") {
     val p = SparkEntry.queries("q253_bucketed_join")(spark, dir)
       .queryExecution.explainString(ExplainMode.fromString("simple"))
