@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Grid-density clustering (DBSCAN-lite): points land in fixed-width
+  * cells (exact integer floor division over micro-unit coordinates),
+  * cells with >= minPts points are CORE, and 8-adjacent core cells
+  * merge into clusters via connected components (min cell label =
+  * cluster id, engine-exact).
+  *
+  * Density clustering with ZERO pairwise distance computations: the
+  * only data-sized pass is one cell-keyed count; the adjacency join,
+  * CC, and reporting all run on the core-cell dictionary (bounded by
+  * the occupied area / cell width², not the row count). At 100 TB the
+  * same shape holds — the cell histogram is a map-side-combinable agg
+  * and everything downstream is metadata-sized.
+  */
+object GridDensity {
+
+  /** Floor division handling negatives identically to DuckDB's `//`. */
+  private def floorDiv(x: String, c: Long): String =
+    s"CASE WHEN $x >= 0 THEN ($x) div $c ELSE -(((-($x)) + ${c - 1}) div $c) END"
+
+  /** (cluster_id, n_cells, n_points) per density cluster, from
+    * micro-int coordinate columns `x6`/`y6` of `pts`.
+    */
+  def clusters(pts: DataFrame, cellMicro: Long, minPts: Long): DataFrame = {
+    val s = pts.sparkSession
+    val cells = pts
+      .select(expr(floorDiv("x6", cellMicro)).as("cx"),
+        expr(floorDiv("y6", cellMicro)).as("cy"))
+      .groupBy("cx", "cy").agg(count(lit(1)).as("npts"))
+      .filter(col("npts") >= minPts)
+      .withColumn("cell", (col("cx") + 64) * 16384 + (col("cy") + 64))
+      .localCheckpoint(true) // cell dictionary: edges + assignment
+    val nbr = cells.select(col("cell"), col("cx"), col("cy"))
+      .crossJoin(broadcast(s.createDataFrame(
+        Seq((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)))
+        .toDF("dx", "dy")))
+      .withColumn("ncell",
+        (col("cx") + col("dx") + 64) * 16384 + (col("cy") + col("dy") + 64))
+      .filter(col("cell") < col("ncell"))
+      .join(cells.select(col("cell").as("ncell")), Seq("ncell"))
+      .select(col("cell").as("ca"), col("ncell").as("cb"))
+    val comp = Dedup.connectedComponents(nbr, "ca", "cb")
+    cells
+      .join(comp.withColumnRenamed("node", "cell"), Seq("cell"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("cell")))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_cells"), sum("npts").as("n_points"))
+  }
+}

@@ -254,7 +254,13 @@ object ScaleCheck {
       // pass; PPR is the q109 join-agg rounds over the banded near-dup
       // edge list.
       "q266_isotonic_calibration", "q267_shapley_attribution",
-      "q268_wilson_intervals", "q269_personalized_pagerank")
+      "q268_wilson_intervals", "q269_personalized_pagerank",
+      // wave XXXVI: the conformal threshold is a bucket histogram +
+      // one tiny in-bucket select; grid clustering is one cell-keyed
+      // count then dictionary work; skew diagnosis is one explode-agg;
+      // backoff scoring joins vocabulary-sized count tables.
+      "q270_conformal_threshold", "q271_grid_density_clusters",
+      "q272_skew_diagnosis", "q273_stupid_backoff")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a

@@ -707,6 +707,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
   }
 
+  test("q270: both selection passes read the checkpointed score frame — no re-scan, no SMJ") {
+    val p = SparkEntry.queries("q270_conformal_threshold")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert("Scan parquet".r.findAllIn(p).size === 0, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q271: clustering runs on the checkpointed cell dictionary — no data re-scan") {
+    val p = SparkEntry.queries("q271_grid_density_clusters")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert("Scan parquet".r.findAllIn(p).size === 0, p)
+  }
+
+  test("q272: the skew report runs on the checkpointed vocabulary; top-10 is TakeOrdered") {
+    val p = SparkEntry.queries("q272_skew_diagnosis")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert("Scan parquet".r.findAllIn(p).size === 0, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q273: all count-table joins broadcast — no shuffle-family join") {
+    val p = SparkEntry.queries("q273_stupid_backoff")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q253: bucketed layout co-locates the join — zero exchanges below the SortMergeJoin") {
     val p = SparkEntry.queries("q253_bucketed_join")(spark, dir)
       .queryExecution.explainString(ExplainMode.fromString("simple"))
