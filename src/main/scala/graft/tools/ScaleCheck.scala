@@ -260,7 +260,12 @@ object ScaleCheck {
       // count then dictionary work; skew diagnosis is one explode-agg;
       // backoff scoring joins vocabulary-sized count tables.
       "q270_conformal_threshold", "q271_grid_density_clusters",
-      "q272_skew_diagnosis", "q273_stupid_backoff")
+      "q272_skew_diagnosis", "q273_stupid_backoff",
+      // wave XXXVII: greedy cover is 5 rounds of keyed count +
+      // TakeOrdered(1); features/DiD are keyed aggs; recall eval rides
+      // the bounded-query ANN paths.
+      "q274_greedy_set_cover", "q275_point_in_time_features",
+      "q276_diff_in_diff", "q277_ann_recall_eval")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a

@@ -734,6 +734,38 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q274: every greedy round reads the checkpointed (doc,shingle) table — no re-scan") {
+    val p = SparkEntry.queries("q274_greedy_set_cover")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    // the declared frame is the driver-assembled selection trace; the
+    // heavy work ran against the checkpointed distinct table
+    assert(p.contains("LocalTableScan") || p.contains("Scan ExistingRDD"), p)
+  }
+
+  test("q275/q276: features, labels and DiD groups are keyed aggs — no NLJ, no global window") {
+    val p275 = SparkEntry.queries("q275_point_in_time_features")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p275.contains("Exchange SinglePartition"), p275)
+    assert(!p275.contains("CartesianProduct"), p275)
+    // q276's only global agg folds the checkpointed 4-row group frame
+    // into the DiD scalar — dictionary-sized by construction; the gate
+    // is that the USER-keyed passes shuffle on the key, not globally
+    // q276's declared plan reads the checkpointed 4-row group frame
+    // (the user-keyed shuffles ran at checkpoint time); the residual
+    // plan must be dictionary work only — no parquet, no cartesian
+    val p276 = SparkEntry.queries("q276_diff_in_diff")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p276.contains("CartesianProduct"), p276)
+    assert("Scan parquet".r.findAllIn(p276).size === 0, p276)
+  }
+
+  test("q277: both eval sides are bounded-query paths; the overlap is a semi-join") {
+    val p = SparkEntry.queries("q277_ann_recall_eval")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q253: bucketed layout co-locates the join — zero exchanges below the SortMergeJoin") {
     val p = SparkEntry.queries("q253_bucketed_join")(spark, dir)
       .queryExecution.explainString(ExplainMode.fromString("simple"))
