@@ -55,6 +55,7 @@ object SparkEntry {
       graft.queries.Training35.defs ++
       graft.queries.Training36.defs ++
       graft.queries.Training37.defs ++
+      graft.queries.Training38.defs ++
       graft.queries.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

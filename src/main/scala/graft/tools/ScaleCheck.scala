@@ -265,7 +265,12 @@ object ScaleCheck {
       // TakeOrdered(1); features/DiD are keyed aggs; recall eval rides
       // the bounded-query ANN paths.
       "q274_greedy_set_cover", "q275_point_in_time_features",
-      "q276_diff_in_diff", "q277_ann_recall_eval")
+      "q276_diff_in_diff", "q277_ann_recall_eval",
+      // wave XXXVIII: the RR mechanism and the fairness report are one
+      // agg each; bucket digests one map-side keyed agg; LTV is two
+      // keyed aggs + a cohort-keyed dictionary window.
+      "q278_randomized_response", "q279_fairness_report",
+      "q280_merkle_digest", "q281_cohort_ltv")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a

@@ -766,6 +766,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q278: the mechanism + debias is ONE scan into one agg") {
+    val p = SparkEntry.queries("q278_randomized_response")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert("Scan parquet".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q279: the fairness report is dims-broadcast + one keyed agg") {
+    val p = SparkEntry.queries("q279_fairness_report")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q280: bucket digests are one map-side keyed agg; the root reads the 64-row dictionary") {
+    val p = SparkEntry.queries("q280_merkle_digest")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert("Scan parquet".r.findAllIn(p).size === 0, p) // checkpointed dictionary
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q281: the LTV window is keyed by cohort; cohort map broadcast") {
+    val p = SparkEntry.queries("q281_cohort_ltv")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q253: bucketed layout co-locates the join — zero exchanges below the SortMergeJoin") {
     val p = SparkEntry.queries("q253_bucketed_join")(spark, dir)
       .queryExecution.explainString(ExplainMode.fromString("simple"))
