@@ -270,7 +270,12 @@ object ScaleCheck {
       // agg each; bucket digests one map-side keyed agg; LTV is two
       // keyed aggs + a cohort-keyed dictionary window.
       "q278_randomized_response", "q279_fairness_report",
-      "q280_merkle_digest", "q281_cohort_ltv")
+      "q280_merkle_digest", "q281_cohort_ltv",
+      // wave XXXIX: the joint histogram and the decomposition are one
+      // keyed agg each; the absorption chain's data pass is one keyed
+      // transition window; the backtest runs on the day dictionary.
+      "q282_joint_histogram", "q283_markov_absorption",
+      "q284_price_volume_mix", "q285_seasonal_naive_backtest")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a

@@ -794,6 +794,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q282: the joint histogram is ONE scan into a checkpointed 100-key dictionary") {
+    val p = SparkEntry.queries("q282_joint_histogram")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    // the scan ran once at checkpoint time; the declared plan is
+    // dictionary work (the total derives from the dictionary itself)
+    assert("Scan parquet".r.findAllIn(p).size === 0, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q283: the data pass is a keyed transition window; the chain runs on the dictionary") {
+    val p = SparkEntry.queries("q283_markov_absorption")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    // declared frame is the driver-iterated 5-row result
+    assert(p.contains("LocalTableScan"), p)
+  }
+
+  test("q284: the decomposition is ONE keyed agg over orders") {
+    val p = SparkEntry.queries("q284_price_volume_mix")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert("Scan parquet".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q285: the backtest reads the checkpointed day dictionary — no event re-scan") {
+    val p = SparkEntry.queries("q285_seasonal_naive_backtest")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert("Scan parquet".r.findAllIn(p).size === 0, p)
+  }
+
   test("q253: bucketed layout co-locates the join — zero exchanges below the SortMergeJoin") {
     val p = SparkEntry.queries("q253_bucketed_join")(spark, dir)
       .queryExecution.explainString(ExplainMode.fromString("simple"))
