@@ -275,7 +275,12 @@ object ScaleCheck {
       // keyed agg each; the absorption chain's data pass is one keyed
       // transition window; the backtest runs on the day dictionary.
       "q282_joint_histogram", "q283_markov_absorption",
-      "q284_price_volume_mix", "q285_seasonal_naive_backtest")
+      "q284_price_volume_mix", "q285_seasonal_naive_backtest",
+      // wave XL: multiprobe rides the bounded-query LSH paths; the
+      // entropy chain and the k-fold report are one keyed pass each;
+      // GROUP BY ALL is one keyed agg.
+      "q286_multiprobe_recall", "q287_markov_entropy_rate",
+      "q288_group_by_all", "q289_stratified_kfold")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a

@@ -823,6 +823,34 @@ class PlanSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).size === 0, p)
   }
 
+  test("q286: probe candidates join by bucket key on the checkpointed index — no NLJ, no re-scan") {
+    val p = SparkEntry.queries("q286_multiprobe_recall")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert("Scan parquet".r.findAllIn(p).size === 0, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q287: the entropy chain runs on the checkpointed 5x5 dictionary") {
+    val p = SparkEntry.queries("q287_markov_entropy_rate")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert("Scan parquet".r.findAllIn(p).size === 0, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q288: GROUP BY ALL compiles to one keyed agg — one scan, no join") {
+    val p = SparkEntry.queries("q288_group_by_all")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert("Scan parquet".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q289: the fold rank window is keyed by label — never single-partition") {
+    val p = SparkEntry.queries("q289_stratified_kfold")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("hashpartitioning(label"), p)
+  }
+
   test("q253: bucketed layout co-locates the join — zero exchanges below the SortMergeJoin") {
     val p = SparkEntry.queries("q253_bucketed_join")(spark, dir)
       .queryExecution.explainString(ExplainMode.fromString("simple"))
