@@ -58,6 +58,7 @@ object SparkEntry {
       graft.queries.Training38.defs ++
       graft.queries.Training39.defs ++
       graft.queries.Training40.defs ++
+      graft.queries.Training41.defs ++
       graft.queries.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -280,7 +280,11 @@ object ScaleCheck {
       // entropy chain and the k-fold report are one keyed pass each;
       // GROUP BY ALL is one keyed agg.
       "q286_multiprobe_recall", "q287_markov_entropy_rate",
-      "q288_group_by_all", "q289_stratified_kfold")
+      "q288_group_by_all", "q289_stratified_kfold",
+      // wave XLI: bands/dispersion/PR-sweep are one keyed-agg pass
+      // each; the mover ranks run over the checkpointed part dim.
+      "q290_daily_quantile_bands", "q291_dispersion_index",
+      "q292_rank_movers", "q293_pr_curve")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a

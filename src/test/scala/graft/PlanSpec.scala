@@ -851,6 +851,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(label"), p)
   }
 
+  test("q290/q291/q293: monitoring and eval sweeps are single keyed-agg passes") {
+    for (qn <- Seq("q290_daily_quantile_bands", "q291_dispersion_index")) {
+      val p = SparkEntry.queries(qn)(spark, dir)
+        .queryExecution.explainString(ExplainMode.fromString("simple"))
+      assert("Scan parquet".r.findAllIn(p).size === 1, s"$qn:\n$p")
+      assert(!p.contains("Join"), s"$qn:\n$p")
+    }
+    val p293 = SparkEntry.queries("q293_pr_curve")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert("Scan parquet".r.findAllIn(p293).size === 1, p293)
+    assert(!p293.contains("SortMergeJoin"), p293)
+  }
+
+  test("q292: rank windows run over the checkpointed part dimension, never the fact") {
+    val p = SparkEntry.queries("q292_rank_movers")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert("Scan parquet".r.findAllIn(p).size === 0, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q253: bucketed layout co-locates the join — zero exchanges below the SortMergeJoin") {
     val p = SparkEntry.queries("q253_bucketed_join")(spark, dir)
       .queryExecution.explainString(ExplainMode.fromString("simple"))
