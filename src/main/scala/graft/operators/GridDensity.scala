@@ -24,6 +24,15 @@ object GridDensity {
 
   /** (cluster_id, n_cells, n_points) per density cluster, from
     * micro-int coordinate columns `x6`/`y6` of `pts`.
+    *
+    * Cell-id encoding `(cx+64)*16384 + (cy+64)` is injective ONLY for
+    * cell coordinates in [-64, 16320) on both axes — outside that range
+    * distinct cells would alias to one id and silently merge clusters.
+    * The bound is asserted on the (metadata-sized) core-cell dictionary
+    * and the call fails loudly rather than corrupting labels; callers
+    * with a wider coordinate domain must shrink it by raising
+    * `cellMicro` (the cluster ids are part of the operator's contract,
+    * so the encoding itself is pinned).
     */
   def clusters(pts: DataFrame, cellMicro: Long, minPts: Long): DataFrame = {
     val s = pts.sparkSession
@@ -34,6 +43,12 @@ object GridDensity {
       .filter(col("npts") >= minPts)
       .withColumn("cell", (col("cx") + 64) * 16384 + (col("cy") + 64))
       .localCheckpoint(true) // cell dictionary: edges + assignment
+    val outOfDomain = cells.filter(
+      col("cx") < -64 || col("cx") >= 16320 ||
+        col("cy") < -64 || col("cy") >= 16320).limit(1).count()
+    require(outOfDomain == 0L,
+      s"GridDensity cell coordinates exceed the injective id domain " +
+        s"[-64, 16320); raise cellMicro (currently $cellMicro)")
     val nbr = cells.select(col("cell"), col("cx"), col("cy"))
       .crossJoin(broadcast(s.createDataFrame(
         Seq((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)))
@@ -43,7 +58,11 @@ object GridDensity {
       .filter(col("cell") < col("ncell"))
       .join(cells.select(col("cell").as("ncell")), Seq("ncell"))
       .select(col("cell").as("ca"), col("ncell").as("cb"))
-    val comp = Dedup.connectedComponents(nbr, "ca", "cb")
+    // Star contraction converges in O(log n) rounds on ANY cell-graph
+    // shape (min-label propagation caps at maxIter and would silently
+    // return unconverged labels on a core-cell chain deeper than its
+    // round budget, diverging from the fully-converged oracle CTE).
+    val comp = Dedup.connectedComponentsStar(nbr, "ca", "cb")
     cells
       .join(comp.withColumnRenamed("node", "cell"), Seq("cell"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("cell")))

@@ -202,7 +202,11 @@ object Training31 {
           .crossJoin(broadcast(commonUnder))
           .select(
             col("n_exact_both"), col("n_exact_union"),
-            ((col("ncu") * FULL) / col("theta")).cast("long").as("est_both"))
+            // exact integer floor division (Spark `div`), matching the
+            // DuckDB oracle's `//` — Double `/` + cast(long) can cross
+            // an integer boundary when the true quotient sits within an
+            // ulp of it, breaking the hash-pinned match.
+            expr(s"(ncu * ${FULL}L) div theta").as("est_both"))
           .select(
             col("n_exact_both"), col("n_exact_union"), col("est_both"),
             (abs(col("est_both") - col("n_exact_both")) * 2 <=

@@ -207,7 +207,13 @@ object Training38 {
             col("event_type"),
             expr("CAST(round(value * 1000000) AS BIGINT)").as("v6"))
           .withColumn("week",
-            expr("datediff(day, DATE '2024-01-01') div 7"))
+            // sign-safe floor division (Spark `div` truncates toward
+            // zero; DuckDB `//` floors) — keeps the two engines on the
+            // same week bucket for any event timestamped before the
+            // 2024-01-01 epoch.
+            expr("CASE WHEN datediff(day, DATE '2024-01-01') >= 0" +
+              " THEN datediff(day, DATE '2024-01-01') div 7" +
+              " ELSE -((-datediff(day, DATE '2024-01-01') + 6) div 7) END"))
         val cohort = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
         val sizes = cohort.groupBy("cohort_week").agg(count(lit(1)).as("n_users"))
         val rev = ev.join(broadcast(cohort), Seq("user_id"))

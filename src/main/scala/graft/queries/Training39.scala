@@ -90,7 +90,12 @@ object Training39 {
         val p = trans.map { case (a, b, c) =>
           (a, b) -> halfUp(1000000L * c, outMass(a))
         }.toMap
-        val states = (trans.flatMap(tr => Seq(tr._1, tr._2)).toSet + "purchase").toSeq.sorted
+        // pinned 5-state alphabet, identical to the oracle's hardcoded
+        // list — deriving states from OBSERVED transitions would drop a
+        // state's row entirely at a scale factor where that event type
+        // never appears inside a within-day transition, while the
+        // oracle still emits it with absorb=0.
+        val states = Seq("click", "error", "purchase", "signup", "view")
         var a = states.map(st => st -> (if (st == "purchase") 1000000L else 0L)).toMap
         for (_ <- 1 to 10) {
           a = states.map { st =>
