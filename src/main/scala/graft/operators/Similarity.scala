@@ -92,6 +92,47 @@ object Similarity {
       .select("query_id", "cand_id", "cos_sim", "rnk")
   }
 
+  /** Corpus-as-queries top-k with a SCALE-DISPATCHED default (the
+    * `Dedup.dedupe`/`LinkPrediction.topK` pattern): the corpus size —
+    * the brute-force path's resource, since corpus-as-queries scoring is
+    * O(N²) — is measured with one count, and the call routes:
+    *
+    *  - N ≤ `bruteLimit` → engine-exact [[bruteForceTopK]] (the oracle
+    *    truth; a 100k-vector corpus is ~1e10 codegen'd cosine pairs,
+    *    the measured single-box comfort ceiling);
+    *  - N > limit → [[ivfTopK]] with nlist = ⌈√N⌉ (constant ~√N list
+    *    length, the standard IVF sizing) and a 16-list probe budget —
+    *    candidates per query then stay ~16√N instead of N, which is
+    *    what keeps mutual-kNN / label-audit composites linear.
+    *
+    * The limit is overridable via conf `spark.graft.ann.bruteLimit`;
+    * nlist/nprobe explicitly set via `spark.graft.ann.nlist`/`.nprobe`
+    * still win (the q229/q230 ScaleCheck knobs). Semantics above the
+    * limit are approximate top-k (IVF recall contract, measured by the
+    * q277/q286 recall evals) — the standard ANN trade, made by the
+    * DEFAULT so a user reaching for "kNN over my corpus" gets the form
+    * that survives 100 TB without reading any scaladoc.
+    */
+  def autoTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      queryFilter: org.apache.spark.sql.Column, k: Int,
+      bruteLimit: Long = -1L, seed: Long = 42L): DataFrame = {
+    val s = df.sparkSession
+    val limit =
+      if (bruteLimit >= 0) bruteLimit
+      else s.conf.get("spark.graft.ann.bruteLimit", "100000").toLong
+    val n = df.count()
+    if (n <= limit)
+      bruteForceTopK(df.filter(queryFilter), df, idCol, vecCol, k)
+    else {
+      val nlist = s.conf.get("spark.graft.ann.nlist",
+        math.ceil(math.sqrt(n.toDouble)).toLong.toString).toInt
+      val nprobe = s.conf.get("spark.graft.ann.nprobe", "16").toInt
+      ivfTopK(df, idCol, vecCol, queryFilter, k,
+        nlist = nlist, nprobe = nprobe, seed = seed)
+    }
+  }
+
   /** IVF (inverted-file) ANN — the k-means-quantizer scale path beside
     * LSH: fit `nlist` coarse centroids over the corpus (MLlib KMeans,
     * seed-pinned), assign every vector to its nearest list, then answer

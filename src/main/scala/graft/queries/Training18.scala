@@ -116,7 +116,11 @@ object Training18 {
         // materialize the top-k list once: both sides of the reciprocal
         // join read it, and re-deriving it would run the scoring pass
         // twice (the expensive stage of the whole query).
-        val top = Similarity.bruteForceTopK(emb, emb, "vec_id", "vec", k = 3)
+        // SCALE-DISPATCHED (round-8): autoTopK routes by corpus size —
+        // engine-exact brute force below the 100k brute limit (this
+        // harness scale, so the oracle stays the exact SQL), IVF with
+        // √N lists above it (the q229 form, 1.7× measured at 10×).
+        val top = Similarity.autoTopK(emb, "vec_id", "vec", lit(true), k = 3)
           .localCheckpoint()
         val rev = top.select(
           col("query_id").as("r_cand"), col("cand_id").as("r_query"),
@@ -224,7 +228,9 @@ object Training18 {
       (s, d) => {
         val emb = embDouble(t(s, d, "embeddings"))
         val labels = t(s, d, "embeddings").select(col("vec_id"), col("label"))
-        val top = Similarity.bruteForceTopK(emb, emb, "vec_id", "vec", k = 3)
+        // SCALE-DISPATCHED by corpus size (see q210): exact below the
+        // brute limit — the harness regime, oracle unchanged — IVF above.
+        val top = Similarity.autoTopK(emb, "vec_id", "vec", lit(true), k = 3)
         val votes = top
           .join(labels.select(col("vec_id").as("cand_id"),
             col("label").as("n_label")), "cand_id")

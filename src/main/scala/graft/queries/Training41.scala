@@ -35,8 +35,10 @@ object Training41 {
     // ---- daily quantile bands: exact p10/p50/p90 of the event value
     // per day, rounded at 6 dp (Spark `percentile` and DuckDB
     // `quantile_cont` share the same linear interpolation — the
-    // EquiDepthBins discipline; approx_percentile is the documented
-    // swap at extreme scale). ONE keyed agg over days.
+    // EquiDepthBins discipline). ONE keyed agg over days. NOTE: exact
+    // oracle-truth form; the declared production twin is
+    // q295_quantile_bands_tdigest (Training42) — per-day sketch agg
+    // gated by the q134 rank-error contract. Reach for q295 at scale.
     QueryDef(
       "q290_daily_quantile_bands",
       (s, d) =>

@@ -624,7 +624,11 @@ object Training6 {
         ORDER BY score_micro DESC, key_a, key_b
         LIMIT 1000""")),
 
-    // ---- two-sample KS drift statistic (distribution monitoring):
+    // ---- two-sample KS drift statistic (distribution monitoring).
+    // NOTE: this is the EXACT-grid oracle-truth form; the declared
+    // production twin is q294_ks_drift_tdigest (Training42) — same
+    // statistic on an approx_percentile grid, zero sorts, gated by the
+    // q134 rank-error contract. Reach for q294 at scale.
     // D = sup |F_R − F_A| between the R and A return-flag price
     // distributions, evaluated on a 199-point global percentile grid.
     // The grid is the scale contract: the exact sup needs a global sort
