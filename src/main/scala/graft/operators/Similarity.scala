@@ -195,6 +195,95 @@ object Similarity {
     } finally assembled.unpersist()
   }
 
+  /** Build-once/probe-many IVF index persisted as versioned snapshots
+    * (the real 100 TB shape — [[ivfTopK]] refits the quantizer inside
+    * every query, which is the right ORACLE form but not a deployment:
+    * an index over a 100 TB corpus is built once and probed by every
+    * query after).
+    *
+    * Layout under `indexRoot`: two versioned snapshot directories in
+    * the Sinks commit protocol (`v<N>` + `_SUCCESS`, readable via
+    * `readSnapshot`/`readLatestSnapshot`):
+    *   - `lists/v<N>`: (id, vec, list_id) — the corpus routed to its
+    *     inverted list; at deployment scale this is additionally
+    *     written partitioned/bucketed BY list_id so a probe prunes to
+    *     nprobe directories instead of shuffling;
+    *   - `centroids/v<N>`: (list_id, centroid) — quantizer state,
+    *     nlist×dim, always broadcast-sized.
+    * A rebuild writes a NEW version (full replacement — an index
+    * version is an atomic artifact, not a row-merge), so older versions
+    * stay probe-able (time travel) and a crashed build (no `_SUCCESS`)
+    * is invisible.
+    */
+  def buildIvfIndex(
+      df: DataFrame, idCol: String, vecCol: String, indexRoot: String,
+      version: Long, nlist: Int = 16, seed: Long = 42L): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val assembled = df
+      .select(col(idCol), col(vecCol))
+      .withColumn("__fv", array_to_vector(col(vecCol)))
+      .cache() // KMeans.fit is iterative — never recompute upstream per pass
+    try {
+      val model = new KMeans()
+        .setK(nlist).setSeed(seed)
+        .setFeaturesCol("__fv").setPredictionCol("list_id")
+        .fit(assembled)
+      model.transform(assembled)
+        .select(col(idCol), col(vecCol), col("list_id"))
+        .write.mode("overwrite").parquet(s"$indexRoot/lists/v$version")
+      val centroids = {
+        import df.sparkSession.implicits._
+        model.clusterCenters.zipWithIndex.toSeq
+          .map { case (c, i) => (i, c.toArray.toSeq) }
+          .toDF("list_id", "centroid")
+      }
+      centroids.write.mode("overwrite").parquet(s"$indexRoot/centroids/v$version")
+    } finally { assembled.unpersist(); () }
+  }
+
+  /** Probe a persisted IVF index ([[buildIvfIndex]]): route each query
+    * to its `nprobe` nearest centroids, candidate-join ONLY those
+    * inverted lists, exact-cosine re-rank to top-`k`. `asOfVersion`
+    * time-travels to an older index build (Sinks `readSnapshot`
+    * resolution); default probes the latest complete build. At
+    * nprobe = nlist every list is probed, so the whole stored-index
+    * path provably equals brute force — the q63/q229 identity, which
+    * is what lets a persisted approximate index be hash-oracled.
+    */
+  def probeIvfIndex(
+      indexRoot: String, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int, asOfVersion: Option[Long] = None): DataFrame = {
+    val spark = queries.sparkSession
+    CosineSimilarity.register(spark)
+    def rd(sub: String) = asOfVersion match {
+      case Some(v) => graft.sources.Sinks.readSnapshot(spark, s"$indexRoot/$sub", v)
+      case None => graft.sources.Sinks.readLatestSnapshot(spark, s"$indexRoot/$sub")
+    }
+    val lists = rd("lists")
+    val centroids = rd("centroids")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val l2 = expr(
+      "aggregate(zip_with(__qv, centroid, (a, b) -> (a - b) * (a - b)), 0D, (acc, v) -> acc + v)")
+    val probeW = Window.partitionBy("query_id").orderBy(col("__d2").asc, col("list_id").asc)
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("__d2", l2)
+      .withColumn("__pr", row_number().over(probeW))
+      .filter(col("__pr") <= nprobe)
+      .select("query_id", "__qv", "list_id")
+    val cands = probes.join(
+      lists.select(col(idCol).as("cand_id"),
+        col(vecCol).as("__cv"), col("list_id")),
+      Seq("list_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("cand_id").asc)
+    cands
+      .withColumn("cos_sim", round(expr("graft_cosine(__qv, __cv)"), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "cand_id", "cos_sim", "rnk")
+  }
+
   /** SemDedup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication of an embedding corpus — cluster with k-means, then
     * within every cluster drop one side of each pair whose cosine

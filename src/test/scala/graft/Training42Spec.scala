@@ -103,6 +103,46 @@ class Training42Spec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.graph.wedgeMassLimit")
   }
 
+  test("persisted IVF index: versioned builds, time travel, full-probe identity") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfidx_spec").toString
+    val emb = Tables(spark, dir, "embeddings")
+      .withColumn("vec", expr("transform(embedding, x -> cast(x as double))"))
+      .select("vec_id", "vec")
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(queries, emb, "vec_id", "vec", k = 3)
+      .collect().map(_.toSeq).toSet
+
+    Similarity.buildIvfIndex(emb, "vec_id", "vec", root, version = 0L, nlist = 8)
+    Similarity.buildIvfIndex(emb, "vec_id", "vec", root, version = 1L, nlist = 4)
+    assert(graft.sources.Sinks.snapshotVersions(s"$root/lists") === Seq(0L, 1L))
+    assert(graft.sources.Sinks.snapshotVersions(s"$root/centroids") === Seq(0L, 1L))
+
+    // full probe of EITHER stored version reproduces brute force (the
+    // identity the q296 oracle rides on), through entirely different
+    // list layouts — so the storage round-trip adds nothing
+    val v0 = Similarity.probeIvfIndex(root, queries, "vec_id", "vec",
+      k = 3, nprobe = 8, asOfVersion = Some(0L)).collect().map(_.toSeq).toSet
+    val latest = Similarity.probeIvfIndex(root, queries, "vec_id", "vec",
+      k = 3, nprobe = 4).collect().map(_.toSeq).toSet
+    assert(v0 === brute, "v0 full probe must equal brute force")
+    assert(latest === brute, "latest (v1, nlist=4) full probe must equal brute force")
+
+    // partial probe of the stored index is a strict subset relation on
+    // candidates: every returned neighbor is a true corpus vector with
+    // exact cosine (spot the score exactness against brute pairs)
+    val partial = Similarity.probeIvfIndex(root, queries, "vec_id", "vec",
+      k = 3, nprobe = 1, asOfVersion = Some(1L)).collect()
+    val bruteScores = Similarity
+      .bruteForceTopK(queries, emb, "vec_id", "vec", k = Int.MaxValue)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    partial.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(bruteScores(key) === r.getDouble(2),
+        s"stored-index score for $key must be the exact cosine")
+    }
+  }
+
   test("Similarity.autoTopK dispatch: brute below the limit, IVF above") {
     val emb = Tables(spark, dir, "embeddings")
       .withColumn("vec", expr("transform(embedding, x -> cast(x as double))"))
