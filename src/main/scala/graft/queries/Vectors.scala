@@ -97,27 +97,60 @@ object Vectors {
     QueryDef(
       "q51_multimodal_binary",
       (s, d) => {
+        // REAL decoder (round-8, replacing the byte-sum stub that sat
+        // here since r1): each document plants a genuine 24-bit BMP —
+        // dimensions and every pixel a closed-form function of doc_id —
+        // and the typed-mapPartitions decode slot parses the ACTUAL
+        // format (magic, header offsets, bottom-up padded pixel rows,
+        // BGR order) via BmpCodec.decode24, emitting width/height/
+        // per-channel sums. The oracle recomputes those stats from the
+        // same closed form, so a decoder that misreads the header,
+        // forgets row padding, or swaps channels hash-fails. Pure
+        // per-partition work, zero shuffles — the 100 TB multimodal
+        // shape (decode library state is per-partition; swap decode24
+        // for a JPEG/PNG lib call on a real deployment).
         import s.implicits._
-        val bin = t(s, d, "documents")
-          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-          .as[(Long, Array[Byte])]
-        bin.mapPartitions { iter =>
-          iter.map { case (id, payload) =>
-            // STUB decoder: a real deployment would decode image/audio
-            // here; the Spark-side contract (binary in, typed features
-            // out, partition-wise batching) is what this pins down.
-            val header = payload.take(4).map(b => f"${b & 0xff}%02X").mkString
-            val byteSum16 = payload.take(16).map(_ & 0xff).sum.toLong
-            (id, payload.length.toLong, header, byteSum16)
+        import graft.operators.BmpCodec
+        val imgs = t(s, d, "documents")
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val did = id % 1000000L
+            val w = (1L + id % 7L).toInt
+            val h = (1L + id % 5L).toInt
+            (id, BmpCodec.encode24(w, h, (x, y) => (
+              ((did + 3L * x + 7L * y) % 256L).toInt,
+              ((2L * did + 5L * x + y) % 256L).toInt,
+              ((3L * did + x + 11L * y) % 256L).toInt)))
           }
-        }.toDF("doc_id", "n_bytes", "header_hex", "byte_sum16")
+        imgs.mapPartitions { iter =>
+          // a real decoder library would be constructed ONCE here, per
+          // partition, and stream the batch through it
+          iter.map { case (id, payload) =>
+            val dec = BmpCodec.decode24(payload)
+            (id, dec.nBytes, dec.width, dec.height,
+              dec.sumR, dec.sumG, dec.sumB)
+          }
+        }.toDF("doc_id", "n_bytes", "width", "height",
+          "sum_r", "sum_g", "sum_b")
       },
       Some("""
         SELECT doc_id,
-               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-               hex(encode(substr(text, 1, 4))) AS header_hex,
-               CAST(list_sum(list_transform(range(1, least(length(text), 16) + 1),
-                    i -> ascii(substr(text, i, 1)))) AS BIGINT) AS byte_sum16
+               CAST(54 + (1 + doc_id % 5) *
+                    (((3 * (1 + doc_id % 7) + 3) // 4) * 4) AS BIGINT) AS n_bytes,
+               CAST(1 + doc_id % 7 AS INTEGER) AS width,
+               CAST(1 + doc_id % 5 AS INTEGER) AS height,
+               CAST(list_sum(flatten(list_transform(range(0, 1 + doc_id % 5), y ->
+                    list_transform(range(0, 1 + doc_id % 7), x ->
+                      (doc_id % 1000000 + 3 * x + 7 * y) % 256))))
+                 AS BIGINT) AS sum_r,
+               CAST(list_sum(flatten(list_transform(range(0, 1 + doc_id % 5), y ->
+                    list_transform(range(0, 1 + doc_id % 7), x ->
+                      (2 * (doc_id % 1000000) + 5 * x + y) % 256))))
+                 AS BIGINT) AS sum_g,
+               CAST(list_sum(flatten(list_transform(range(0, 1 + doc_id % 5), y ->
+                    list_transform(range(0, 1 + doc_id % 7), x ->
+                      (3 * (doc_id % 1000000) + x + 11 * y) % 256))))
+                 AS BIGINT) AS sum_b
         FROM documents""")),
 
     // ---- embedding-cosine near-dup: vector pairs above a similarity
