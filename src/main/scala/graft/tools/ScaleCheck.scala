@@ -284,7 +284,15 @@ object ScaleCheck {
       // wave XLI: bands/dispersion/PR-sweep are one keyed-agg pass
       // each; the mover ranks run over the checkpointed part dim.
       "q290_daily_quantile_bands", "q291_dispersion_index",
-      "q292_rank_movers", "q293_pr_curve")
+      "q292_rank_movers", "q293_pr_curve",
+      // the real BMP decode is one per-row mapPartitions pass
+      "q51_multimodal_binary",
+      // wave XLII: the sketch-grid KS/bands twins are two scans + a
+      // bucket-table fold each (no sorts — the point of the twins);
+      // the stored-index probe pays an untimed-in-deployment build
+      // here (write-heavy like q220/q247) then probes exchange-light.
+      "q294_ks_drift_tdigest", "q295_quantile_bands_tdigest",
+      "q296_ann_index_probe")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
@@ -312,6 +320,71 @@ object ScaleCheck {
       val t1 = timeIt(sfDir, q)
       val tn = timeIt(out, q)
       println(f"[scale] $q%-24s $t1%6.2f  $tn%7.2f  ${tn / t1}%5.1f")
+    }
+
+    def row(name: String, t1: Double, tn: Double): Unit =
+      println(f"[scale] $name%-24s $t1%6.2f  $tn%7.2f  ${tn / t1}%5.1f")
+
+    // The composed wafer pipeline (the reference's main()) — benched at
+    // its canonical 63,909-row scale for years but never scale-swept.
+    // Input is pre-materialized and cached so the timing covers the
+    // pipeline, not datagen.
+    if (only.forall(_.exists("wafer_pipeline".startsWith))) {
+      def waferAt(n: Long, warm: Boolean): Double = {
+        val in = graft.wafer.WaferDataGen.generate(spark, n, parts = cpus.toInt).cache()
+        in.count()
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          graft.wafer.WaferPipeline.preprocess(in)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        try { if (warm) once(); once() } finally { in.unpersist(); () }
+      }
+      row("wafer_pipeline", waferAt(63909L, warm = true),
+        waferAt(63909L * factor, warm = false))
+    }
+
+    // Snapshot READ-BACK half of the storage family (q232-q234 are
+    // write-heavy — they commit a version chain per run, so their
+    // end-to-end ratio measures tmpfs write bandwidth; the scale
+    // question that matters for time travel / CDC / retention is how
+    // the READ side grows). Chain built untimed per scale, then: AS OF
+    // read of v0, CDC classification v0→v1, retention plan.
+    if (only.forall(_.exists("snapshot_read".startsWith))) {
+      import graft.sources.Sinks
+      def chain(dir: String, tag: String): String = {
+        val root = s"/tmp/graft_scaleread_$tag"
+        val f = new java.io.File(root)
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+        }
+        if (f.exists()) rm(f)
+        val base = spark.read.parquet(s"$dir/orders.parquet")
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .withColumn("v", lit(0L))
+        Sinks.mergeSnapshot(base, root, Seq("o_orderkey"), "v", 0L)
+        val delta = base
+          .filter(pmod(col("o_orderkey"), lit(10)) === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+          .withColumn("v", lit(1L))
+        Sinks.mergeSnapshot(delta, root, Seq("o_orderkey"), "v", 1L)
+        root
+      }
+      val r1 = chain(sfDir, "1x")
+      val rn = chain(out, s"${factor}x")
+      def t(body: => DataFrame): Double = {
+        val t0 = System.nanoTime()
+        body.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      def asof(r: String) = t(Sinks.readSnapshot(spark, r, 0L))
+      def cdc(r: String) =
+        t(Sinks.snapshotChanges(spark, r, 0L, 1L, Seq("o_orderkey")))
+      def ret(r: String) = t(Sinks.retentionPlan(spark, r, keepLast = 1))
+      asof(r1); row("snapshot_read_asof", asof(r1), asof(rn))
+      cdc(r1); row("snapshot_read_cdc", cdc(r1), cdc(rn))
+      ret(r1); row("snapshot_read_retention", ret(r1), ret(rn))
     }
     spark.stop()
   }
