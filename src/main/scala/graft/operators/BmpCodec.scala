@@ -61,6 +61,33 @@ object BmpCodec {
     buf.array()
   }
 
+  /** Parse a 24-bit BMP into its 256-bin GRAYSCALE histogram
+    * (gray = (r + g + b) / 3, integer floor — the convention the q297
+    * oracle mirrors): same header validation and padded bottom-up row
+    * walk as [[decode24]], but keeps the per-level counts a
+    * thresholding operator (Otsu) needs instead of only channel sums.
+    */
+  def decode24Histogram(bytes: Array[Byte]): (Int, Int, Array[Long]) = {
+    val d = decode24(bytes) // header validation + dims
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val offset = buf.getInt(10)
+    val rs = rowSize(d.width)
+    val hist = new Array[Long](256)
+    var y = 0
+    while (y < d.height) {
+      val rowBase = offset + (d.height - 1 - y) * rs
+      var x = 0
+      while (x < d.width) {
+        val p = rowBase + 3 * x
+        val gray = ((bytes(p) & 0xff) + (bytes(p + 1) & 0xff) + (bytes(p + 2) & 0xff)) / 3
+        hist(gray) += 1
+        x += 1
+      }
+      y += 1
+    }
+    (d.width, d.height, hist)
+  }
+
   /** Parse a 24-bit uncompressed BMP: validates magic/planes/bpp/
     * compression, reads dimensions and the data offset FROM THE HEADER
     * (not from assumptions), walks the padded bottom-up rows, and
