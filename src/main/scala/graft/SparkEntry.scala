@@ -62,6 +62,7 @@ object SparkEntry {
       graft.queries.Training42.defs ++
       graft.queries.Training43.defs ++
       graft.queries.Training44.defs ++
+      graft.queries.Training45.defs ++
       graft.queries.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -292,7 +292,23 @@ object ScaleCheck {
       // the stored-index probe pays an untimed-in-deployment build
       // here (write-heavy like q220/q247) then probes exchange-light.
       "q294_ks_drift_tdigest", "q295_quantile_bands_tdigest",
-      "q296_ann_index_probe")
+      "q296_ann_index_probe",
+      // wave XLIII: Otsu and WAV are per-row codec passes; Holt's data
+      // pass is one keyed count (recurrence runs on the day
+      // dictionary); bag ops are two value-keyed multiplicity shuffles.
+      "q297_bmp_otsu", "q298_wav_features", "q299_holt_linear",
+      "q300_bag_set_ops",
+      // wave XLIV: MAD is two grouped-percentile passes over a 3-key
+      // group; co-occurrence postings are capped to 20 broadcast words
+      // before the pair join; LOCF is one keyed window pass; observe
+      // rides a single noop-write scan.
+      "q301_mad_outliers", "q302_cooccurrence_itemsets",
+      "q303_locf_impute", "q304_observe_metrics",
+      // wave XLV: map ops and chunking are per-row generate passes;
+      // BFS is 4 keyed-min rounds over the checkpointed edge list;
+      // PPS cumulates over the part dictionary only.
+      "q305_map_type_ops", "q306_rag_chunking",
+      "q307_bfs_distance", "q308_pps_systematic_sample")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
