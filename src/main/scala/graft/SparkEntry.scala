@@ -63,6 +63,8 @@ object SparkEntry {
       graft.queries.Training43.defs ++
       graft.queries.Training44.defs ++
       graft.queries.Training45.defs ++
+      graft.queries.Training46.defs ++
+      graft.queries.Training47.defs ++
       graft.queries.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

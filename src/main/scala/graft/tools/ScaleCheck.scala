@@ -308,7 +308,17 @@ object ScaleCheck {
       // BFS is 4 keyed-min rounds over the checkpointed edge list;
       // PPS cumulates over the part dictionary only.
       "q305_map_type_ops", "q306_rag_chunking",
-      "q307_bfs_distance", "q308_pps_systematic_sample")
+      "q307_bfs_distance", "q308_pps_systematic_sample",
+      // wave XLVI: batch windows/sessions are one keyed agg each; URL
+      // parse is per-row strings; bitmap distinct shuffles fixed-width
+      // bitmap rows.
+      "q309_batch_time_window", "q310_batch_session_window",
+      "q311_url_functions", "q312_bitmap_distinct",
+      // wave XLVII: both sketches are one mergeable agg over the data
+      // plus the exact-witness agg; XML parse is per-row into a lang
+      // dictionary; pipe syntax is the q01 shape.
+      "q313_approx_top_k", "q314_hll_sketch_union",
+      "q315_from_xml", "q316_sql_pipe_syntax")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
