@@ -878,4 +878,59 @@ class PlanSpec extends SparkSpec {
     val joinSection = p.split("SortMergeJoin").last
     assert(!joinSection.contains("Exchange"), p)
   }
+
+  test("q294/q295: the declared twins carry NO exact percentile — sketch agg only") {
+    // q295's sketch agg is visible in the returned plan; q294's runs
+    // eagerly behind the bucket-table localCheckpoint, so its final
+    // plan is checked only for the absence of an exact-percentile
+    // fallback (the bucket table it aggregates is 400 rows).
+    val p295 = SparkEntry.queries("q295_quantile_bands_tdigest")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(p295.contains("approx_percentile"), p295)
+    for (qn <- Seq("q294_ks_drift_tdigest", "q295_quantile_bands_tdigest")) {
+      val p = SparkEntry.queries(qn)(spark, dir)
+        .queryExecution.explainString(ExplainMode.fromString("simple"))
+      assert(!p.replace("approx_percentile", "").contains("percentile("),
+        s"$qn declared plan must not fall back to exact percentile:\n$p")
+    }
+  }
+
+  test("q296: the probe plan reads the STORED index, no quantizer fit in-plan") {
+    val p = SparkEntry.queries("q296_ann_index_probe")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    // lists + centroids parquet scans of the persisted artifact
+    assert("Scan parquet".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("graft_cosine"), p)
+  }
+
+  test("q301: median/MAD bounds broadcast back — no sort-merge join on the fact") {
+    val p = SparkEntry.queries("q301_mad_outliers")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q303/q309/q310: imputation and batch windows stay keyed — no single-partition exchange") {
+    for (qn <- Seq("q303_locf_impute", "q309_batch_time_window",
+        "q310_batch_session_window")) {
+      val p = SparkEntry.queries(qn)(spark, dir)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(!p.contains("Exchange SinglePartition"), s"$qn:\n$p")
+    }
+  }
+
+  test("q306: chunking is a generate pass — no joins, one scan") {
+    val p = SparkEntry.queries("q306_rag_chunking")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert("Scan parquet".r.findAllIn(p).size === 1, p)
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q312: bitmap distinct partial-aggregates — no raw-key distinct exchange") {
+    val p = SparkEntry.queries("q312_bitmap_distinct")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(p.contains("bitmap_construct_agg") || p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
 }
