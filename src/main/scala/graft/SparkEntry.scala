@@ -65,6 +65,7 @@ object SparkEntry {
       graft.queries.Training45.defs ++
       graft.queries.Training46.defs ++
       graft.queries.Training47.defs ++
+      graft.queries.Training48.defs ++
       graft.queries.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

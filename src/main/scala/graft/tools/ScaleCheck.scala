@@ -318,7 +318,12 @@ object ScaleCheck {
       // plus the exact-witness agg; XML parse is per-row into a lang
       // dictionary; pipe syntax is the q01 shape.
       "q313_approx_top_k", "q314_hll_sketch_union",
-      "q315_from_xml", "q316_sql_pipe_syntax")
+      "q315_from_xml", "q316_sql_pipe_syntax",
+      // wave XLVIII: phrase postings filter to two words pre-shuffle;
+      // z-order slabs come from percentile boundaries + broadcast fold
+      // (no global window); erasure is a keys-only semi-join chain.
+      "q317_phrase_search", "q318_zorder_layout",
+      "q319_gdpr_erasure_plan")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
