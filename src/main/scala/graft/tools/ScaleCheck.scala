@@ -323,7 +323,12 @@ object ScaleCheck {
       // z-order slabs come from percentile boundaries + broadcast fold
       // (no global window); erasure is a keys-only semi-join chain.
       "q317_phrase_search", "q318_zorder_layout",
-      "q319_gdpr_erasure_plan")
+      "q319_gdpr_erasure_plan",
+      // wave XLIX: format round-trips are write-then-agg (write-heavy
+      // like q220); the streaming bands run one incremental sketch agg
+      // + one batch gate fold.
+      "q320_orc_roundtrip", "q321_jsonl_roundtrip",
+      "q322_stream_quantile_bands")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
