@@ -100,15 +100,15 @@ object Training48 {
         FROM hits GROUP BY 1, 2""")),
 
     // ---- Z-order layout quality: rows keyed by (a, b) = (partkey,
-    // suppkey) mod 1024 are binned into 256 equal-population slabs two
+    // suppkey) mod 1024 are binned into 64 equal-population slabs two
     // ways — by Morton z-value and by the linear key a·1024+b — and
     // each layout is scored by Σ slab bounding-box area (what min/max
     // file skipping sees: smaller boxes ⇒ more prunable files). The
     // interleave is a plan-time-expanded integer expression (no UDF);
-    // slab assignment uses the EquiDepthBins discipline — 255
-    // percentile boundaries + a broadcast comparison fold, NO global
-    // window (at deployment the same boundaries drive the write-side
-    // repartitionByRange). zorder_wins reports whether the z layout's
+    // slab assignment uses the EquiDepthBins discipline — 63
+    // percentile boundaries, collected (bounded) and embedded as a
+    // codegen'd literal CASE chain, NO global window (at deployment
+    // the same boundaries drive the write-side repartitionByRange). zorder_wins reports whether the z layout's
     // total box area beats linear — TRUE whenever the key grid is
     // dense (sf0.01+ here; at 100 TB always); on a very sparse grid
     // (sf0.001) linear's thin-slab shape can win, which the computed
@@ -116,7 +116,7 @@ object Training48 {
     QueryDef(
       "q318_zorder_layout",
       (s, d) => {
-        val qs = (1 to 255).map(i => i / 256.0).mkString(", ")
+        val qs = (1 to 63).map(i => i / 64.0).mkString(", ")
         val keyed = t(s, d, "lineitem")
           .select((col("l_partkey") % 1024).as("a"),
             (col("l_suppkey") % 1024).as("b"))
@@ -124,13 +124,18 @@ object Training48 {
           .withColumn("k", col("a") * 1024 + col("b"))
           .localCheckpoint() // boundary aggs + both folds read it
         def layoutArea(keyCol: String, name: String): DataFrame = {
-          val bounds = keyed.agg(
+          // boundaries collected to the driver (63 values — bounded)
+          // and embedded as a LITERAL chained-CASE: codegen'd integer
+          // compares per row instead of an interpreted 63-element
+          // lambda fold (the fold form measured 40x slower here)
+          val bs = keyed.agg(
             expr(s"transform(percentile($keyCol, array($qs)), q -> round(q, 6))")
-              .as("bs"))
-          keyed.crossJoin(broadcast(bounds))
-            .select(col("a"), col("b"),
-              expr(s"aggregate(bs, 0, (acc, e) -> acc + IF($keyCol > e, 1, 0))")
-                .as("slab"))
+              .as("bs")).head().getSeq[Double](0)
+          val caseExpr = bs.zipWithIndex
+            .map { case (b, i) => s"WHEN $keyCol <= ${b}D THEN $i" }
+            .mkString("CASE ", " ", s" ELSE ${bs.length} END")
+          keyed
+            .select(col("a"), col("b"), expr(caseExpr).as("slab"))
             .groupBy("slab")
             .agg(((max("a") - min("a") + 1) * (max("b") - min("b") + 1))
               .as("area"))
@@ -147,7 +152,7 @@ object Training48 {
           .orderBy("layout")
       },
       Some {
-        val qs = (1 to 255).map(i => i / 256.0).mkString(", ")
+        val qs = (1 to 63).map(i => i / 64.0).mkString(", ")
         s"""
         WITH keyed AS (
           SELECT l_partkey % 1024 AS a, l_suppkey % 1024 AS b,
