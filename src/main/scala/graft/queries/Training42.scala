@@ -56,15 +56,22 @@ object Training42 {
         val v = t(s, d, "lineitem")
           .filter(col("l_returnflag").isin("R", "A"))
           .select(col("l_returnflag").as("f"), col("l_extendedprice").as("x"))
-        val b = v.agg(
+        // sketch boundaries collected (199 doubles — bounded) and
+        // embedded as codegen'd literal CASE chains (the interpreted
+        // lambda-fold form was the dominant cost — same round-8 swap
+        // as q146/q318); per row both rank views from a single scan:
+        // bucket_gt = #boundaries strictly below x, bucket_ge =
+        // #boundaries at-or-below x.
+        val bs = v.agg(
           expr(s"approx_percentile(x, array($qs), 10000)").as("bs"))
-        // one fold pass: per row, how many boundaries are strictly
-        // below (bucket_gt) and at-or-below (bucket_ge) — both rank
-        // views from a single scan.
-        val c = v.crossJoin(broadcast(b))
+          .head().getSeq[Double](0)
+        def chain(cmp: String) = bs.zipWithIndex
+          .map { case (bv, i) => s"WHEN x $cmp ${bv}D THEN $i" }
+          .mkString("CASE ", " ", s" ELSE ${bs.length} END")
+        val c = v
           .select(col("f"),
-            expr("aggregate(bs, 0, (acc, e) -> acc + IF(x > e, 1, 0))").as("bucket_gt"),
-            expr("aggregate(bs, 0, (acc, e) -> acc + IF(x >= e, 1, 0))").as("bucket_ge"))
+            expr(chain("<=")).as("bucket_gt"),
+            expr(chain("<")).as("bucket_ge"))
           .groupBy("bucket_gt", "bucket_ge")
           .agg(
             sum(when(col("f") === "R", 1L).otherwise(0L)).as("cr"),

@@ -650,11 +650,20 @@ object Training6 {
         val v = t(s, d, "lineitem")
           .filter(col("l_returnflag").isin("R", "A"))
           .select(col("l_returnflag").as("f"), col("l_extendedprice").as("x"))
-        val b = v.agg(
+        // boundaries collected (199 doubles — bounded) and embedded as
+        // a codegen'd literal CASE chain: the interpreted per-row
+        // 199-element lambda fold was the query's dominant cost
+        // (round-8 measurement: the same swap cut q318 from 77s to
+        // 10s); bucket = first i with x <= b_i, identically the strict
+        // x > e count the fold computed.
+        val bs = v.agg(
           expr(s"transform(percentile(x, array($qs)), q -> round(q, 6))").as("bs"))
-        val c = v.crossJoin(broadcast(b))
-          .select(col("f"),
-            expr("aggregate(bs, 0, (acc, e) -> acc + IF(x > e, 1, 0))").as("bucket"))
+          .head().getSeq[Double](0)
+        val bucketExpr = bs.zipWithIndex
+          .map { case (bv, i) => s"WHEN x <= ${bv}D THEN $i" }
+          .mkString("CASE ", " ", s" ELSE ${bs.length} END")
+        val c = v
+          .select(col("f"), expr(bucketExpr).as("bucket"))
           .groupBy("bucket")
           .agg(
             sum(when(col("f") === "R", 1L).otherwise(0L)).as("cr"),
