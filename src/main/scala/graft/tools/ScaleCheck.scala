@@ -328,7 +328,12 @@ object ScaleCheck {
       // like q220); the streaming bands run one incremental sketch agg
       // + one batch gate fold.
       "q320_orc_roundtrip", "q321_jsonl_roundtrip",
-      "q322_stream_quantile_bands")
+      "q322_stream_quantile_bands",
+      // wave L: SPC is one keyed count + day-dictionary windows; the
+      // bitmap artifact shuffles fixed-width rows; canonicalization is
+      // per-row parse into a canonical-keyed agg.
+      "q323_spc_rules", "q324_bitmap_incremental_distinct",
+      "q325_url_canonical_dedup")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
