@@ -333,7 +333,11 @@ object ScaleCheck {
       // bitmap artifact shuffles fixed-width rows; canonicalization is
       // per-row parse into a canonical-keyed agg.
       "q323_spc_rules", "q324_bitmap_incremental_distinct",
-      "q325_url_canonical_dedup")
+      "q325_url_canonical_dedup",
+      // wave LI: stratified PPS is one keyed window; the sliding HLL
+      // scans data once into day sketches (the 7x explode is the exact
+      // witness only).
+      "q326_stratified_pps", "q327_sliding_hll_distinct")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
