@@ -337,7 +337,10 @@ object ScaleCheck {
       // wave LI: stratified PPS is one keyed window; the sliding HLL
       // scans data once into day sketches (the 7x explode is the exact
       // witness only).
-      "q326_stratified_pps", "q327_sliding_hll_distinct")
+      "q326_stratified_pps", "q327_sliding_hll_distinct",
+      // wave LII: mode/rollup are single keyed aggs; percentile_disc
+      // is one keyed rank window + conditional agg.
+      "q328_mode_contract", "q329_percentile_disc", "q330_grouping_id")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
