@@ -59,28 +59,36 @@ object Training52 {
 
     // ---- discrete percentiles: the p25/p50/p75 VALUES AT RANK
     // ceil(p·n) per return flag — actual data values (cents stay
-    // integers), not interpolations. One keyed rank window + one
-    // conditional agg; DuckDB's quantile_disc implements the same
-    // lower-rank convention, so the values hash-pin exactly.
+    // integers), not interpolations. Value-at-rank-k via counting:
+    // v_k = min{v : cum(v) ≥ k} — the data-sized pass is ONE
+    // map-side-combinable (group, value) count; the cumulative window
+    // runs over the VALUE DICTIONARY (distinct prices), whose size
+    // does not grow with row count, so the per-group sort stays
+    // dictionary-bounded at any corpus scale (the row-rank-window
+    // form measured 7.7× at 10× because 3 group partitions carried
+    // every row). DuckDB's quantile_disc shares the convention, so
+    // values hash-pin exactly.
     QueryDef(
       "q329_percentile_disc",
       (s, d) => {
         val li = t(s, d, "lineitem")
           .select(col("l_returnflag").as("f"),
             expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("cents"))
-        val w = Window.partitionBy("f").orderBy("cents", "f")
+        val cnt = li.groupBy("f", "cents").agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("f").orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, 0)
         val n = li.groupBy("f").agg(count(lit(1)).as("n"))
-        li.withColumn("rn", row_number().over(w))
+        cnt.withColumn("cum", sum("c").over(w))
           .join(broadcast(n), "f")
           .groupBy("f")
           .agg(
             max("n").as("n"),
-            max(when(col("rn") === expr("CAST((n + 3) div 4 AS BIGINT)"),
-              col("cents"))).as("p25_cents"),
-            max(when(col("rn") === expr("CAST((n + 1) div 2 AS BIGINT)"),
-              col("cents"))).as("p50_cents"),
-            max(when(col("rn") === expr("CAST((3 * n + 3) div 4 AS BIGINT)"),
-              col("cents"))).as("p75_cents"))
+            min(when(col("cum") >= expr("(n + 3) div 4"), col("cents")))
+              .as("p25_cents"),
+            min(when(col("cum") >= expr("(n + 1) div 2"), col("cents")))
+              .as("p50_cents"),
+            min(when(col("cum") >= expr("(3 * n + 3) div 4"), col("cents")))
+              .as("p75_cents"))
           .orderBy("f")
       },
       Some("""
