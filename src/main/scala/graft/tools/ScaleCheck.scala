@@ -340,7 +340,10 @@ object ScaleCheck {
       "q326_stratified_pps", "q327_sliding_hll_distinct",
       // wave LII: mode/rollup are single keyed aggs; percentile_disc
       // is one keyed rank window + conditional agg.
-      "q328_mode_contract", "q329_percentile_disc", "q330_grouping_id")
+      "q328_mode_contract", "q329_percentile_disc", "q330_grouping_id",
+      // wave LIII: U cumulates over the price dictionary; the sweep is
+      // one keyed window + one agg.
+      "q331_mann_whitney", "q332_watermark_sweep")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
