@@ -51,6 +51,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => ApproxQuantileRewrite)
     ext.injectFunction(graft.functions.CosineSimilarity.functionDescription)
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_ngrams"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.NGramGenerator].getCanonicalName, "graft_ngrams"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.NGramGenerator(exprs(0), exprs(1))))
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }
 }

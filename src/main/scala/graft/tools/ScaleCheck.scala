@@ -343,7 +343,9 @@ object ScaleCheck {
       "q328_mode_contract", "q329_percentile_disc", "q330_grouping_id",
       // wave LIII: U cumulates over the price dictionary; the sweep is
       // one keyed window + one agg.
-      "q331_mann_whitney", "q332_watermark_sweep")
+      "q331_mann_whitney", "q332_watermark_sweep",
+      // wave LIV: one Generate pass into a combinable count.
+      "q333_custom_udtf")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
