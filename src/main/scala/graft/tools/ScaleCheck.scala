@@ -345,7 +345,10 @@ object ScaleCheck {
       // one keyed window + one agg.
       "q331_mann_whitney", "q332_watermark_sweep",
       // wave LIV: one Generate pass into a combinable count.
-      "q333_custom_udtf")
+      "q333_custom_udtf",
+      // wave LV: CSV round-trip is write-then-agg; NOT IN/EXISTS are
+      // broadcast (null-aware) anti joins on a dim-sized probe.
+      "q334_csv_quoting", "q335_not_in_null_semantics")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
