@@ -348,7 +348,10 @@ object ScaleCheck {
       "q333_custom_udtf",
       // wave LV: CSV round-trip is write-then-agg; NOT IN/EXISTS are
       // broadcast (null-aware) anti joins on a dim-sized probe.
-      "q334_csv_quoting", "q335_not_in_null_semantics")
+      "q334_csv_quoting", "q335_not_in_null_semantics",
+      // wave LVI: NDCG rides the bounded-query LSH/brute paths; the
+      // HLL intersection is one sketch agg + exact-witness agg.
+      "q336_ndcg_eval", "q337_hll_intersection")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
