@@ -57,12 +57,19 @@ object Training56 {
           tables = 2, planesPerTable = 4)
         val w = expr(
           "CASE rnk WHEN 1 THEN 1000000L WHEN 2 THEN 630930L ELSE 500000L END")
-        val perQuery = lsh
+        val hits = lsh
           .join(exact, lsh("query_id") === col("eq") &&
             lsh("cand_id") === col("ec"), "left_semi")
           .select(col("query_id"), w.as("gain"))
           .groupBy("query_id")
           .agg(sum("gain").as("dcg"))
+        // every query scores — one with NO relevant hit in its LSH
+        // top-3 contributes NDCG 0, not a dropped row (survivorship
+        // would inflate the mean)
+        val perQuery = emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"), coalesce(col("dcg"), lit(0L)).as("dcg"))
         perQuery
           .select(col("query_id"),
             expr("CAST((2 * 1000000 * dcg + 2130930) div (2 * 2130930) AS BIGINT)")
@@ -86,10 +93,13 @@ object Training56 {
                         WHERE ex.query_id = lsh.query_id
                           AND ex.cand_id = lsh.cand_id)
           GROUP BY 1),
+        qs AS (
+          SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 20),
         nd AS (
-          SELECT query_id,
-                 (2 * 1000000 * dcg + 2130930) // (2 * 2130930) AS ndcg_ppm
-          FROM dcg)
+          SELECT qs.query_id,
+                 (2 * 1000000 * coalesce(dcg, 0) + 2130930) // (2 * 2130930)
+                   AS ndcg_ppm
+          FROM qs LEFT JOIN dcg ON dcg.query_id = qs.query_id)
         SELECT count(*) AS n_queries,
                CAST((2 * sum(ndcg_ppm) + count(*)) // (2 * count(*)) AS BIGINT)
                  AS mean_ndcg_ppm,

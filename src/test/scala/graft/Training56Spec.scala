@@ -27,12 +27,13 @@ class Training56Spec extends SparkSpec {
       .collect().map(row => (row.getLong(0), row.getLong(1), row.getInt(3)))
     def hu(x: Long, n: Long): Long = (2 * x + n) / (2 * n)
     val weights = Map(1 -> 1000000L, 2 -> 630930L, 3 -> 500000L)
-    val ndcgs = lsh.groupBy(_._1).map { case (qid, rows) =>
-      val dcg = rows.collect {
+    val lshByQ = lsh.groupBy(_._1)
+    val ndcgs = exact.keys.toSeq.map { qid =>
+      val dcg = lshByQ.getOrElse(qid, Array.empty[(Long, Long, Int)]).collect {
         case (_, cand, rnk) if exact(qid).contains(cand) => weights(rnk)
       }.sum
       hu(1000000L * dcg, 2130930L)
-    }.toSeq
+    }
     assert(nq === ndcgs.size.toLong)
     assert(meanNdcg === hu(ndcgs.sum, ndcgs.size.toLong))
     assert(nPerfect === ndcgs.count(_ == 1000000L).toLong)
