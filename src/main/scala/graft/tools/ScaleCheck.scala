@@ -351,7 +351,10 @@ object ScaleCheck {
       "q334_csv_quoting", "q335_not_in_null_semantics",
       // wave LVI: NDCG rides the bounded-query LSH/brute paths; the
       // HLL intersection is one sketch agg + exact-witness agg.
-      "q336_ndcg_eval", "q337_hll_intersection")
+      "q336_ndcg_eval", "q337_hll_intersection",
+      // wave LVII: the planner is 4 single-pass aggs; the Hill tail is
+      // the co-purchase degree agg + a dictionary-sized log sum.
+      "q338_encoding_planner", "q339_powerlaw_tail")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
