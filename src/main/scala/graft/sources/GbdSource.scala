@@ -10,8 +10,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
@@ -194,7 +194,7 @@ final class GbdScanBuilder(path: String)
     with SupportsPushDownAggregates {
   private var required: StructType = GbdFormat.Schema
   private var pushed: Array[Filter] = Array.empty
-  private var countPushed = false
+  private var aggPushed: Option[Seq[AggregateFunc]] = None
 
   /** Accept doc_id comparisons for block pruning; return EVERY filter as
     * a residual so Spark re-evaluates them row-by-row (pruning is an
@@ -212,58 +212,101 @@ final class GbdScanBuilder(path: String)
 
   override def pruneColumns(requiredSchema: StructType): Unit = { required = requiredSchema }
 
-  /** COUNT(*) with no grouping is answered from the block index alone —
-    * per-block row counts live in the gbx footer, so the count reads
-    * ZERO shard-data bytes and schedules ONE task regardless of corpus
-    * size. Complete pushdown is only offered on a residual-free scan:
-    * pushFilters keeps every predicate as a residual, and Spark only
-    * attempts aggregate pushdown when no post-scan filters remain, so
-    * the index count can never silently ignore a WHERE clause. Partial
-    * (per-group) pushdown is declined — grouped aggregates need the
-    * data.
+  /** COUNT(*) / MIN(doc_id) / MAX(doc_id) with no grouping — in any
+    * combination — are answered from the block index alone: per-block
+    * (nRecords, minId, maxId) live in the gbx footer, so the aggregate
+    * reads ZERO shard-data bytes and schedules ONE task regardless of
+    * corpus size. Complete pushdown is only offered on a residual-free
+    * scan: pushFilters keeps every predicate as a residual, and Spark
+    * only attempts aggregate pushdown when no post-scan filters remain,
+    * so an index answer can never silently ignore a WHERE clause.
+    * Partial (per-group) pushdown is declined — grouped aggregates
+    * need the data.
     */
+  private def isDocIdRef(
+      e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case r: NamedReference => r.fieldNames().sameElements(Array("doc_id"))
+      case _ => false
+    }
+
+  private def indexAnswerable(f: AggregateFunc): Boolean = f match {
+    case _: CountStar => true
+    case m: Min => isDocIdRef(m.column)
+    case m: Max => isDocIdRef(m.column)
+    case _ => false
+  }
+
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     pushed.isEmpty &&
       agg.groupByExpressions().isEmpty &&
-      agg.aggregateExpressions().length == 1 &&
-      agg.aggregateExpressions()(0).isInstanceOf[CountStar]
+      agg.aggregateExpressions().nonEmpty &&
+      agg.aggregateExpressions().forall(indexAnswerable)
 
   override def pushAggregation(agg: Aggregation): Boolean = {
-    countPushed = supportCompletePushDown(agg)
-    countPushed
+    if (supportCompletePushDown(agg)) {
+      aggPushed = Some(agg.aggregateExpressions().toSeq); true
+    } else false
   }
 
-  override def build(): Scan =
-    if (countPushed) new GbdCountScan(path) else new GbdScan(path, required, pushed)
+  override def build(): Scan = aggPushed match {
+    case Some(fs) => new GbdAggScan(path, fs)
+    case None => new GbdScan(path, required, pushed)
+  }
 }
 
-/** Index-only COUNT(*) scan: one partition emitting one pre-aggregated
-  * row summed from the gbx block counts — no shard data file is ever
-  * opened.
+/** Index-only aggregate scan: one partition emitting one pre-aggregated
+  * row computed from the gbx block metadata (count = Σ nRecords,
+  * min = min(minId), max = max(maxId)) — no shard data file is ever
+  * opened. An empty table answers count 0 and NULL min/max (standard
+  * aggregate semantics).
   */
-final class GbdCountScan(path: String) extends Scan with Batch {
-  private lazy val total: Long =
-    GbdFormat.shardsOf(path).flatMap(GbdFormat.readIndex).map(_.nRecords.toLong).sum
-  override def readSchema(): StructType =
-    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+final class GbdAggScan(path: String, funcs: Seq[AggregateFunc]) extends Scan with Batch {
+  private lazy val metas = GbdFormat.shardsOf(path).flatMap(GbdFormat.readIndex)
+  private lazy val values: Array[Any] = funcs.map {
+    case _: CountStar => java.lang.Long.valueOf(metas.map(_.nRecords.toLong).sum)
+    case _: Min =>
+      if (metas.isEmpty) null else java.lang.Long.valueOf(metas.map(_.minId).min)
+    case _: Max =>
+      if (metas.isEmpty) null else java.lang.Long.valueOf(metas.map(_.maxId).max)
+    case other => sys.error(s"unexpected pushed aggregate $other")
+  }.toArray
+  override def readSchema(): StructType = StructType(funcs.zipWithIndex.map {
+    case (_: CountStar, i) => StructField(s"count_$i", LongType, nullable = false)
+    case (_: Min, i) => StructField(s"min_$i", LongType, nullable = true)
+    case (_: Max, i) => StructField(s"max_$i", LongType, nullable = true)
+    case (other, _) => sys.error(s"unexpected pushed aggregate $other")
+  })
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    Array(GbdCountPartition(total))
-  override def createReaderFactory(): PartitionReaderFactory = new GbdCountReaderFactory
-  /** Shows in `.explain` — the no-data-read evidence the spec asserts. */
-  override def description(): String =
-    s"gbd count-pushdown rows=$total (index-only, no data read)"
+    Array(GbdAggPartition(values.toIndexedSeq))
+  override def createReaderFactory(): PartitionReaderFactory = new GbdAggReaderFactory
+  /** Shows in `.explain` — the no-data-read evidence the spec asserts
+    * (the historical `count-pushdown` token is kept for count-only
+    * pushes; mixed pushes report `agg-pushdown`).
+    */
+  override def description(): String = {
+    val what = funcs.map {
+      case _: CountStar => "count(*)"
+      case _: Min => "min(doc_id)"
+      case _: Max => "max(doc_id)"
+      case other => other.toString
+    }.mkString(",")
+    if (funcs.forall(_.isInstanceOf[CountStar]))
+      s"gbd count-pushdown rows=${values.head} (index-only, no data read)"
+    else s"gbd agg-pushdown [$what] (index-only, no data read)"
+  }
 }
 
-final case class GbdCountPartition(n: Long) extends InputPartition
+final case class GbdAggPartition(vs: IndexedSeq[Any]) extends InputPartition
 
-final class GbdCountReaderFactory extends PartitionReaderFactory {
+final class GbdAggReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val n = partition.asInstanceOf[GbdCountPartition].n
+    val vs = partition.asInstanceOf[GbdAggPartition].vs
     new PartitionReader[InternalRow] {
       private var done = false
       override def next(): Boolean = if (done) false else { done = true; true }
-      override def get(): InternalRow = new GenericInternalRow(Array[Any](n))
+      override def get(): InternalRow = new GenericInternalRow(vs.toArray)
       override def close(): Unit = ()
     }
   }

@@ -354,7 +354,10 @@ object ScaleCheck {
       "q336_ndcg_eval", "q337_hll_intersection",
       // wave LVII: the planner is 4 single-pass aggs; the Hill tail is
       // the co-purchase degree agg + a dictionary-sized log sum.
-      "q338_encoding_planner", "q339_powerlaw_tail")
+      "q338_encoding_planner", "q339_powerlaw_tail",
+      // wave LVIII: index-only aggregate — ratio measures the (one-time)
+      // gbd staging, the answer itself reads zero data bytes.
+      "q340_gbd_agg_pushdown")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a

@@ -65,6 +65,31 @@ class GbdSourceSpec extends SparkSpec {
     assert(n === 500L)
   }
 
+  test("min/max(doc_id) pushdown: index-answered, mixed with count, data file optional") {
+    val agg = gbd.agg(count(lit(1)), min(col("doc_id")), max(col("doc_id")))
+    val desc = agg.queryExecution.executedPlan.toString
+    assert(desc.contains("agg-pushdown") && desc.contains("min(doc_id)")
+      && desc.contains("index-only"), s"min/max not index-answered:\n$desc")
+    val r = agg.collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((500L, 0L, 499L)))
+    // with a residual filter the pushdown must NOT fire
+    val fdesc = gbd.filter(col("doc_id") < 64)
+      .agg(min(col("doc_id"))).queryExecution.executedPlan.toString
+    assert(!fdesc.contains("agg-pushdown"), s"filtered min wrongly pushed:\n$fdesc")
+    // a non-indexed column declines pushdown (scans real data)
+    val ldesc = gbd.agg(min(col("lang"))).queryExecution.executedPlan.toString
+    assert(!ldesc.contains("agg-pushdown"), s"min(lang) wrongly pushed:\n$ldesc")
+    // index-only proof: answers with the shard data file ABSENT
+    val ghost = java.nio.file.Files.createTempDirectory("gbd_ghost_mm")
+      .resolve("ghost.gbd")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(shard + ".gbx"),
+      java.nio.file.Paths.get(ghost.toString + ".gbx"))
+    val g = spark.read.format("graft.sources.GbdSource").load(ghost.toString)
+      .agg(min(col("doc_id")), max(col("doc_id"))).collect()(0)
+    assert((g.getLong(0), g.getLong(1)) === ((0L, 499L)))
+  }
+
   test("filters are residual: a predicate the index can't prune still filters rows") {
     // lang equality is not pushed (only doc_id is); Spark must apply it
     val perLang = gbd.groupBy("lang").count().collect()
