@@ -357,7 +357,9 @@ object ScaleCheck {
       "q338_encoding_planner", "q339_powerlaw_tail",
       // wave LVIII: index-only aggregate — ratio measures the (one-time)
       // gbd staging, the answer itself reads zero data bytes.
-      "q340_gbd_agg_pushdown")
+      "q340_gbd_agg_pushdown",
+      // wave LIX: streaming exact distinct — fixed-width bitmap state.
+      "q341_stream_bitmap_distinct")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
