@@ -77,6 +77,7 @@ object SparkEntry {
       graft.queries.Training57.defs ++
       graft.queries.Training58.defs ++
       graft.queries.Training59.defs ++
+      graft.queries.Training60.defs ++
       graft.queries.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

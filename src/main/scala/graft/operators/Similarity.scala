@@ -441,6 +441,146 @@ object Similarity {
       .drop("__rn")
   }
 
+  /** Build-once IVF-PQ index persisted as versioned snapshots — the
+    * companion of [[buildIvfIndex]] for the PQ-compressed regime:
+    * [[ivfPqTopK]] refits the coarse quantizer AND all `subspaces`
+    * product-quantizer codebooks inside every query, which is the right
+    * ORACLE form but defeats the 4× memory shrink PQ exists for (a
+    * 100 TB deployment stores the codebooks + per-vector codes once and
+    * every query after reads only those artifacts).
+    *
+    * Layout under `indexRoot` (Sinks commit protocol — `v<N>` dirs with
+    * `_SUCCESS`, readable via `readSnapshot`/`readLatestSnapshot`; a
+    * rebuild writes a NEW version, so old builds stay probe-able and a
+    * crashed build is invisible):
+    *   - `codes/v<N>`: (id, list_id, code0..code{S-1}) — the whole
+    *     corpus compressed to one coarse list id + S small codes per
+    *     vector (the 4× shrink: 64 dims × 8 bytes → S bytes-ish);
+    *   - `coarse/v<N>`: (list_id, centroid) — nlist×dim micro-unit
+    *     longs, broadcast-size;
+    *   - `codebooks/v<N>`: (subspace, code, centroid) — S·codebook
+    *     subspace codewords, broadcast-size.
+    *
+    * All fits are DeterministicKMeans (exact integer micro-units), so a
+    * probe of the stored index is bit-identical to [[ivfPqTopK]] with
+    * the same parameters — which is what lets the persisted-index query
+    * reuse the in-query form's full SQL oracle verbatim. The coarse and
+    * subspace fits are independent and run as concurrent Spark jobs.
+    */
+  def buildIvfPqIndex(
+      df: DataFrame, idCol: String, vecCol: String, indexRoot: String,
+      version: Long, nlist: Int = 4,
+      subspaces: Int = 4, subDim: Int = 16, codebook: Int = 8,
+      iters: Int = 2): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val emb = df.select(col(idCol), col(vecCol))
+    val coarseF = Future(DeterministicKMeans.fit(emb, idCol, vecCol, nlist, iters))
+    val pqF = (0 until subspaces).map { s =>
+      Future(DeterministicKMeans.fit(
+        emb.select(col(idCol),
+          expr(s"slice($vecCol, ${s * subDim + 1}, $subDim)").as("sub")),
+        idCol, "sub", codebook, iters))
+    }
+    val (coarseCents, coarseAssign) = Await.result(coarseF, Duration.Inf)
+    val pq = pqF.map(Await.result(_, Duration.Inf))
+    // one row per vector: coarse list + every subspace code (id-keyed
+    // equi-joins of the S+1 assignment frames — each is (id, cluster))
+    (0 until subspaces).foldLeft(
+        coarseAssign.withColumnRenamed("cluster", "list_id")) { (d, s) =>
+        d.join(pq(s)._2.withColumnRenamed("cluster", s"code$s"), idCol)
+      }
+      .write.mode("overwrite").parquet(s"$indexRoot/codes/v$version")
+    import df.sparkSession.implicits._
+    coarseCents.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("list_id", "centroid")
+      .write.mode("overwrite").parquet(s"$indexRoot/coarse/v$version")
+    pq.zipWithIndex
+      .flatMap { case ((cents, _), sIdx) =>
+        cents.zipWithIndex.map { case (c, i) => (sIdx, i, c.toSeq) }
+      }.toSeq.toDF("subspace", "code", "centroid")
+      .write.mode("overwrite").parquet(s"$indexRoot/codebooks/v$version")
+  }
+
+  /** Probe a persisted IVF-PQ index ([[buildIvfPqIndex]]): route each
+    * query to its `nprobe` nearest stored coarse centroids, scan ONLY
+    * those lists' stored codes, rank candidates by ADC (per-subspace
+    * lookup-table distances derived from the stored codebooks) —
+    * quantizer fit happens zero times, full vectors are never read at
+    * query time. `asOfVersion` time-travels to an older build. Subspace
+    * count and codebook size are read off the stored artifacts, so a
+    * probe needs no build-time parameters beyond `nprobe`/`k`.
+    *
+    * Query vectors come from `queries` (id, vec) — |Q| rows collected
+    * driver-side by design (the ADC tables are |Q|·S·codebook longs,
+    * broadcast with the plan). Bit-identical to [[ivfPqTopK]] with the
+    * same parameters, by the DeterministicKMeans argument above.
+    */
+  def probeIvfPqIndex(
+      indexRoot: String, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int = 2, asOfVersion: Option[Long] = None): DataFrame = {
+    val spark = queries.sparkSession
+    def rd(sub: String) = asOfVersion match {
+      case Some(v) => graft.sources.Sinks.readSnapshot(spark, s"$indexRoot/$sub", v)
+      case None => graft.sources.Sinks.readLatestSnapshot(spark, s"$indexRoot/$sub")
+    }
+    val codes = rd("codes")
+    val coarse = rd("coarse").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1).toArray).sortBy(_._1)
+    val books = rd("codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Long](2).toArray).toMap
+    val subspaces = books.keys.map(_._1).max + 1
+    val codebook = books.keys.map(_._2).max + 1
+    val dim = coarse.head._2.length
+    val subDim = dim / subspaces
+
+    val qRows = queries
+      .select(col(idCol).cast("long"),
+        expr(s"transform($vecCol, x -> cast(round(cast(x as double) * 1000000, 0) as bigint))"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val queryIds = qRows.keys.toSeq.sorted
+    require(queryIds.nonEmpty, "probeIvfPqIndex: queries must be non-empty")
+
+    def sq(a: Array[Long], b: Array[Long]): Long = {
+      var i = 0; var s = 0L
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // nprobe nearest stored coarse lists per query; ties to smaller id —
+    // the ivfPqTopK probe rule, verbatim
+    val probes = {
+      import spark.implicits._
+      queryIds.flatMap { qid =>
+        val qv = qRows(qid)
+        coarse.map { case (i, c) => (sq(qv, c), i) }
+          .sorted.take(nprobe)
+          .map { case (_, i) => (qid, i) }
+      }.toDF("query_id", "list_id")
+    }
+    // ADC tables against the STORED codebooks
+    val adc = (0 until subspaces).map { s =>
+      queryIds.map { qid =>
+        val qs = qRows(qid).slice(s * subDim, (s + 1) * subDim)
+        qid -> (0 until codebook).map(cw => sq(qs, books((s, cw)))).toSeq
+      }.toMap
+    }
+    val distCol = (0 until subspaces).map { s =>
+      element_at(element_at(typedlit(adc(s)), col("query_id")),
+        (col(s"code$s") + 1).cast("int"))
+    }.reduce(_ + _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("cand_id").asc)
+    codes.join(broadcast(probes), Seq("list_id"))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("cand_id"), distCol.as("adc_dist"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** All vector pairs with cosine >= threshold, through single-table
     * LSH buckets (embedding near-dup).
     */

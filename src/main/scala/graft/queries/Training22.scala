@@ -63,15 +63,10 @@ object Training22 {
     QueryDef(
       "q223_link_prediction",
       (s, d) => {
-        val op = t(s, d, "lineitem")
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct()
-        val e = op.as("a").join(op.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .select(col("a.p").as("u"), col("b.p").as("v"))
-          .distinct()
-          .localCheckpoint() // und + deg + wedges all read it
-        val und = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+        // shared localCheckpoint'd edge build — und + deg + wedges all
+        // read it (graft.operators.Graphs.coPurchaseEdges)
+        val e = graft.operators.Graphs.coPurchaseEdges(t(s, d, "lineitem"))
+        val und = graft.operators.Graphs.doubled(e)
         // SCALE-DISPATCHED (round-8): the operator measures Σ deg(w)²
         // with the scalar agg it needs anyway to size the pair shuffle
         // and routes — exact wedge enumeration below the wedge-mass

@@ -136,14 +136,8 @@ object Training25 {
     QueryDef(
       "q231_link_prediction_minhash",
       (s, d) => {
-        val op = t(s, d, "lineitem")
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct()
-        val e = op.as("a").join(op.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .select(col("a.p").as("u"), col("b.p").as("v"))
-          .distinct()
-        val und = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+        val e = graft.operators.Graphs.coPurchaseEdges(t(s, d, "lineitem"))
+        val und = graft.operators.Graphs.doubled(e)
         // adjacency once: bands and both verify sides read it
         val adj = und.groupBy("u")
           .agg(collect_set("v").as("nbrs"))

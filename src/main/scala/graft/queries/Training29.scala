@@ -93,43 +93,24 @@ object Training29 {
     // nodes of degree < k and the edges touching them; 6 rounds are
     // DECLARED (production peels to fixpoint with a convergence
     // count, same loop). Scale shape per round: one keyed degree agg
-    // + two hash semi-joins on a strictly-shrinking edge set — the
-    // standard distributed k-core; nothing quadratic, and caching
-    // each round's frontier keeps the lineage linear. n_nodes counts
-    // nodes with ≥1 surviving edge (an isolated survivor is peeled
-    // next round anyway).
+    // + two hash semi-joins on a strictly-shrinking localCheckpoint'd
+    // edge set — the standard distributed k-core; nothing quadratic.
+    // n_nodes counts nodes with ≥1 surviving edge (an isolated
+    // survivor is peeled next round anyway). SCALE-DISPATCHED
+    // (round 9): Graphs.kcoreRounds measures the doubled-edge count —
+    // the peel's per-round work — and above
+    // `spark.graft.graph.kcoreEdgeLimit` (default 10⁷) peels the
+    // deterministic 1-in-p edge sample at threshold ⌈k/p⌉ instead
+    // (q343 declares and hash-oracles that branch). The harness-scale
+    // graph (~2.4·10⁶ doubled edges at sf0.1) stays under the limit,
+    // so THIS declared entry runs — and is oracled — exact; the 10×
+    // sweep's ~2.4·10⁷ routes sampled.
     QueryDef(
       "q245_kcore",
-      (s, d) => {
-        val K = 80
-        val op = t(s, d, "lineitem")
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct()
-        val e = op.as("a").join(op.as("b"),
-            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .select(col("a.p").as("u"), col("b.p").as("v"))
-          .distinct()
-        // each round is localCheckpoint'd (the Dedup.*Star discipline):
-        // lineage — and Catalyst re-analysis of the growing self-join
-        // tree, which dominates wall-clock if left to accumulate —
-        // stays flat, one round deep
-        var und = e.select("u", "v")
-          .unionAll(e.select(col("v").as("u"), col("u").as("v")))
-          .localCheckpoint(true)
-        val rows = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
-        rows += ((0, und.select("u").distinct().count(), und.count() / 2))
-        for (r <- 1 to 6) {
-          val keep = und.groupBy("u").agg(count(lit(1)).as("dg"))
-            .filter(col("dg") >= K).select("u")
-          und = und.join(keep.as("ka"), Seq("u"))
-            .join(keep.as("kb").withColumnRenamed("u", "v"), Seq("v"))
-            .select("u", "v")
-            .localCheckpoint(true)
-          rows += ((r, und.select("u").distinct().count(), und.count() / 2))
-        }
-        import s.implicits._
-        rows.toSeq.toDF("round", "n_nodes", "n_edges")
-      },
+      (s, d) =>
+        graft.operators.Graphs.kcoreRounds(
+          graft.operators.Graphs.coPurchaseEdges(t(s, d, "lineitem")),
+          k = 80, rounds = 6),
       Some {
         val K = 80
         val rounds = (1 to 6).map { r =>

@@ -285,14 +285,8 @@ object Training33 {
     QueryDef(
       "q261_assortativity",
       (s, d) => {
-        val op = t(s, d, "lineitem")
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct()
-        val e = op.as("a").join(op.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .select(col("a.p").as("u"), col("b.p").as("v"))
-          .distinct()
-        val und = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+        val e = graft.operators.Graphs.coPurchaseEdges(t(s, d, "lineitem"))
+        val und = graft.operators.Graphs.doubled(e)
           .localCheckpoint(true) // deg + the moment pass both read it
         val deg = und.groupBy(col("u").as("nd")).agg(count(lit(1)).as("dg"))
         und

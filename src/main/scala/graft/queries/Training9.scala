@@ -395,19 +395,13 @@ object Training9 {
     QueryDef(
       "q165_triangle_degree",
       (s, d) => {
-        val op = t(s, d, "lineitem")
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct()
-        // materialize the edge list: deg (via the unionAll below) and the
-        // orientation join would otherwise re-run the co-occurrence
-        // self-join + distinct THREE times inside the de job — the
-        // expensive stage of the whole query, and the term that made the
-        // 10x ScaleCheck ratio superlinear before this checkpoint.
-        val e = op.as("a").join(op.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .select(col("a.p").as("u"), col("b.p").as("v"))
-          .distinct()
-          .localCheckpoint()
+        // shared localCheckpoint'd edge build (Graphs.coPurchaseEdges):
+        // deg (via the unionAll below) and the orientation join would
+        // otherwise re-run the co-occurrence self-join + distinct THREE
+        // times inside the de job — the expensive stage of the whole
+        // query, and the term that made the 10x ScaleCheck ratio
+        // superlinear before the checkpoint.
+        val e = graft.operators.Graphs.coPurchaseEdges(t(s, d, "lineitem"))
         val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
           .groupBy("n").agg(count(lit(1)).as("dg"))
         val de = e

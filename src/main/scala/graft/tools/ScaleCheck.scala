@@ -359,7 +359,13 @@ object ScaleCheck {
       // gbd staging, the answer itself reads zero data bytes.
       "q340_gbd_agg_pushdown",
       // wave LIX: streaming exact distinct — fixed-width bitmap state.
-      "q341_stream_bitmap_distinct")
+      "q341_stream_bitmap_distinct",
+      // wave LX: the sampled graph twins run on 1/4 of the edges (the
+      // routed 100 TB forms); the z-order sketch twin is one mergeable
+      // sketch agg + two slab passes; the PQ probe pays an untimed-in-
+      // deployment build (write-heavy like q296) then probes codes.
+      "q342_triangle_doulion", "q343_kcore_sampled",
+      "q344_zorder_layout_sketch", "q345_ivfpq_index_probe")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
