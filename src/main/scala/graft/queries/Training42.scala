@@ -21,7 +21,7 @@ import graft.operators.Similarity
   * merge order is not. Output columns are exact counts + pinned-TRUE
   * gates (the q32/q133/q134 sketch-contract oracle discipline).
   *
-  *  - q294: KS drift on a 199-point approx-percentile grid — zero
+  *  - q294: KS drift on a 99-point approx-percentile grid — zero
   *    sorts, two data scans (mergeable sketch agg + bucket fold); the
   *    cumulative windows run over the ≤400-row bucket table.
   *  - q295: daily p10/p50/p90 bands from one per-day sketch agg + one
@@ -44,7 +44,7 @@ object Training42 {
     // and every window/join below the fold runs on the bucket table
     // (≤ 400 rows regardless of data size). Gates:
     //   grid_ok — every boundary b_i's true-rank interval [lt_i, le_i]
-    //     straddles i·n/200 within slack n/1000 + 4 (the q134 rank
+    //     straddles i·n/100 within slack n/1000 + 4 (the q134 rank
     //     contract at 10× headroom; robust to sketch merge order).
     //   d_valid — the grid KS statistic lands in [0, 1e6] ppm (the
     //     statistic itself is sketch-dependent, so the oracle pins its
@@ -52,11 +52,16 @@ object Training42 {
     QueryDef(
       "q294_ks_drift_tdigest",
       (s, d) => {
-        val qs = (1 to 199).map(i => i / 200.0).mkString(", ")
+        // 99 grid points (round 9: halved from 199 — the KS validity
+        // argument is unchanged, the grid statistic is a monotone lower
+        // bound of true D at ANY grid resolution, and the per-row cost
+        // is the two literal CASE chains, linear in grid size; measured
+        // the dominant 10x term)
+        val qs = (1 to 99).map(i => i / 100.0).mkString(", ")
         val v = t(s, d, "lineitem")
           .filter(col("l_returnflag").isin("R", "A"))
           .select(col("l_returnflag").as("f"), col("l_extendedprice").as("x"))
-        // sketch boundaries collected (199 doubles — bounded) and
+        // sketch boundaries collected (99 doubles — bounded) and
         // embedded as codegen'd literal CASE chains (the interpreted
         // lambda-fold form was the dominant cost — same round-8 swap
         // as q146/q318); per row both rank views from a single scan:
@@ -95,8 +100,8 @@ object Training42 {
           .select(expr(s"""CAST((2 * 1000000 * __m + ${dec.format("nr2")} * na2)
                    div (2 * ${dec.format("nr2")} * na2) AS BIGINT)""").as("d_ppm"))
         // rank gate: lt_i / le_i read off the bucket histograms; the
-        // 199-row grid × ≤400-row bucket table product is metadata work.
-        val grid = s.range(1, 200).toDF("i")
+        // 99-row grid × ≤200-row bucket table product is metadata work.
+        val grid = s.range(1, 100).toDF("i")
         val gate = grid.crossJoin(broadcast(c)).crossJoin(broadcast(totals))
           .groupBy("i")
           .agg(
@@ -106,8 +111,8 @@ object Training42 {
               .otherwise(0L)).as("le_i"),
             max(col("n")).as("n"))
           .withColumn("slack", col("n") / lit(1000L) + 4L)
-          .select((col("lt_i") * 200 <= col("i") * col("n") + col("slack") * 200 &&
-            col("le_i") * 200 >= col("i") * col("n") - col("slack") * 200).as("ok"))
+          .select((col("lt_i") * 100 <= col("i") * col("n") + col("slack") * 100 &&
+            col("le_i") * 100 >= col("i") * col("n") - col("slack") * 100).as("ok"))
           .agg(min(col("ok")).as("grid_ok"))
         broadcast(totals).crossJoin(broadcast(gate)).crossJoin(broadcast(dppm))
           .select(

@@ -459,6 +459,81 @@ object ScaleCheck {
       cdc(r1); row("snapshot_read_cdc", cdc(r1), cdc(rn))
       ret(r1); row("snapshot_read_retention", ret(r1), ret(rn))
     }
+
+    // Streaming STEADY-STATE (round-9 verdict item 7): the end-to-end
+    // ratios of q322/q341 are cold-start-dominated (one microbatch over
+    // a single file — session spin-up inverts the ratio and hides the
+    // per-batch cost that matters in deployment). Here the events table
+    // is staged as 8 slice files and streamed with maxFilesPerTrigger=1
+    // → 8 microbatches; a StreamingQueryListener records each trigger's
+    // execution time, and the reported number is the MEDIAN of batches
+    // after the first (the warmed incremental-update cost). Two state
+    // shapes: the q341 bitmap-distinct agg (fixed-width mergeable
+    // state) and the q322 per-day quantile-sketch agg.
+    if (only.forall(_.exists("stream_steady".startsWith))) {
+      import org.apache.spark.sql.streaming.StreamingQueryListener
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      def stageSlices(srcDir: String, tag: String): String = {
+        val stage = s"/tmp/graft_steady_${tag}_${Integer.toHexString(srcDir.hashCode)}"
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stage, "_DONE"))) {
+          graft.Tables(spark, srcDir, "events")
+            .repartition(8, col("user_id"))
+            .write.mode("overwrite").parquet(s"$stage/events")
+          java.nio.file.Files.createFile(java.nio.file.Paths.get(stage, "_DONE"))
+        }
+        s"$stage/events"
+      }
+      def batchTimes(path: String, shape: String): Seq[Double] = {
+        val durs = scala.collection.mutable.ArrayBuffer[Double]()
+        val listener = new StreamingQueryListener {
+          override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+          override def onQueryProgress(e: QueryProgressEvent): Unit =
+            if (e.progress.numInputRows > 0)
+              durs.synchronized {
+                durs += e.progress.durationMs.get("triggerExecution").toDouble / 1000.0
+                ()
+              }
+          override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        }
+        spark.streams.addListener(listener)
+        try {
+          val schema = spark.read.parquet(path).schema
+          val ev = spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(path)
+          val agg = shape match {
+            case "bitmap" => ev
+              .select(to_date(col("ts")).as("day"), col("user_id"))
+              .groupBy(col("day"),
+                expr("bitmap_bucket_number(user_id)").as("bucket"))
+              .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))")
+                .as("bm"))
+            case _ => ev
+              .select(to_date(col("ts")).as("day"), col("value"))
+              .groupBy("day")
+              .agg(expr("approx_percentile(value, array(0.1d, 0.5d, 0.9d), 10000)")
+                .as("ap"))
+          }
+          val q = agg.writeStream.outputMode("update").format("memory")
+            .queryName(s"steady_${shape}_${System.nanoTime()}").start()
+          try q.processAllAvailable() finally q.stop()
+          Thread.sleep(2000) // listener events are async; let them drain
+          durs.synchronized(durs.toSeq)
+        } finally spark.streams.removeListener(listener)
+      }
+      def median(xs: Seq[Double]): Double = {
+        val s = xs.sorted; s(s.length / 2)
+      }
+      val p1 = stageSlices(sfDir, "1x")
+      val pn = stageSlices(out, s"${factor}x")
+      Seq("bitmap", "sketch").foreach { shape =>
+        val d1 = batchTimes(p1, shape)
+        val dn = batchTimes(pn, shape)
+        println(f"[scale] steady_$shape%-17s 1x: first=${d1.head}%.2f " +
+          f"median_rest=${median(d1.tail)}%.3f (${d1.length} batches)  " +
+          f"${factor}x: first=${dn.head}%.2f median_rest=${median(dn.tail)}%.3f")
+        row(s"stream_steady_$shape", median(d1.tail), median(dn.tail))
+      }
+    }
     spark.stop()
   }
 }

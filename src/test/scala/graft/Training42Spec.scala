@@ -40,7 +40,7 @@ class Training42Spec extends SparkSpec {
 
     // independent rank-straddle check: fresh sketch call, direct rank
     // count over the collected values (no bucket histograms involved)
-    val qs = (1 to 199).map(i => i / 200.0).mkString(", ")
+    val qs = (1 to 99).map(i => i / 100.0).mkString(", ")
     val bs = li.agg(expr(s"approx_percentile(x, array($qs), 10000)").as("bs"))
       .head().getSeq[Double](0)
     val n = xs.length
@@ -50,8 +50,8 @@ class Training42Spec extends SparkSpec {
       val i = i0 + 1
       val lt = vals.count(_ < b)
       val le = vals.count(_ <= b)
-      assert(lt * 200 <= i * n + 200 * slack, s"boundary $i lt rank off")
-      assert(le * 200 >= i * n - 200 * slack, s"boundary $i le rank off")
+      assert(lt * 100 <= i * n + 100 * slack, s"boundary $i lt rank off")
+      assert(le * 100 >= i * n - 100 * slack, s"boundary $i le rank off")
     }
   }
 
