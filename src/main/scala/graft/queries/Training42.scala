@@ -62,21 +62,21 @@ object Training42 {
           .filter(col("l_returnflag").isin("R", "A"))
           .select(col("l_returnflag").as("f"), col("l_extendedprice").as("x"))
         // sketch boundaries collected (99 doubles — bounded) and
-        // embedded as codegen'd literal CASE chains (the interpreted
-        // lambda-fold form was the dominant cost — same round-8 swap
-        // as q146/q318); per row both rank views from a single scan:
-        // bucket_gt = #boundaries strictly below x, bucket_ge =
-        // #boundaries at-or-below x.
+        // embedded as codegen'd BINARY-SEARCH CASE trees (round 9:
+        // ⌈log₂ 99⌉ = 7 compares per row instead of the linear chain's
+        // ~50 — EquiDepthBins.searchCountExpr); per row both rank
+        // views from a single scan: bucket_gt = #boundaries strictly
+        // below x, bucket_ge = #boundaries at-or-below x.
         val bs = v.agg(
           expr(s"approx_percentile(x, array($qs), 10000)").as("bs"))
           .head().getSeq[Double](0)
-        def chain(cmp: String) = bs.zipWithIndex
-          .map { case (bv, i) => s"WHEN x $cmp ${bv}D THEN $i" }
-          .mkString("CASE ", " ", s" ELSE ${bs.length} END")
+        val lits = bs.map(b => s"${b}D")
         val c = v
           .select(col("f"),
-            expr(chain("<=")).as("bucket_gt"),
-            expr(chain("<")).as("bucket_ge"))
+            expr(graft.operators.EquiDepthBins
+              .searchCountExpr("x", lits, strict = true)).as("bucket_gt"),
+            expr(graft.operators.EquiDepthBins
+              .searchCountExpr("x", lits, strict = false)).as("bucket_ge"))
           .groupBy("bucket_gt", "bucket_ge")
           .agg(
             sum(when(col("f") === "R", 1L).otherwise(0L)).as("cr"),

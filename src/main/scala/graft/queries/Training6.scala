@@ -633,17 +633,17 @@ object Training6 {
           .filter(col("l_returnflag").isin("R", "A"))
           .select(col("l_returnflag").as("f"), col("l_extendedprice").as("x"))
         // boundaries collected (199 doubles — bounded) and embedded as
-        // a codegen'd literal CASE chain: the interpreted per-row
-        // 199-element lambda fold was the query's dominant cost
-        // (round-8 measurement: the same swap cut q318 from 77s to
-        // 10s); bucket = first i with x <= b_i, identically the strict
-        // x > e count the fold computed.
+        // a codegen'd literal BINARY-SEARCH CASE tree (round 9:
+        // EquiDepthBins.searchCountExpr — 8 compares/row; the round-8
+        // linear chain was ~100 average, and the interpreted lambda
+        // fold before it was the query's dominant cost); bucket =
+        // #boundaries strictly below x, identically the first-match
+        // x <= b_i chain.
         val bs = v.agg(
           expr(s"transform(percentile(x, array($qs)), q -> round(q, 6))").as("bs"))
           .head().getSeq[Double](0)
-        val bucketExpr = bs.zipWithIndex
-          .map { case (bv, i) => s"WHEN x <= ${bv}D THEN $i" }
-          .mkString("CASE ", " ", s" ELSE ${bs.length} END")
+        val bucketExpr = graft.operators.EquiDepthBins.searchCountExpr(
+          "x", bs.map(b => s"${b}D"), strict = true)
         val c = v
           .select(col("f"), expr(bucketExpr).as("bucket"))
           .groupBy("bucket")

@@ -142,11 +142,11 @@ object Training60 {
         val n = row.getLong(2)
         val slack = n / 500 + 8
         def layout(keyCol: String, bs: Seq[Long], name: String): DataFrame = {
-          // literal chained-CASE slab id: codegen'd integer compares
-          // (the q318/q294 slab discipline — no interpreted fold)
-          val caseExpr = bs.zipWithIndex
-            .map { case (bv, i) => s"WHEN $keyCol <= ${bv}L THEN $i" }
-            .mkString("CASE ", " ", s" ELSE ${bs.length} END")
+          // literal BINARY-SEARCH CASE slab id: 6 codegen'd integer
+          // compares per row (EquiDepthBins.searchCountExpr — the
+          // q294 hot-path discipline)
+          val caseExpr = graft.operators.EquiDepthBins.searchCountExpr(
+            keyCol, bs.map(b => s"${b}L"), strict = true)
           keyed
             .select(col("a"), col("b"), expr(caseExpr).as("slab"))
             .groupBy("slab")
