@@ -365,7 +365,20 @@ object ScaleCheck {
       // sketch agg + two slab passes; the PQ probe pays an untimed-in-
       // deployment build (write-heavy like q296) then probes codes.
       "q342_triangle_doulion", "q343_kcore_sampled",
-      "q344_zorder_layout_sketch", "q345_ivfpq_index_probe")
+      "q344_zorder_layout_sketch", "q345_ivfpq_index_probe",
+      // wave LXI: HITS is 3 keyed aggs + broadcast maxes; the fuzzy and
+      // proximity joins are generate-then-equi-join (variant / cell
+      // keys); schema evolution is write-then-merged-scan (write-heavy
+      // like q220); canonical selection rides the audited LSH pair
+      // machinery + a cluster-keyed window. q348's measured 8.8× is a
+      // replication-DENSITY artifact (10× points on the same fixed
+      // 1024² grid ⇒ ~100× qualifying pairs — the q145 pattern): a
+      // production deployment sizes the cell grid to hold constant
+      // per-cell density as data grows (the q348 scaladoc's knob), so
+      // the candidate mass per point stays bounded.
+      "q346_hits", "q347_deletion_neighborhood_join",
+      "q348_grid_proximity_join", "q349_schema_evolution_scan",
+      "q350_dedup_canonical_quality")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a

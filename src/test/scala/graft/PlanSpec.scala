@@ -933,4 +933,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("bitmap_construct_agg") || p.contains("ObjectHashAggregate"), p)
     assert(!p.contains("Exchange SinglePartition"), p)
   }
+
+  test("q347/q348: fuzzy and proximity joins are EQUI joins — no cartesian pair scan") {
+    for (q <- Seq("q347_deletion_neighborhood_join", "q348_grid_proximity_join")) {
+      val p = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.explainString(ExplainMode.fromString("simple"))
+      // the all-pairs compare these blocking schemes replace would show
+      // up as a CartesianProduct; the only nested-loop allowed is the
+      // 9-row broadcast offsets frame (q348's cell fan-out)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
+
+  test("q350: canonical-selection window is cluster-keyed, no single-partition exchange") {
+    val p = SparkEntry.queries("q350_dedup_canonical_quality")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
 }
