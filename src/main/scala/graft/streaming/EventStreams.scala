@@ -70,6 +70,34 @@ object EventStreams {
           .as("lag_us"))
   }
 
+  /** LEFT OUTER stream-stream interval join — [[viewToPurchase]] with
+    * unmatched views emitted (purchase columns NULL) once the join
+    * watermark proves no future purchase can match. The outer side is
+    * what makes watermarks LOAD-BEARING here: an inner join only
+    * buffers state, but outer emission must wait until
+    * watermark > view_ts + `within`, so results for the stream's tail
+    * only flush after a later batch advances event time past it
+    * (q351 stages sentinel batches for exactly that).
+    */
+  def viewToPurchaseOuter(events: DataFrame, within: String = "24 hours"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    views.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr(s"interval $within"),
+      "left_outer")
+      .select(col("view_id"), col("purchase_id"), col("user_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts")))
+          .as("lag_us"))
+  }
+
   /** Per-key admission quota with arbitrary per-key state: the first
     * `quota` events per user pass, later arrivals are dropped — the
     * rate-limit/cap shape that no window or dropDuplicates expresses

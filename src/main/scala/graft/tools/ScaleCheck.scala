@@ -378,7 +378,14 @@ object ScaleCheck {
       // the candidate mass per point stays bounded.
       "q346_hits", "q347_deletion_neighborhood_join",
       "q348_grid_proximity_join", "q349_schema_evolution_scan",
-      "q350_dedup_canonical_quality")
+      "q350_dedup_canonical_quality",
+      // wave LXII: the outer stream join stages 3 microbatch files then
+      // runs watermarked join state (write-heavy staging + streaming
+      // engine, like q80/q81); IVM terms are delta-sized joins; SCD2 is
+      // one full-outer dim join; dependency checks are keyed aggs +
+      // distinct anti-joins.
+      "q351_stream_outer_join", "q352_ivm_join_view",
+      "q353_scd2_build", "q354_dependency_discovery")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
