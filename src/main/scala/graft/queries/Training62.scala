@@ -47,27 +47,7 @@ object Training62 {
         val stage = java.nio.file.Paths.get(
           sys.props("java.io.tmpdir"),
           s"graft_outerjoin_${Integer.toHexString(d.hashCode)}").toString
-        val stageFile = new java.io.File(stage)
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        if (stageFile.exists()) rm(stageFile)
-        val streamDir = java.nio.file.Paths.get(stage, "stream")
-        java.nio.file.Files.createDirectories(streamDir)
-
         val ev = t(s, d, "events")
-        def writeOne(df: DataFrame, name: String, mtimeMs: Long): Unit = {
-          val tmp = s"$stage/tmp_$name"
-          df.coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = new java.io.File(tmp).listFiles()
-            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-            .getOrElse(sys.error(s"no part file in $tmp"))
-          val dst = streamDir.resolve(s"$name.parquet")
-          java.nio.file.Files.move(part.toPath, dst)
-          java.nio.file.Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
-          ()
-        }
         val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
         def sentinel(idBase: Long, viewPlusUs: Long): DataFrame = {
           // a view + a purchase 1 day BEFORE it (cannot match), both
@@ -88,14 +68,10 @@ object Training62 {
             (if (rows.columns.contains(f.name)) col(f.name)
              else lit(null)).cast(f.dataType).as(f.name)): _*)
         }
-        val t0 = System.currentTimeMillis()
-        writeOne(ev, "00_data", t0)
-        writeOne(sentinel(-100L, 30L * 86400000000L), "01_sentinel", t0 + 10000)
-        writeOne(sentinel(-200L, 60L * 86400000000L), "02_sentinel", t0 + 20000)
-
-        val schema = s.read.parquet(streamDir.toString).schema
-        val src = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+        val src = EventStreams.stagedBatchesStream(stage, Seq(
+          ev,
+          sentinel(-100L, 30L * 86400000000L),
+          sentinel(-200L, 60L * 86400000000L)))
         EventStreams.runToMemorySink(
           EventStreams.viewToPurchaseOuter(src), "append")
           .filter(col("user_id") >= 0)

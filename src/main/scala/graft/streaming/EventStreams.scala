@@ -214,6 +214,44 @@ object EventStreams {
       .toDF("user_id", "purchase_ts_us")
   }
 
+  /** Stage a sequence of batch frames as mtime-ordered single-file
+    * parquet batches under `stageRoot` (wiped first) and open a
+    * one-file-per-trigger stream over them — the harness that turns a
+    * batch table into a DETERMINISTIC multi-microbatch stream. Used by
+    * the queries whose semantics only complete when the watermark
+    * advances past the data (outer joins, chained window aggs): the
+    * caller appends far-future sentinel batches, and because file
+    * order (mtime) and file→batch mapping (maxFilesPerTrigger=1) are
+    * pinned, the emitted result SET is a pure function of the data.
+    */
+  def stagedBatchesStream(stageRoot: String, batches: Seq[DataFrame]): DataFrame = {
+    require(batches.nonEmpty, "stagedBatchesStream: no batches")
+    val spark = batches.head.sparkSession
+    val rootFile = new java.io.File(stageRoot)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    if (rootFile.exists()) rm(rootFile)
+    val streamDir = java.nio.file.Paths.get(stageRoot, "stream")
+    java.nio.file.Files.createDirectories(streamDir)
+    val t0 = System.currentTimeMillis()
+    batches.zipWithIndex.foreach { case (df, i) =>
+      val tmp = s"$stageRoot/tmp_$i"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file in $tmp"))
+      val dst = streamDir.resolve(f"batch_$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(t0 + i * 10000L))
+      ()
+    }
+    val schema = spark.read.parquet(streamDir.toString).schema
+    spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+  }
+
   /** Drive a streaming frame to completion into an in-memory table and
     * return it as a batch DataFrame (used by the declared queries to
     * exercise the streaming engine inside a batch contract).

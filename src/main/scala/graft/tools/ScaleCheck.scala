@@ -385,7 +385,14 @@ object ScaleCheck {
       // one full-outer dim join; dependency checks are keyed aggs +
       // distinct anti-joins.
       "q351_stream_outer_join", "q352_ivm_join_view",
-      "q353_scd2_build", "q354_dependency_discovery")
+      "q353_scd2_build", "q354_dependency_discovery",
+      // wave LXIII: the concurrency scan is keyed windows + a
+      // dictionary-sized hour offset; chained streaming windows are
+      // two stateful aggs (staging write-heavy like q351); Hamilton
+      // runs on the language dictionary; TA touches 2 TakeOrdered
+      // cuts + 2m re-scores.
+      "q355_peak_concurrency", "q356_stream_two_level_window",
+      "q357_largest_remainder_allocation", "q358_threshold_algorithm_topk")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
