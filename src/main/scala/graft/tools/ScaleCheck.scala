@@ -392,7 +392,11 @@ object ScaleCheck {
       // runs on the language dictionary; TA touches 2 TakeOrdered
       // cuts + 2m re-scores.
       "q355_peak_concurrency", "q356_stream_two_level_window",
-      "q357_largest_remainder_allocation", "q358_threshold_algorithm_topk")
+      "q357_largest_remainder_allocation", "q358_threshold_algorithm_topk",
+      // wave LXIV: walks are W-keyed windows over frontier joins;
+      // anomaly scoring is one literal-centroid codegen pass after the
+      // bounded fit; modularity rides the capped LSH pair join.
+      "q359_random_walks", "q360_kmeans_anomaly", "q361_graph_modularity")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
