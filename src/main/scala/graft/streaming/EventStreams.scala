@@ -195,6 +195,28 @@ object EventStreams {
       .toDF("user_id", "n_events", "last_ts_ms")
   }
 
+  /** Streaming CDC apply with DELETE tombstones (see
+    * [[CdcApplyProcessor]]): an ordered change stream of
+    * (key, seq, cents, op ∈ insert|update|delete) folds into one
+    * ValueState per key; each batch emits the key's post-batch state
+    * (key, seq, cents, live). The final materialized table is the
+    * per-key max-seq emission with live = 1 — the streamUpsert shape
+    * (q129) extended with the tombstone semantics a real CDC feed
+    * (Debezium-style) carries. Wrap the run in withRocksDbStateStore.
+    */
+  def cdcApply(ops: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = ops.sparkSession
+    import spark.implicits._
+    ops
+      .select(col("key"), col("seq"), col("cents"), col("op"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new CdcApplyProcessor, TimeMode.None(), OutputMode.Append())
+      .toDF("key", "seq", "cents", "live")
+  }
+
   /** Ordered-pattern matches (view → click → purchase per user) via
     * transformWithState ListState — the bounded last-2-types buffer per
     * user (see [[PatternProcessor]]). Emits (user_id, purchase_ts_us)
@@ -393,5 +415,47 @@ class PatternProcessor
     }
     recent.put(buf.toArray)
     out.iterator
+  }
+}
+
+/** CDC-apply state machine for [[EventStreams.cdcApply]]: one
+  * ValueState (seq, cents, live) per key. Batch rows are applied in
+  * seq order (so emission is a pure function of batch contents);
+  * `delete` writes a tombstone (live = 0) instead of clearing state —
+  * a later out-of-order lower-seq change must NOT resurrect the row,
+  * which is exactly why CDC consumers keep tombstones. One emission
+  * per touched key per batch: the post-batch state.
+  */
+class CdcApplyProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, Long, String), (Long, Long, Long, Long)] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+
+  @transient private var st: ValueState[(Long, Long, Long)] = _ // (seq, cents, live)
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Long, Long)](
+      "cdc",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
+      TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, Long, Long, String)],
+      timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+    var cur: Option[(Long, Long, Long)] =
+      if (st.exists()) Some(st.get()) else None
+    rows.toSeq.sortBy(_._2).foreach { case (_, seq, cents, op) =>
+      val newer = cur.forall(_._1 < seq)
+      if (newer) cur = Some(
+        if (op == "delete") (seq, 0L, 0L) else (seq, cents, 1L))
+    }
+    cur match {
+      case Some(c) =>
+        st.update(c)
+        Iterator.single((key, c._1, c._2, c._3))
+      case None => Iterator.empty
+    }
   }
 }

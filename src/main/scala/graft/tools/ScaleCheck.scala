@@ -396,7 +396,13 @@ object ScaleCheck {
       // wave LXIV: walks are W-keyed windows over frontier joins;
       // anomaly scoring is one literal-centroid codegen pass after the
       // bounded fit; modularity rides the capped LSH pair join.
-      "q359_random_walks", "q360_kmeans_anomaly", "q361_graph_modularity")
+      "q359_random_walks", "q360_kmeans_anomaly", "q361_graph_modularity",
+      // wave LXV: IDENTIFIER is the q01 agg shape; the two-pass median
+      // is two scans + a ~n/4096 bucket read; late-dim is two dim
+      // joins; CDC apply stages 3 change batches through RocksDB state
+      // (write-heavy staging like q351).
+      "q362_sql_identifier_clause", "q363_twopass_exact_median",
+      "q364_late_arriving_dim", "q365_stream_cdc_apply")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
