@@ -104,4 +104,39 @@ object WavCodec {
     }
     result.getOrElse(sys.error("no data chunk found"))
   }
+
+  /** Parse the same contract as [[decode16]] but return the raw sample
+    * payload (the API frame-level features build on — q367's VAD
+    * segmentation needs the waveform, not just the summary). Same
+    * chunk-walking validation path.
+    */
+  def decodeSamples16(bytes: Array[Byte]): Array[Short] = {
+    require(bytes.length >= 44, s"truncated WAV: ${bytes.length} bytes")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+    require(tag(0) == "RIFF" && tag(8) == "WAVE", "bad RIFF/WAVE magic")
+    var pos = 12
+    var fmtSeen = false
+    var result: Option[Array[Short]] = None
+    while (result.isEmpty && pos + 8 <= bytes.length) {
+      val ct = tag(pos)
+      val csize = buf.getInt(pos + 4)
+      require(csize >= 0 && pos + 8 + csize <= bytes.length,
+        s"chunk $ct size $csize overruns payload")
+      ct match {
+        case "fmt " =>
+          require(csize >= 16 && buf.getShort(pos + 8) == 1 &&
+            buf.getShort(pos + 10) == 1 && buf.getShort(pos + 22) == 16,
+            "only mono 16-bit PCM supported")
+          fmtSeen = true
+        case "data" =>
+          require(fmtSeen && csize % 2 == 0, "bad data chunk")
+          result = Some(Array.tabulate(csize / 2)(i =>
+            buf.getShort(pos + 8 + 2 * i)))
+        case _ => ()
+      }
+      pos += 8 + csize + (csize % 2)
+    }
+    result.getOrElse(sys.error("no data chunk found"))
+  }
 }

@@ -402,7 +402,13 @@ object ScaleCheck {
       // joins; CDC apply stages 3 change batches through RocksDB state
       // (write-heavy staging like q351).
       "q362_sql_identifier_clause", "q363_twopass_exact_median",
-      "q364_late_arriving_dim", "q365_stream_cdc_apply")
+      "q364_late_arriving_dim", "q365_stream_cdc_apply",
+      // wave LXVI: the model sweep is 3 bounded fits + 3 codegen
+      // scoring passes; VAD is one per-row generate pass; the
+      // watermark-scoped dedup stages 5 microbatch files (write-heavy
+      // staging like q351/q365).
+      "q366_kmeans_model_selection", "q367_wav_vad_segments",
+      "q368_stream_dedup_within_watermark")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
