@@ -50,6 +50,7 @@ object ApproxQuantileRewrite extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => ApproxQuantileRewrite)
+    ext.injectOptimizerRule(_ => MaterializedViewRewrite)
     ext.injectFunction(graft.functions.CosineSimilarity.functionDescription)
     ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_ngrams"),

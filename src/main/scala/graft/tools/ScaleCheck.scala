@@ -408,7 +408,11 @@ object ScaleCheck {
       // watermark-scoped dedup stages 5 microbatch files (write-heavy
       // staging like q351/q365).
       "q366_kmeans_model_selection", "q367_wav_vad_segments",
-      "q368_stream_dedup_within_watermark")
+      "q368_stream_dedup_within_watermark",
+      // wave LXVII: the MV rewrite answers from the kilobyte summary
+      // (its ratio measures the one-time MV build); the guard pays the
+      // base scan by design.
+      "q369_materialized_view_rewrite", "q370_materialized_view_guard")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a

@@ -950,4 +950,17 @@ class PlanSpec extends SparkSpec {
       .queryExecution.explainString(ExplainMode.fromString("simple"))
     assert(!p.contains("Exchange SinglePartition"), p)
   }
+
+  test("q369/q370: MV rewrite fires on the match and ONLY on the match") {
+    // q369's physical plan must read the MV summary, never the corpus
+    val fired = SparkEntry.queries("q369_materialized_view_rewrite")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(fired.contains("graft_mv_docs"), fired)
+    assert(!fired.contains("documents.parquet"), fired)
+    // q370 (filtered) must fall back to the base scan
+    val guarded = SparkEntry.queries("q370_materialized_view_guard")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(guarded.contains("documents.parquet"), guarded)
+    assert(!guarded.contains("graft_mv_docs"), guarded)
+  }
 }
