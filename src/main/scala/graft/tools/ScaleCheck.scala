@@ -412,7 +412,12 @@ object ScaleCheck {
       // wave LXVII: the MV rewrite answers from the kilobyte summary
       // (its ratio measures the one-time MV build); the guard pays the
       // base scan by design.
-      "q369_materialized_view_rewrite", "q370_materialized_view_guard")
+      "q369_materialized_view_rewrite", "q370_materialized_view_guard",
+      // wave LXVIII: the bootstrap is one x32 generate into a 32-key
+      // agg; anti-entropy is two keyed digest aggs + dictionary
+      // compares; FK layering is 6 distinct anti-joins + driver peel.
+      "q371_poisson_bootstrap_ci", "q372_merkle_antientropy",
+      "q373_fk_topology_layers")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
