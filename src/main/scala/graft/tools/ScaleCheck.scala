@@ -417,7 +417,11 @@ object ScaleCheck {
       // agg; anti-entropy is two keyed digest aggs + dictionary
       // compares; FK layering is 6 distinct anti-joins + driver peel.
       "q371_poisson_bootstrap_ci", "q372_merkle_antientropy",
-      "q373_fk_topology_layers")
+      "q373_fk_topology_layers",
+      // wave LXIX: recovery stages two stream runs + checkpoint
+      // restart (staging-dominated like q351); DPP pays the one-time
+      // partitioned fact write, then scans 2/5 partitions.
+      "q374_stream_checkpoint_recovery", "q375_dynamic_partition_pruning")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
