@@ -421,7 +421,12 @@ object ScaleCheck {
       // wave LXIX: recovery stages two stream runs + checkpoint
       // restart (staging-dominated like q351); DPP pays the one-time
       // partitioned fact write, then scans 2/5 partitions.
-      "q374_stream_checkpoint_recovery", "q375_dynamic_partition_pruning")
+      "q374_stream_checkpoint_recovery", "q375_dynamic_partition_pruning",
+      // wave LXX: EXECUTE IMMEDIATE is the q01 agg shape; dictionary
+      // match is one automaton pass + a terms×partitions shuffle; the
+      // regression is one joined aggregation pass + scalar Cramer.
+      "q376_execute_immediate", "q377_dictionary_match",
+      "q378_multiple_regression")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
