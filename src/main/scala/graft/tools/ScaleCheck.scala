@@ -426,7 +426,13 @@ object ScaleCheck {
       // match is one automaton pass + a terms×partitions shuffle; the
       // regression is one joined aggregation pass + scalar Cramer.
       "q376_execute_immediate", "q377_dictionary_match",
-      "q378_multiple_regression")
+      "q378_multiple_regression",
+      // wave LXXI: the bitmap semijoin moves only kilobyte bitmaps
+      // per bucket; the stump is two keyed aggs + a 60-row argmax;
+      // the layout compare is three dictionary-keyed aggs off one
+      // checkpointed scan.
+      "q379_bitmap_index_semijoin", "q380_decision_stump",
+      "q381_hilbert_layout")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
