@@ -432,7 +432,12 @@ object ScaleCheck {
       // the layout compare is three dictionary-keyed aggs off one
       // checkpointed scan.
       "q379_bitmap_index_semijoin", "q380_decision_stump",
-      "q381_hilbert_layout")
+      "q381_hilbert_layout",
+      // wave LXXII: closeness is 4 keyed-min BFS rounds over pivot ×
+      // node state; MG shuffles only k×partitions summary rows; the
+      // skew join's cost IS the skew-split demonstration.
+      "q382_closeness_sampled", "q383_misra_gries_heavy_hitters",
+      "q384_aqe_skew_join")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
