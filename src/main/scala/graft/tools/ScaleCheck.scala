@@ -437,7 +437,13 @@ object ScaleCheck {
       // node state; MG shuffles only k×partitions summary rows; the
       // skew join's cost IS the skew-split demonstration.
       "q382_closeness_sampled", "q383_misra_gries_heavy_hitters",
-      "q384_aqe_skew_join")
+      "q384_aqe_skew_join",
+      // wave LXXIII: branch merge is staging-write-dominated (3 full
+      // snapshot writes + 2 diff joins); partition evolution pays the
+      // one-time two-generation write then pruned scans; the pattern
+      // match is one groupBy whose state is each user's own events.
+      "q385_branch_merge_three_way", "q386_partition_evolution",
+      "q387_sequence_pattern")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
