@@ -443,7 +443,12 @@ object ScaleCheck {
       // one-time two-generation write then pruned scans; the pattern
       // match is one groupBy whose state is each user's own events.
       "q385_branch_merge_three_way", "q386_partition_evolution",
-      "q387_sequence_pattern")
+      "q387_sequence_pattern",
+      // wave LXXIV: Bellman–Ford rounds keep node-sized state over the
+      // cnt≥2-thinned graph; HT rides the q308 dictionary window; the
+      // RLS view is two dimension-scan censuses.
+      "q388_weighted_shortest_path", "q389_horvitz_thompson",
+      "q390_row_policy_view")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
