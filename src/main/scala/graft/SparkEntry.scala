@@ -92,6 +92,7 @@ object SparkEntry {
       graft.queries.Training72.defs ++
       graft.queries.Training73.defs ++
       graft.queries.Training74.defs ++
+      graft.queries.Training75.defs ++
       graft.queries.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

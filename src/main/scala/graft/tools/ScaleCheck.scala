@@ -448,7 +448,13 @@ object ScaleCheck {
       // cnt≥2-thinned graph; HT rides the q308 dictionary window; the
       // RLS view is two dimension-scan censuses.
       "q388_weighted_shortest_path", "q389_horvitz_thompson",
-      "q390_row_policy_view")
+      "q390_row_policy_view",
+      // wave LXXV: filtered kNN scores queries×corpus once and ranks
+      // twice off the checkpointed sims; bucket pruning pays the
+      // one-time bucketed write then reads ≤3/16 bucket files; lambda
+      // is a staging write + one stream pass over the tail.
+      "q391_filtered_knn", "q392_bucket_pruning",
+      "q393_lambda_reconciliation")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
