@@ -454,7 +454,13 @@ object ScaleCheck {
       // one-time bucketed write then reads ≤3/16 bucket files; lambda
       // is a staging write + one stream pass over the tail.
       "q391_filtered_knn", "q392_bucket_pruning",
-      "q393_lambda_reconciliation")
+      "q393_lambda_reconciliation",
+      // wave LXXVI: silhouette is a bounded fit + one literal-centroid
+      // scoring pass; edit distance DP is capped at 500 codes per
+      // pair over a key-local join; histogram answering is two scans
+      // (boundaries + witness) and a 64-row summary.
+      "q394_kmeans_silhouette", "q395_sequence_edit_distance",
+      "q396_histogram_answering")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
