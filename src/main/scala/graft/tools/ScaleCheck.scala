@@ -460,7 +460,12 @@ object ScaleCheck {
       // pair over a key-local join; histogram answering is two scans
       // (boundaries + witness) and a 64-row summary.
       "q394_kmeans_silhouette", "q395_sequence_edit_distance",
-      "q396_histogram_answering")
+      "q396_histogram_answering",
+      // wave LXXVII: the interval frame is one window pass + census;
+      // lineage walks a PLAN, not data (O(1) in N); the Gram matrix
+      // shuffles partitions × 2080 cells regardless of corpus size.
+      "q397_interval_range_frame", "q398_column_lineage",
+      "q399_gram_matrix")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
