@@ -465,7 +465,11 @@ object ScaleCheck {
       // lineage walks a PLAN, not data (O(1) in N); the Gram matrix
       // shuffles partitions × 2080 cells regardless of corpus size.
       "q397_interval_range_frame", "q398_column_lineage",
-      "q399_gram_matrix")
+      "q399_gram_matrix",
+      // wave LXXVIII: Q21-shape is two keyed aggs + a dictionary
+      // culprit join (the correlated subqueries are de-correlated);
+      // variant explode is one generate pass into a key census.
+      "q400_waiting_orders", "q401_variant_explode")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
