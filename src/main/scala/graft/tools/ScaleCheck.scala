@@ -469,7 +469,12 @@ object ScaleCheck {
       // wave LXXVIII: Q21-shape is two keyed aggs + a dictionary
       // culprit join (the correlated subqueries are de-correlated);
       // variant explode is one generate pass into a key census.
-      "q400_waiting_orders", "q401_variant_explode")
+      "q400_waiting_orders", "q401_variant_explode",
+      // wave LXXIX: tokenization is two dim-joined censuses; triples
+      // ride the bounded frequent-pair dictionary; bucketing is one
+      // keyed agg over a per-row integer bucket.
+      "q402_tokenization_join_preserving", "q403_frequent_triples",
+      "q404_length_bucketing_waste")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
