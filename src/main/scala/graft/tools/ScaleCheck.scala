@@ -474,7 +474,12 @@ object ScaleCheck {
       // ride the bounded frequent-pair dictionary; bucketing is one
       // keyed agg over a per-row integer bucket.
       "q402_tokenization_join_preserving", "q403_frequent_triples",
-      "q404_length_bucketing_waste")
+      "q404_length_bucketing_waste",
+      // wave LXXX: the ledger folds a day-dictionary array; nested
+      // pruning pays the one-time struct write then a one-leaf scan;
+      // uplift is a dictionary window + one keyed spend agg.
+      "q405_audit_chain", "q406_nested_schema_pruning",
+      "q407_uplift_deciles")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
