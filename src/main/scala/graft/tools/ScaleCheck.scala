@@ -479,7 +479,11 @@ object ScaleCheck {
       // pruning pays the one-time struct write then a one-leaf scan;
       // uplift is a dictionary window + one keyed spend agg.
       "q405_audit_chain", "q406_nested_schema_pruning",
-      "q407_uplift_deciles")
+      "q407_uplift_deciles",
+      // wave LXXXI: the bloom join discards non-joining fact rows
+      // before the shuffle; the CAS sink is staging + 3 versioned
+      // merges through the stream engine.
+      "q408_runtime_bloom_filter", "q409_stream_foreachbatch_cas")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
