@@ -483,7 +483,12 @@ object ScaleCheck {
       // wave LXXXI: the bloom join discards non-joining fact rows
       // before the shuffle; the CAS sink is staging + 3 versioned
       // merges through the stream engine.
-      "q408_runtime_bloom_filter", "q409_stream_foreachbatch_cas")
+      "q408_runtime_bloom_filter", "q409_stream_foreachbatch_cas",
+      // wave LXXXII: Theil is one joined pass + nation-dictionary
+      // algebra; shares are dictionary joins; sparse retrieval is
+      // bounded by postings × 128 cap, independent of corpus size.
+      "q410_theil_decomposition", "q411_share_of_parent",
+      "q412_sparse_dot_topk")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
