@@ -242,6 +242,43 @@ object Similarity {
     } finally { assembled.unpersist(); () }
   }
 
+  /** Incremental insert into a persisted IVF index ([[buildIvfIndex]]):
+    * assign the new vectors to their nearest EXISTING centroid (no
+    * refit — the production fast path; periodic rebuilds re-balance),
+    * append to the inverted lists, and commit as the next version with
+    * the centroids carried over unchanged. Returns the new version.
+    * Older versions stay readable ([[probeIvfIndex]] time travel).
+    *
+    * Assignment uses the same L2-to-centroid argmin expression as the
+    * probe routing (ties to the smaller list id), so insertion is a
+    * pure function of (stored centroids, new vectors).
+    */
+  def insertIntoIvfIndex(
+      indexRoot: String, newVecs: DataFrame,
+      idCol: String, vecCol: String): Long = {
+    val spark = newVecs.sparkSession
+    val latest = graft.sources.Sinks.snapshotVersions(s"$indexRoot/lists").last
+    val lists = graft.sources.Sinks
+      .readSnapshot(spark, s"$indexRoot/lists", latest)
+    val centroids = graft.sources.Sinks
+      .readSnapshot(spark, s"$indexRoot/centroids", latest)
+    val l2 = expr(
+      "aggregate(zip_with(__nv, centroid, (a, b) -> (a - b) * (a - b)), 0D, (acc, v) -> acc + v)")
+    val w = Window.partitionBy(idCol).orderBy(col("__d2").asc, col("list_id").asc)
+    val assigned = newVecs.select(col(idCol), col(vecCol))
+      .withColumn("__nv", col(vecCol))
+      .crossJoin(broadcast(centroids))
+      .withColumn("__d2", l2)
+      .withColumn("__pr", row_number().over(w))
+      .filter(col("__pr") === 1)
+      .select(col(idCol), col(vecCol), col("list_id"))
+    val next = latest + 1
+    lists.unionByName(assigned)
+      .write.mode("overwrite").parquet(s"$indexRoot/lists/v$next")
+    centroids.write.mode("overwrite").parquet(s"$indexRoot/centroids/v$next")
+    next
+  }
+
   /** Probe a persisted IVF index ([[buildIvfIndex]]): route each query
     * to its `nprobe` nearest centroids, candidate-join ONLY those
     * inverted lists, exact-cosine re-rank to top-`k`. `asOfVersion`

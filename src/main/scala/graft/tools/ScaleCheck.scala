@@ -488,7 +488,12 @@ object ScaleCheck {
       // algebra; shares are dictionary joins; sparse retrieval is
       // bounded by postings × 128 cap, independent of corpus size.
       "q410_theil_decomposition", "q411_share_of_parent",
-      "q412_sparse_dot_topk")
+      "q412_sparse_dot_topk",
+      // wave LXXXIII: the incremental index pays build+insert+probe;
+      // removal attribution is driver algebra on the 5-state chain;
+      // top-N+OTHER ranks the part dictionary only.
+      "q413_ann_index_incremental", "q414_markov_removal_attribution",
+      "q415_topn_other_rollup")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
