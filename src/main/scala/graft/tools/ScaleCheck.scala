@@ -493,7 +493,12 @@ object ScaleCheck {
       // removal attribution is driver algebra on the 5-state chain;
       // top-N+OTHER ranks the part dictionary only.
       "q413_ann_index_incremental", "q414_markov_removal_attribution",
-      "q415_topn_other_rollup")
+      "q415_topn_other_rollup",
+      // wave LXXXIV: dynamic sessions are one native session agg +
+      // censuses; the orphan audit is file-listing-sized; pattern
+      // predicates are one dimension scan.
+      "q416_dynamic_gap_sessions", "q417_orphan_file_audit",
+      "q418_pattern_predicates")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
