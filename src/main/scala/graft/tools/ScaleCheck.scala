@@ -498,7 +498,12 @@ object ScaleCheck {
       // censuses; the orphan audit is file-listing-sized; pattern
       // predicates are one dimension scan.
       "q416_dynamic_gap_sessions", "q417_orphan_file_audit",
-      "q418_pattern_predicates")
+      "q418_pattern_predicates",
+      // wave LXXXV: the metrics audit IS the star query it audits;
+      // nested analytics is one nest-building agg + lambda passes;
+      // rollback is three snapshot writes.
+      "q419_plan_metrics_audit", "q420_nested_array_analytics",
+      "q421_snapshot_rollback")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
