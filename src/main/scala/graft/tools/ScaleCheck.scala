@@ -503,7 +503,12 @@ object ScaleCheck {
       // nested analytics is one nest-building agg + lambda passes;
       // rollback is three snapshot writes.
       "q419_plan_metrics_audit", "q420_nested_array_analytics",
-      "q421_snapshot_rollback")
+      "q421_snapshot_rollback",
+      // wave LXXXVI: the lattice audits are 3 dictionary group-counts
+      // off one checkpointed dim join; burn rates are day/hour
+      // dictionaries; the unpivot reshapes a 1-row wide frame.
+      "q422_generalization_lattice", "q423_slo_burn_rate",
+      "q424_multi_measure_unpivot")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
