@@ -508,7 +508,11 @@ object ScaleCheck {
       // off one checkpointed dim join; burn rates are day/hour
       // dictionaries; the unpivot reshapes a 1-row wide frame.
       "q422_generalization_lattice", "q423_slo_burn_rate",
-      "q424_multi_measure_unpivot")
+      "q424_multi_measure_unpivot",
+      // wave LXXXVII: the learned-index audit is one ranked dictionary
+      // pass + slab algebra; the BOM walk is ⌈log₄ keys⌉ recursion
+      // rounds over the part dictionary.
+      "q425_learned_index_error", "q426_bom_explosion")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
