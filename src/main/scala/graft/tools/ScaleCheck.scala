@@ -512,7 +512,10 @@ object ScaleCheck {
       // wave LXXXVII: the learned-index audit is one ranked dictionary
       // pass + slab algebra; the BOM walk is ⌈log₄ keys⌉ recursion
       // rounds over the part dictionary.
-      "q425_learned_index_error", "q426_bom_explosion")
+      "q425_learned_index_error", "q426_bom_explosion",
+      // wave LXXXVIII: water-filling is one sorted window pass over
+      // the customer dictionary; star-EXCEPT is a plain orders census.
+      "q427_maxmin_fair_allocation", "q428_select_except_star")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
