@@ -515,7 +515,12 @@ object ScaleCheck {
       "q425_learned_index_error", "q426_bom_explosion",
       // wave LXXXVIII: water-filling is one sorted window pass over
       // the customer dictionary; star-EXCEPT is a plain orders census.
-      "q427_maxmin_fair_allocation", "q428_select_except_star")
+      "q427_maxmin_fair_allocation", "q428_select_except_star",
+      // wave LXXXIX: the clock sample is one TakeOrdered top-k; ring
+      // assignment is a literal CASE tree into a 9-row census; SPRT is
+      // an arm-keyed window walk.
+      "q429_weighted_reservoir_sample", "q430_consistent_hash_ring",
+      "q431_sprt_sequential_test")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a

@@ -963,4 +963,12 @@ class PlanSpec extends SparkSpec {
     assert(guarded.contains("documents.parquet"), guarded)
     assert(!guarded.contains("graft_mv_docs"), guarded)
   }
+
+  test("q430: ring lookup is join-free (literal CASE tree) and prunes to the key") {
+    val p = plan("q430_consistent_hash_ring")
+    assert(!p.contains("Join"), p) // both ring assignments are per-row expressions
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("o_orderkey") && !readSchema.contains("o_totalprice"),
+      readSchema)
+  }
 }
