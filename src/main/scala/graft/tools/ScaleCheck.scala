@@ -520,7 +520,12 @@ object ScaleCheck {
       // assignment is a literal CASE tree into a 9-row census; SPRT is
       // an arm-keyed window walk.
       "q429_weighted_reservoir_sample", "q430_consistent_hash_ring",
-      "q431_sprt_sequential_test")
+      "q431_sprt_sequential_test",
+      // wave XC: the wavelet pipeline is one fact agg + 256-row frames;
+      // FS pairs are block-bounded (the q89 shape) + integer weights;
+      // FTL is one fact agg + day×arm dictionary windows.
+      "q432_haar_synopsis", "q433_fellegi_sunter_linkage",
+      "q434_ftl_expert_replay")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
