@@ -525,7 +525,13 @@ object ScaleCheck {
       // FS pairs are block-bounded (the q89 shape) + integer weights;
       // FTL is one fact agg + day×arm dictionary windows.
       "q432_haar_synopsis", "q433_fellegi_sunter_linkage",
-      "q434_ftl_expert_replay")
+      "q434_ftl_expert_replay",
+      // wave XCI: the V-optimal DP runs on a collected 64-slot grid;
+      // winsorized stats are one cum window over the cents dictionary
+      // + one clamped agg pass; Simpson is two dictionary-sized joins
+      // off one fact agg.
+      "q435_voptimal_histogram", "q436_winsorized_stats",
+      "q437_simpsons_paradox")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
