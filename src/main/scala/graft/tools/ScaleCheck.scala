@@ -531,7 +531,12 @@ object ScaleCheck {
       // + one clamped agg pass; Simpson is two dictionary-sized joins
       // off one fact agg.
       "q435_voptimal_histogram", "q436_winsorized_stats",
-      "q437_simpsons_paradox")
+      "q437_simpsons_paradox",
+      // wave XCII: the reducer semi-joins before joining (that IS the
+      // measurement); KM and Little are one fact agg each + ≤61-row /
+      // delta-day dictionary windows.
+      "q438_yannakakis_reducer", "q439_kaplan_meier",
+      "q440_littles_law_audit")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a

@@ -964,6 +964,12 @@ class PlanSpec extends SparkSpec {
     assert(!guarded.contains("graft_mv_docs"), guarded)
   }
 
+  test("q438: the Yannakakis reducer really plans semi-joins before the join") {
+    val p = SparkEntry.queries("q438_yannakakis_reducer")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert("LeftSemi".r.findAllIn(p).size >= 3, p)
+  }
+
   test("q430: ring lookup is join-free (literal CASE tree) and prunes to the key") {
     val p = plan("q430_consistent_hash_ring")
     assert(!p.contains("Join"), p) // both ring assignments are per-row expressions
