@@ -110,6 +110,7 @@ object SparkEntry {
       graft.queries.Training90.defs ++
       graft.queries.Training91.defs ++
       graft.queries.Training92.defs ++
+      graft.queries.Training93.defs ++
       graft.queries.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -536,7 +536,12 @@ object ScaleCheck {
       // measurement); KM and Little are one fact agg each + ≤61-row /
       // delta-day dictionary windows.
       "q438_yannakakis_reducer", "q439_kaplan_meier",
-      "q440_littles_law_audit")
+      "q440_littles_law_audit",
+      // wave XCIII: W1 and the sparse table are one fact agg + 64/256
+      // dictionary windows; rules ride the op-pair self-join (the
+      // co-purchase shape) into ppm arithmetic.
+      "q441_wasserstein_drift", "q442_sparse_table_rmq",
+      "q443_association_rules")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
