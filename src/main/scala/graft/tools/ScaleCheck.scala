@@ -541,7 +541,12 @@ object ScaleCheck {
       // dictionary windows; rules ride the op-pair self-join (the
       // co-purchase shape) into ppm arithmetic.
       "q441_wasserstein_drift", "q442_sparse_table_rmq",
-      "q443_association_rules")
+      "q443_association_rules",
+      // wave XCIV: view selection is one fact agg + 8-row lattice
+      // algebra; footprint is one keyed lead window; Kendall pairs the
+      // ~2.4k-day dictionary (date span fixed under replication).
+      "q444_view_selection_greedy", "q445_working_set_footprint",
+      "q446_kendall_tau")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
