@@ -112,6 +112,7 @@ object SparkEntry {
       graft.queries.Training92.defs ++
       graft.queries.Training93.defs ++
       graft.queries.Training94.defs ++
+      graft.queries.Training95.defs ++
       graft.queries.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -546,7 +546,12 @@ object ScaleCheck {
       // algebra; footprint is one keyed lead window; Kendall pairs the
       // ~2.4k-day dictionary (date span fixed under replication).
       "q444_view_selection_greedy", "q445_working_set_footprint",
-      "q446_kendall_tau")
+      "q446_kendall_tau",
+      // wave XCV: AMS is 80 sum(CASE) columns of one scan + the exact
+      // witness agg; the permutation test is 256 columns of one scan;
+      // CEM is one join-agg into a stratum dictionary.
+      "q447_ams_f2_sketch", "q448_permutation_test",
+      "q449_coarsened_exact_matching")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
