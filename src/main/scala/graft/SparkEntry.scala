@@ -113,6 +113,7 @@ object SparkEntry {
       graft.queries.Training93.defs ++
       graft.queries.Training94.defs ++
       graft.queries.Training95.defs ++
+      graft.queries.Training96.defs ++
       graft.queries.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

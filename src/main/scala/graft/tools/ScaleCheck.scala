@@ -551,7 +551,12 @@ object ScaleCheck {
       // witness agg; the permutation test is 256 columns of one scan;
       // CEM is one join-agg into a stratum dictionary.
       "q447_ams_f2_sketch", "q448_permutation_test",
-      "q449_coarsened_exact_matching")
+      "q449_coarsened_exact_matching",
+      // wave XCVI: the hull tests a 125-point dictionary; Allen pairs
+      // are per-customer quadratic = linear in customers; PID is day
+      // dictionary windows after one fact agg.
+      "q450_convex_extremes", "q451_allen_interval_census",
+      "q452_pid_autoscaler")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
