@@ -114,6 +114,7 @@ object SparkEntry {
       graft.queries.Training94.defs ++
       graft.queries.Training95.defs ++
       graft.queries.Training96.defs ++
+      graft.queries.Training97.defs ++
       graft.queries.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -556,7 +556,12 @@ object ScaleCheck {
       // are per-customer quadratic = linear in customers; PID is day
       // dictionary windows after one fact agg.
       "q450_convex_extremes", "q451_allen_interval_census",
-      "q452_pid_autoscaler")
+      "q452_pid_autoscaler",
+      // wave XCVII: the profile pairs the ~2.4k-day window dictionary;
+      // Lorenz is one fact agg + one cum window over the customer
+      // dictionary; the 2x2 suite is one join-agg.
+      "q453_matrix_profile_discord", "q454_lorenz_gini",
+      "q455_odds_ratio_suite")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
