@@ -108,6 +108,35 @@ object Graft {
   }
 }
 
+/** Checkpoint discipline for iterative (fixpoint / relaxation / peel)
+  * loops.
+  *
+  * `Dataset.localCheckpoint()` truncates lineage but PRESERVES the origin
+  * plan's estimated statistics on the resulting `LogicalRDD`. In a loop
+  * whose round self-joins the previous round's checkpoint (Bellman
+  * relaxation, label propagation, BFS frontiers, PERT passes), the
+  * size-only stats visitor multiplies child sizeInBytes at every join —
+  * so the estimate SQUARES per round. By round ~18 the BigInt carries
+  * millions of digits and join planning spends seconds-to-minutes purely
+  * in BigInteger Toom-Cook multiplication (measured: 90 s to plan a
+  * 200-row round; jstack shows the driver pinned in
+  * SizeInBytesOnlyStatsPlanVisitor → BigInteger.multiply).
+  *
+  * `Iterate.ckpt` materializes the round like localCheckpoint, then
+  * round-trips the checkpointed RDD through `createDataFrame`, producing
+  * a fresh leaf with DEFAULT stats — constant-size numbers, constant
+  * planning cost per round. Join strategy is unaffected in practice: AQE
+  * re-derives true sizes from shuffle statistics at runtime, which is
+  * also the only signal that matters on a real cluster at 100 TB (the
+  * origin estimate after one checkpoint was already fiction).
+  */
+object Iterate {
+  def ckpt(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint()
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+}
+
 object Num {
   /** Order-independent double sum: cast each term to DECIMAL(28,6), sum
     * exactly, cast back. SQL mirror: CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE).

@@ -115,6 +115,7 @@ object SparkEntry {
       graft.queries.Training95.defs ++
       graft.queries.Training96.defs ++
       graft.queries.Training97.defs ++
+      graft.queries.Training98.defs ++
       graft.queries.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

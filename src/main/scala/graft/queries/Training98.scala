@@ -1,0 +1,238 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Ninety-eighth wave — social choice, voting power, and project
+  * scheduling:
+  *
+  *  - q456: Condorcet vs Borda over preference profiles — each market
+  *    segment (voter) ranks the order priorities (candidates) by
+  *    integer average order value; the pairwise-majority matrix,
+  *    Borda scores, the Condorcet winner when one exists, and
+  *    whether Borda agrees. THE social-choice comparison (a Borda
+  *    winner always exists; a Condorcet winner need not — and they
+  *    can disagree).
+  *  - q457: Banzhaf voting-power index — segments as weighted parties
+  *    (weight = customer count), all 32 coalitions enumerated
+  *    relationally (the q444 bitmask-lattice trick), a party counted
+  *    per coalition it SWINGS (coalition meets quota, drops below
+  *    without it). Voting power ≠ weight share — the output shows
+  *    both in ppm.
+  *  - q458: PERT / critical-path method over a synthetic 4-ary
+  *    assembly DAG on parts (preds k div 4 and k div 4 + 1,
+  *    duration = p_size): forward max-relaxation gives early
+  *    start/finish, a backward pass from the project end gives late
+  *    start and total float; float-0 tasks form the critical path.
+  *    Both passes run a FIXED 12 rounds of keyed joins (enough for
+  *    4^12 tasks) — the Bellman-style max-plus relaxation (q388's
+  *    shape) with per-round checkpoints on the Spark side and 24
+  *    chained MATERIALIZED CTEs in the oracle.
+  */
+object Training98 {
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  private def condorcetSql(spark: Boolean, ordersRel: String, custRel: String): String = {
+    val idiv = if (spark) "div" else "//"
+    s"""
+      WITH prefs AS (
+        SELECT c.c_mktsegment AS voter, o.o_orderpriority AS cand,
+               CAST((sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) * 1000000)
+                 $idiv count(*) AS BIGINT) AS avg_micro
+        FROM $ordersRel o JOIN $custRel c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2),
+      ranks AS (
+        SELECT voter, cand,
+               row_number() OVER (PARTITION BY voter
+                 ORDER BY avg_micro DESC, cand) AS rk
+        FROM prefs),
+      nvoters AS (SELECT CAST(count(DISTINCT voter) AS BIGINT) AS nv FROM ranks),
+      pair_wins AS (
+        SELECT a.cand AS x, b.cand AS y,
+               CAST(SUM(CASE WHEN a.rk < b.rk THEN 1 ELSE 0 END) AS BIGINT) AS wins
+        FROM ranks a JOIN ranks b
+          ON a.voter = b.voter AND a.cand <> b.cand
+        GROUP BY 1, 2),
+      majority AS (
+        SELECT x, CAST(SUM(CASE WHEN 2 * wins > (SELECT max(nv) FROM nvoters)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_beats
+        FROM pair_wins GROUP BY x),
+      borda AS (
+        SELECT cand, CAST(sum(6 - rk) AS BIGINT) AS borda_score
+        FROM ranks GROUP BY cand),
+      ncands AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM borda),
+      winners AS (
+        SELECT b.cand, b.borda_score, m.n_beats,
+               CASE WHEN m.n_beats = (SELECT max(nc) FROM ncands) - 1
+                    THEN 1 ELSE 0 END AS is_condorcet_winner,
+               CASE WHEN row_number() OVER (ORDER BY b.borda_score DESC, b.cand) = 1
+                    THEN 1 ELSE 0 END AS is_borda_winner
+        FROM borda b JOIN majority m ON m.x = b.cand)
+      SELECT cand, borda_score, n_beats,
+             CAST(is_condorcet_winner AS INT) AS is_condorcet_winner,
+             CAST(is_borda_winner AS INT) AS is_borda_winner
+      FROM winners ORDER BY cand"""
+  }
+
+  private def banzhafSql(spark: Boolean, custRel: String): String = {
+    val idiv = if (spark) "div" else "//"
+    val masks = if (spark) "SELECT explode(sequence(0, 31)) AS mask"
+      else "SELECT t.mask FROM range(32) t(mask)"
+    s"""
+      WITH parties AS (
+        SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS w,
+               CAST(row_number() OVER (ORDER BY c_mktsegment) - 1 AS INT) AS bit
+        FROM $custRel GROUP BY 1),
+      quota AS (SELECT (sum(w) $idiv 2) + 1 AS q, sum(w) AS tw FROM parties),
+      coal AS (
+        SELECT m.mask, CAST(coalesce(sum(p.w), 0) AS BIGINT) AS cw
+        FROM ($masks) m
+        LEFT JOIN parties p ON (m.mask $idiv (CASE p.bit WHEN 0 THEN 1
+          WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8 ELSE 16 END)) % 2 = 1
+        GROUP BY m.mask),
+      swings AS (
+        SELECT p.seg, p.w,
+               CAST(SUM(CASE WHEN c.cw >= q.q AND c.cw - p.w < q.q
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_swings
+        FROM parties p
+        JOIN coal c ON (c.mask $idiv (CASE p.bit WHEN 0 THEN 1
+          WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8 ELSE 16 END)) % 2 = 1
+        CROSS JOIN quota q
+        GROUP BY p.seg, p.w),
+      tot AS (SELECT CAST(sum(n_swings) AS BIGINT) AS ts FROM swings)
+      SELECT s.seg, s.w AS weight,
+             CAST((s.w * 1000000) $idiv q.tw AS BIGINT) AS weight_share_ppm,
+             s.n_swings,
+             CAST((s.n_swings * 1000000) $idiv t.ts AS BIGINT) AS banzhaf_ppm
+      FROM swings s CROSS JOIN tot t CROSS JOIN quota q
+      ORDER BY s.seg"""
+  }
+
+  /** q458 task/edge base: tasks from the part dictionary with preds
+    * k div 4 and k div 4 + 1 (both < k for k ≥ 2; k = 1 is the root).
+    */
+  private def pertBaseSql(spark: Boolean, partRel: String): String = {
+    val idiv = if (spark) "div" else "//"
+    s"""
+      SELECT p.p_partkey AS k, CAST(p.p_size AS BIGINT) AS dur,
+             CASE WHEN p.p_partkey $idiv 4 >= 1
+                  THEN p.p_partkey $idiv 4 ELSE NULL END AS pred1,
+             CASE WHEN p.p_partkey $idiv 4 + 1 < p.p_partkey
+                   AND p.p_partkey $idiv 4 + 1
+                       <= (SELECT max(p2.p_partkey) FROM $partRel p2)
+                  THEN p.p_partkey $idiv 4 + 1 ELSE NULL END AS pred2
+      FROM $partRel p"""
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q456_condorcet_borda",
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("graft_cb_orders")
+        t(s, d, "customer").createOrReplaceTempView("graft_cb_customer")
+        s.sql(condorcetSql(spark = true, "graft_cb_orders", "graft_cb_customer"))
+      },
+      Some(condorcetSql(spark = false, "orders", "customer"))),
+
+    QueryDef(
+      "q457_banzhaf_power",
+      (s, d) => {
+        t(s, d, "customer").createOrReplaceTempView("graft_bz_customer")
+        s.sql(banzhafSql(spark = true, "graft_bz_customer"))
+      },
+      Some(banzhafSql(spark = false, "customer"))),
+
+    QueryDef(
+      "q458_critical_path_pert",
+      (s, d) => {
+        t(s, d, "part").createOrReplaceTempView("graft_pp_part")
+        val tasks = graft.Iterate.ckpt(
+          s.sql(pertBaseSql(spark = true, "graft_pp_part")).coalesce(1))
+        tasks.createOrReplaceTempView("graft_pp_tasks")
+        // edges (pred -> k), doubled from the two pred columns
+        val edges = graft.Iterate.ckpt(s.sql("""
+          SELECT pred1 AS src, k AS dst FROM graft_pp_tasks WHERE pred1 IS NOT NULL
+          UNION ALL
+          SELECT pred2 AS src, k AS dst FROM graft_pp_tasks WHERE pred2 IS NOT NULL""")
+          .coalesce(1))
+        edges.createOrReplaceTempView("graft_pp_edges")
+        // forward pass: es(k) = max over preds ef(pred); 12 max-relax rounds
+        var es = graft.Iterate.ckpt(
+          s.sql("SELECT k, dur, CAST(0 AS BIGINT) AS es FROM graft_pp_tasks").coalesce(1))
+        for (_ <- 1 to 12) {
+          es.createOrReplaceTempView("graft_pp_es")
+          es = graft.Iterate.ckpt(s.sql("""
+            SELECT t.k, t.dur,
+                   CAST(greatest(t.es, coalesce(max(p.es + p.dur), 0)) AS BIGINT) AS es
+            FROM graft_pp_es t
+            LEFT JOIN graft_pp_edges e ON e.dst = t.k
+            LEFT JOIN graft_pp_es p ON p.k = e.src
+            GROUP BY t.k, t.dur, t.es""").coalesce(1))
+        }
+        es.createOrReplaceTempView("graft_pp_esf")
+        // backward pass: lf(k) = min over succs (lf(succ) - dur(succ));
+        // sinks start at the project end T = max(es + dur)
+        var lf = graft.Iterate.ckpt(s.sql("""
+          SELECT k, dur, CAST((SELECT max(es + dur) FROM graft_pp_esf) AS BIGINT) AS lf
+          FROM graft_pp_esf""").coalesce(1))
+        for (_ <- 1 to 12) {
+          lf.createOrReplaceTempView("graft_pp_lf")
+          lf = graft.Iterate.ckpt(s.sql("""
+            SELECT t.k, t.dur,
+                   CAST(least(t.lf, coalesce(min(sc.lf - sc.dur), t.lf)) AS BIGINT) AS lf
+            FROM graft_pp_lf t
+            LEFT JOIN graft_pp_edges e ON e.src = t.k
+            LEFT JOIN graft_pp_lf sc ON sc.k = e.dst
+            GROUP BY t.k, t.dur, t.lf""").coalesce(1))
+        }
+        lf.createOrReplaceTempView("graft_pp_lff")
+        s.sql("""
+          SELECT f.k, f.dur, f.es, f.es + f.dur AS ef, b.lf,
+                 b.lf - f.dur - f.es AS slack,
+                 (SELECT max(es + dur) FROM graft_pp_esf) AS project_duration
+          FROM graft_pp_esf f JOIN graft_pp_lff b ON b.k = f.k
+          ORDER BY slack, es, k LIMIT 10""")
+      },
+      Some {
+        val base = pertBaseSql(spark = false, "part")
+        val fwd = (1 to 12).map { r =>
+          s"""es$r AS MATERIALIZED (
+              SELECT t.k, t.dur,
+                     CAST(greatest(t.es, coalesce(max(p.es + p.dur), 0)) AS BIGINT) AS es
+              FROM es${r - 1} t
+              LEFT JOIN edges e ON e.dst = t.k
+              LEFT JOIN es${r - 1} p ON p.k = e.src
+              GROUP BY t.k, t.dur, t.es)"""
+        }.mkString(",\n")
+        val bwd = (1 to 12).map { r =>
+          s"""lf$r AS MATERIALIZED (
+              SELECT t.k, t.dur,
+                     CAST(least(t.lf, coalesce(min(sc.lf - sc.dur), t.lf)) AS BIGINT) AS lf
+              FROM lf${r - 1} t
+              LEFT JOIN edges e ON e.src = t.k
+              LEFT JOIN lf${r - 1} sc ON sc.k = e.dst
+              GROUP BY t.k, t.dur, t.lf)"""
+        }.mkString(",\n")
+        s"""
+          WITH tasks AS MATERIALIZED ($base),
+          edges AS MATERIALIZED (
+            SELECT pred1 AS src, k AS dst FROM tasks WHERE pred1 IS NOT NULL
+            UNION ALL
+            SELECT pred2 AS src, k AS dst FROM tasks WHERE pred2 IS NOT NULL),
+          es0 AS (SELECT k, dur, CAST(0 AS BIGINT) AS es FROM tasks),
+          $fwd,
+          pend AS MATERIALIZED (SELECT max(es + dur) AS t FROM es12),
+          lf0 AS (SELECT k, dur, CAST((SELECT max(t) FROM pend) AS BIGINT) AS lf
+                  FROM es12),
+          $bwd
+          SELECT f.k, f.dur, f.es, f.es + f.dur AS ef, b.lf,
+                 b.lf - f.dur - f.es AS slack,
+                 (SELECT max(t) FROM pend) AS project_duration
+          FROM es12 f JOIN lf12 b ON b.k = f.k
+          ORDER BY 6, 3, 1 LIMIT 10"""
+      }),
+  )
+}

@@ -561,7 +561,13 @@ object ScaleCheck {
       // Lorenz is one fact agg + one cum window over the customer
       // dictionary; the 2x2 suite is one join-agg.
       "q453_matrix_profile_discord", "q454_lorenz_gini",
-      "q455_odds_ratio_suite")
+      "q455_odds_ratio_suite",
+      // wave XCVIII: social choice is one join-agg into a 5×5 profile;
+      // Banzhaf enumerates a fixed 32-row lattice; PERT runs 24 fixed
+      // keyed-join relaxation rounds over the part dictionary (each a
+      // stats-reset Iterate.ckpt — constant planning cost per round).
+      "q456_condorcet_borda", "q457_banzhaf_power",
+      "q458_critical_path_pert")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
