@@ -567,7 +567,14 @@ object ScaleCheck {
       // keyed-join relaxation rounds over the part dictionary (each a
       // stats-reset Iterate.ckpt — constant planning cost per round).
       "q456_condorcet_borda", "q457_banzhaf_power",
-      "q458_critical_path_pert")
+      "q458_critical_path_pert",
+      // wave XCIX: GS runs ≤25 rounds over a 5-row state (converges in
+      // ~5); Huffman's 24 merge rounds work on a ≤25-row roots table;
+      // DTW's 23 waves fill a fixed 12×12 grid — all three are
+      // dictionary-sized loops whose only scale-bound stage is the one
+      // base aggregation.
+      "q459_stable_matching", "q460_huffman_lengths",
+      "q461_dtw_alignment")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
