@@ -117,6 +117,7 @@ object SparkEntry {
       graft.queries.Training97.defs ++
       graft.queries.Training98.defs ++
       graft.queries.Training99.defs ++
+      graft.queries.Training100.defs ++
       graft.queries.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -574,7 +574,14 @@ object ScaleCheck {
       // dictionary-sized loops whose only scale-bound stage is the one
       // base aggregation.
       "q459_stable_matching", "q460_huffman_lengths",
-      "q461_dtw_alignment")
+      "q461_dtw_alignment",
+      // wave C: FIFO rides keyed cumsums + a per-part-bounded overlap
+      // join (pairs ≤ lots + draws per part — linear overall); IPF is 10
+      // half-rounds of windowed scaling on a ≤125-cell table; the
+      // assignment enumerates a FIXED 120-permutation lattice after one
+      // join-agg.
+      "q462_fifo_inventory", "q463_ipf_raking",
+      "q464_assignment_optimal")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
