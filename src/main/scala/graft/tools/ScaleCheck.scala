@@ -581,7 +581,13 @@ object ScaleCheck {
       // assignment enumerates a FIXED 120-permutation lattice after one
       // join-agg.
       "q462_fifo_inventory", "q463_ipf_raking",
-      "q464_assignment_optimal")
+      "q464_assignment_optimal",
+      // wave CI: multi-distinct is one Expand(×3)+two-level agg pass;
+      // bitemporal is a 9-cell broadcast interval join over the version
+      // log; null-skew split unions a never-shuffled pass-through branch
+      // with a broadcast join on the non-null keys.
+      "q465_multi_distinct_expand", "q466_bitemporal_asof",
+      "q467_null_skew_split")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
