@@ -313,7 +313,7 @@ final class GbdAggReaderFactory extends PartitionReaderFactory {
 }
 
 final class GbdScan(path: String, required: StructType, pushed: Array[Filter])
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -336,23 +336,65 @@ final class GbdScan(path: String, required: StructType, pushed: Array[Filter])
       case _ => true
     }
 
-  private lazy val planned: (Int, Array[InputPartition]) = {
-    val all = GbdFormat.shardsOf(path).flatMap(p => GbdFormat.readIndex(p).map(b => (p, b)))
-    val kept = all.filter { case (_, b) => blockSurvives(b) }
-    (all.length,
-      kept.map { case (p, b) => GbdBlockPartition(p, b.offset, b.nRecords): InputPartition }.toArray)
+  // ---- runtime (join-driven) block pruning -------------------------------
+  // DPP hands the scan the build side's doc_id set as In("doc_id", ...)
+  // AFTER planning but BEFORE execution; a block survives iff some value
+  // falls inside its (minId, maxId) range. Like the static push, this is
+  // a pure optimization: the join itself re-filters every surviving row.
+
+  @volatile private var runtimeIds: Option[Array[Long]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("doc_id"))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    runtimeIds = filters.collectFirst {
+      case org.apache.spark.sql.sources.In("doc_id", vs) =>
+        vs.iterator.flatMap(asLong).toArray.sorted
+    }
+    GbdScan.lastRuntime = runtimeIds.map(ids => (ids.length, planNow().length))
   }
 
-  override def planInputPartitions(): Array[InputPartition] = planned._2
+  private def blockSurvivesRuntime(b: GbdFormat.BlockMeta): Boolean =
+    runtimeIds.forall { ids =>
+      // sorted array: any id within [minId, maxId]?
+      val i = java.util.Arrays.binarySearch(ids, b.minId)
+      val at = if (i >= 0) i else -i - 1
+      at < ids.length && ids(at) <= b.maxId
+    }
+
+  private lazy val allBlocks: Seq[(String, GbdFormat.BlockMeta)] =
+    GbdFormat.shardsOf(path).flatMap(p => GbdFormat.readIndex(p).map(b => (p, b)))
+
+  /** Re-evaluated on every call so a runtime filter() delivered between
+    * planning and execution re-prunes (BatchScanExec re-plans partitions
+    * after pushing runtime filters — a cached lazy val would freeze the
+    * pre-filter block list).
+    */
+  private def planNow(): Array[InputPartition] =
+    allBlocks.iterator
+      .filter { case (_, b) => blockSurvives(b) && blockSurvivesRuntime(b) }
+      .map { case (p, b) => GbdBlockPartition(p, b.offset, b.nRecords): InputPartition }
+      .toArray
+
+  override def planInputPartitions(): Array[InputPartition] = planNow()
   override def createReaderFactory(): PartitionReaderFactory =
     new GbdReaderFactory(required.fieldNames)
 
   /** Shows in `.explain` — the pruning evidence plan specs assert on. */
   override def description(): String = {
-    val (total, kept) = (planned._1, planned._2.length)
+    val total = allBlocks.length
+    val kept = allBlocks.count { case (_, b) => blockSurvives(b) }
     s"gbd blocks=$kept/$total cols=${required.fieldNames.mkString(",")} " +
       s"pushed=${pushed.mkString(",")}"
   }
+}
+
+object GbdScan {
+  /** Test observability: (runtime-filter value count, blocks surviving
+    * after the runtime prune) from the most recent `filter()` call.
+    */
+  @volatile var lastRuntime: Option[(Int, Int)] = None
 }
 
 final case class GbdBlockPartition(path: String, offset: Long, nRecords: Int)

@@ -587,7 +587,10 @@ object ScaleCheck {
       // log; null-skew split unions a never-shuffled pass-through branch
       // with a broadcast join on the non-null keys.
       "q465_multi_distinct_expand", "q466_bitemporal_asof",
-      "q467_null_skew_split")
+      "q467_null_skew_split",
+      // wave CII: the manifest join scans only the blocks the runtime
+      // In-set intersects — work scales with the manifest, not the corpus.
+      "q468_gbd_runtime_prune")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
