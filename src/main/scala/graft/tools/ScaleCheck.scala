@@ -590,7 +590,12 @@ object ScaleCheck {
       "q467_null_skew_split",
       // wave CII: the manifest join scans only the blocks the runtime
       // In-set intersects — work scales with the manifest, not the corpus.
-      "q468_gbd_runtime_prune")
+      "q468_gbd_runtime_prune",
+      // wave CIII: each perceptron epoch is one scan-agg (6 total); CF
+      // rides the per-order-bounded co-occurrence join; billing is one
+      // join-agg + a decile window over the customer dictionary.
+      "q469_batch_perceptron", "q470_item_cf_recs",
+      "q471_tiered_billing")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
