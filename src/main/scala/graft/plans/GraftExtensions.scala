@@ -51,6 +51,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => ApproxQuantileRewrite)
     ext.injectOptimizerRule(_ => MaterializedViewRewrite)
+    ext.injectOptimizerRule(_ => InListToJoinRewrite)
     ext.injectFunction(graft.functions.CosineSimilarity.functionDescription)
     ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_ngrams"),

@@ -459,3 +459,43 @@ class CdcApplyProcessor
     }
   }
 }
+
+/** Per-day top-k active users via transformWithState MapState counts —
+  * the "running leaderboard" state shape: one bounded map (user →
+  * count) per day key, updated incrementally per micro-batch, with the
+  * CURRENT top-k emitted after each batch's rows for the key are
+  * folded in. At 100 TB-scale streams the state per key is bounded by
+  * the day's active-user count and the emission by k — nothing buffers
+  * raw events. Input rows are (epochDay, user_id); output rows are
+  * (epochDay, rank, user_id, n_events) ordered by (count desc, user
+  * asc) — a pure function of the counts, so batch-arrival order never
+  * shows in the output.
+  */
+class DailyTopKProcessor(k: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long), (Long, Long, Long, Long)] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{MapState, OutputMode, TTLConfig, TimeMode, TimerValues}
+
+  @transient private var counts: MapState[Long, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    counts = getHandle.getMapState[Long, Long](
+      "counts", Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, Long)],
+      timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+    rows.foreach { case (_, u) =>
+      val c = if (counts.containsKey(u)) counts.getValue(u) else 0L
+      counts.updateValue(u, c + 1L)
+    }
+    counts.iterator().toSeq
+      .sortBy { case (u, c) => (-c, u) }
+      .take(k)
+      .zipWithIndex
+      .map { case ((u, c), i) => (key, i + 1L, u, c) }
+      .iterator
+  }
+}

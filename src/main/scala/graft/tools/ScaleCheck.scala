@@ -595,7 +595,12 @@ object ScaleCheck {
       // rides the per-order-bounded co-occurrence join; billing is one
       // join-agg + a decile window over the customer dictionary.
       "q469_batch_perceptron", "q470_item_cf_recs",
-      "q471_tiered_billing")
+      "q471_tiered_billing",
+      // wave CIV: the leaderboard state is (daily actives) per key with
+      // top-3 emission; the IN-list semi-join broadcasts 64 values; the
+      // equalizer is a per-row decode pass.
+      "q472_stream_topk_state", "q473_inlist_join_rule",
+      "q474_bmp_equalize")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
