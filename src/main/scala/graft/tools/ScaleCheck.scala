@@ -600,7 +600,11 @@ object ScaleCheck {
       // top-3 emission; the IN-list semi-join broadcasts 64 values; the
       // equalizer is a per-row decode pass.
       "q472_stream_topk_state", "q473_inlist_join_rule",
-      "q474_bmp_equalize")
+      "q474_bmp_equalize",
+      // wave CV: Luhn is a per-row digit pass; the SI sweep is two keyed
+      // windows over 2 rows/txn; Q17 is one per-part agg joined back.
+      "q475_luhn_validation", "q476_si_conflict_sweep",
+      "q477_decorrelated_q17")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
