@@ -123,6 +123,7 @@ object SparkEntry {
       graft.queries.Training103.defs ++
       graft.queries.Training104.defs ++
       graft.queries.Training105.defs ++
+      graft.queries.Training106.defs ++
       graft.queries.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -604,7 +604,12 @@ object ScaleCheck {
       // wave CV: Luhn is a per-row digit pass; the SI sweep is two keyed
       // windows over 2 rows/txn; Q17 is one per-part agg joined back.
       "q475_luhn_validation", "q476_si_conflict_sweep",
-      "q477_decorrelated_q17")
+      "q477_decorrelated_q17",
+      // wave CVI: ISO census and Hampel run over the fixed day
+      // dictionary after one fact agg; varint is a lag window per key
+      // column.
+      "q478_iso_week_census", "q479_hampel_filter",
+      "q480_varint_delta_size")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
