@@ -106,15 +106,31 @@ object Training106 {
   private def varintSql(spark: Boolean, docsRel: String, eventsRel: String,
       ordersRel: String): String = {
     val mat = if (spark) "" else "MATERIALIZED "
+    val idiv = if (spark) "div" else "//"
+    // two-level lag: in-bucket deltas ride a KEYED window (1024-key
+    // buckets), bucket-boundary deltas come from a lag over the
+    // metadata-sized bucket list — no single-partition exchange over the
+    // key stream (a bare ORDER BY window would funnel all keys through
+    // one task at 100 TB).
     def leg(src: String, rel: String, key: String) =
       s"""
         SELECT '$src' AS source, CAST(count(*) AS BIGINT) AS n_keys,
                CAST(count(*) * 8 AS BIGINT) AS fixed_bytes,
                CAST(sum(${varintBytes("delta")}) AS BIGINT) AS varint_bytes
         FROM (
-          SELECT $key - lag($key, 1, CAST(0 AS BIGINT))
-                   OVER (ORDER BY $key) AS delta
-          FROM (SELECT DISTINCT $key FROM $rel) t) deltas"""
+          SELECT CASE WHEN ink.pk IS NULL THEN ink.k - bm.prev_mx
+                      ELSE ink.k - ink.pk END AS delta
+          FROM (
+            SELECT k, k $idiv 1024 AS b,
+                   lag(k) OVER (PARTITION BY k $idiv 1024 ORDER BY k) AS pk
+            FROM (SELECT DISTINCT $key AS k FROM $rel) t) ink
+          JOIN (
+            SELECT b, coalesce(lag(mx) OVER (ORDER BY b), CAST(0 AS BIGINT))
+                     AS prev_mx
+            FROM (SELECT k $idiv 1024 AS b, max(k) AS mx
+                  FROM (SELECT DISTINCT $key AS k FROM $rel) t2
+                  GROUP BY 1) bmeta) bm
+            ON bm.b = ink.b) deltas"""
     s"""
       WITH allsrc AS $mat(
         ${leg("documents", docsRel, "doc_id")}
