@@ -609,7 +609,12 @@ object ScaleCheck {
       // dictionary after one fact agg; varint is a lag window per key
       // column.
       "q478_iso_week_census", "q479_hampel_filter",
-      "q480_varint_delta_size")
+      "q480_varint_delta_size",
+      // wave CVII: business days are per-row closed-form arithmetic;
+      // the fiscal mapping is per-row date math + one rollup; cron
+      // expansion joins 5 rules to the day dictionary.
+      "q481_business_days", "q482_fiscal_445",
+      "q483_cron_expansion")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
