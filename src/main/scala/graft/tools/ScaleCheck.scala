@@ -614,7 +614,12 @@ object ScaleCheck {
       // the fiscal mapping is per-row date math + one rollup; cron
       // expansion joins 5 rules to the day dictionary.
       "q481_business_days", "q482_fiscal_445",
-      "q483_cron_expansion")
+      "q483_cron_expansion",
+      // wave CVIII: DRF runs 40 rounds over a 5-row state; knapsack 24
+      // rounds over a 61-row state; newsvendor is one keyed agg + a
+      // 3-candidate cost evaluation pass.
+      "q484_drf_allocation", "q485_knapsack_dp",
+      "q486_newsvendor_quantile")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
