@@ -126,6 +126,7 @@ object SparkEntry {
       graft.queries.Training106.defs ++
       graft.queries.Training107.defs ++
       graft.queries.Training108.defs ++
+      graft.queries.Training109.defs ++
       graft.queries.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

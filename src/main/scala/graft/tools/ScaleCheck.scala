@@ -619,7 +619,10 @@ object ScaleCheck {
       // rounds over a 61-row state; newsvendor is one keyed agg + a
       // 3-candidate cost evaluation pass.
       "q484_drf_allocation", "q485_knapsack_dp",
-      "q486_newsvendor_quantile")
+      "q486_newsvendor_quantile",
+      // wave CIX: the partitioner audit is two agg passes (the bounds
+      // collect is 31 values); Banker's is 5 rounds over a 5-row state.
+      "q487_range_partitioner_balance", "q488_bankers_safety")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
