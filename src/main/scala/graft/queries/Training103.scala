@@ -18,8 +18,10 @@ import graft.{Iterate, QueryDef, Tables}
   *    exact ppm (c²·10⁶ / (n_a·n_b), monotone in cosine so rankings are
   *    float-free), top-3 recommendations per low-key customer excluding
   *    already-owned parts. The co-occurrence self-join is per-order
-  *    bounded (the q143 edge shape); candidate generation is per-user
-  *    bounded by owned-items × neighbors.
+  *    bounded AND capped (deterministic per-basket top-`CfBasketCap`
+  *    items, mirrored in both dialects — the hot-shingle recipe, so one
+  *    10⁴-item basket can no longer square); candidate generation is
+  *    per-user bounded by owned-items × neighbors.
   *  - q471: tiered (bracket) billing — progressive marginal rates
   *    applied to per-customer usage with exact integer bracket clamps,
   *    rolled up by usage decile; the blended average rate is
@@ -71,28 +73,83 @@ object Training103 {
 
   // ---------------------------------------------------------------- q470
 
-  private def cfSql(spark: Boolean, lineitemRel: String, ordersRel: String): String = {
+  /** Per-basket contribution cap for the q470 co-occurrence self-join
+    * (the HotShingleCap recipe, `Dedup.cappedPostings`): each order
+    * contributes at most this many items to the co-occurrence and
+    * item-count statistics, selected DETERMINISTICALLY (lowest part
+    * keys first), so both dialects replay the identical cap and the
+    * query stays hash-oracled with the cap ACTIVE. Without it one hot
+    * basket of k items contributes k² pair rows — Σk² squares on
+    * skewed corpora (a 10⁴-item order at 100× is 10⁸ pairs from one
+    * key). With it the per-basket mass is ≤ cap², corpus-size-
+    * independent. Harness baskets are ≤7 items so the cap does not
+    * bind at any tested SF; PlantedHotBasket spec pins the collapse.
+    * The full (uncapped) basket set still defines `owned` — what a
+    * user already has is exact; only the SIMILARITY statistics are
+    * cap-sampled, the standard trade in item-CF at scale.
+    */
+  private val CfBasketCap = 64
+
+  /** Capped baskets straight off lineitem: the orders join contributes
+    * only the customer key, which the similarity statistics never use
+    * (every lineitem's order exists — harness FK integrity — so the
+    * join never drops basket rows either); keeping the fact-table pass
+    * join-free leaves ONE shuffle (the per-basket rank) before the
+    * pair join.
+    */
+  private def cfOpcSql(lineitemRel: String): String =
+    s"""SELECT ok, p FROM (
+          SELECT ok, p,
+                 row_number() OVER (PARTITION BY ok ORDER BY p) AS rn
+          FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                FROM $lineitemRel) t0) t
+        WHERE rn <= $CfBasketCap"""
+
+  /** The per-user ownership census: the `u <= 20` cohort predicate is
+    * pushed into the orders scan, so this is a broadcast-friendly
+    * selective join — never a corpus-ranking pass.
+    */
+  private def cfOwnedSql(lineitemRel: String, ordersRel: String): String =
+    s"""SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS p
+        FROM $lineitemRel l JOIN $ordersRel o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_custkey <= 20"""
+
+  private def cfNSql(opcRel: String): String =
+    s"""SELECT p, CAST(count(DISTINCT ok) AS BIGINT) AS np
+        FROM $opcRel GROUP BY p"""
+
+  /** Similarity + recommendation stages over pre-staged `opc` (capped
+    * baskets), `owned` (the query's 20-customer cohort), and `n`
+    * (global item counts). Only co-occurrence rows whose LEFT item is
+    * owned by someone in the cohort can ever reach a recommendation,
+    * so that predicate is pushed INTO the pair enumeration: the a-side
+    * joins the owned-part dictionary before pairing, cutting the pair
+    * stream from Σk² to (cohort items per basket)·k while every count
+    * c(pa,pb) stays the exact global statistic (it is a per-basket
+    * count, not a share of the enumeration). Output is bit-identical
+    * to the unrestricted form — the hash oracle stays green. This is
+    * the production recommender shape: candidate generation scoped to
+    * the requesting cohort's neighborhoods, statistics global.
+    */
+  private def cfRestSql(spark: Boolean, opcRel: String,
+      ownedRel: String, nRel: String): String = {
     val mat = if (spark) "" else "MATERIALIZED "
     val idiv = if (spark) "div" else "//"
     s"""
-      WITH op AS $mat(
-        SELECT DISTINCT l.l_orderkey AS ok, l.l_partkey AS p, o.o_custkey AS u
-        FROM $lineitemRel l JOIN $ordersRel o ON o.o_orderkey = l.l_orderkey),
-      n AS $mat(SELECT p, CAST(count(DISTINCT ok) AS BIGINT) AS np
-                FROM op GROUP BY p),
       cooc AS $mat(
         SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS c
-        FROM op a JOIN op b ON b.ok = a.ok AND b.p <> a.p
+        FROM $opcRel a
+        JOIN (SELECT DISTINCT p FROM $ownedRel) w ON w.p = a.p
+        JOIN $opcRel b ON b.ok = a.ok AND b.p <> a.p
         GROUP BY a.p, b.p),
       sim AS $mat(
         SELECT co.pa, co.pb,
                CAST((co.c * co.c * 1000000) $idiv (na.np * nb.np) AS BIGINT)
                  AS sim2_ppm
         FROM cooc co
-        JOIN n na ON na.p = co.pa
-        JOIN n nb ON nb.p = co.pb),
-      owned AS $mat(
-        SELECT DISTINCT u, p FROM op WHERE u <= 20),
+        JOIN $nRel na ON na.p = co.pa
+        JOIN $nRel nb ON nb.p = co.pb),
+      owned AS (SELECT u, p FROM $ownedRel),
       cand AS $mat(
         SELECT ow.u, s.pb AS rec,
                CAST(max(s.sim2_ppm) AS BIGINT) AS score_ppm
@@ -177,9 +234,21 @@ object Training103 {
       (s, d) => {
         t(s, d, "lineitem").createOrReplaceTempView("graft_cf_lineitem")
         t(s, d, "orders").createOrReplaceTempView("graft_cf_orders")
-        s.sql(cfSql(spark = true, "graft_cf_lineitem", "graft_cf_orders"))
+        val opc = Iterate.ckpt(s.sql(cfOpcSql("graft_cf_lineitem")))
+        opc.createOrReplaceTempView("graft_cf_opc")
+        val owned = Iterate.ckpt(s.sql(
+          cfOwnedSql("graft_cf_lineitem", "graft_cf_orders")))
+        owned.createOrReplaceTempView("graft_cf_owned")
+        val n = Iterate.ckpt(s.sql(cfNSql("graft_cf_opc")))
+        n.createOrReplaceTempView("graft_cf_n")
+        s.sql("WITH " + cfRestSql(spark = true,
+          "graft_cf_opc", "graft_cf_owned", "graft_cf_n"))
       },
-      Some(cfSql(spark = false, "lineitem", "orders"))),
+      Some(s"""
+        WITH opc AS MATERIALIZED (${cfOpcSql("lineitem")}),
+        ownedm AS MATERIALIZED (${cfOwnedSql("lineitem", "orders")}),
+        nm AS MATERIALIZED (${cfNSql("opc")}),
+        ${cfRestSql(spark = false, "opc", "ownedm", "nm")}""")),
 
     QueryDef(
       "q471_tiered_billing",

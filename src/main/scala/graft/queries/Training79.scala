@@ -78,7 +78,21 @@ object Training79 {
         val baskets = t(s, d, "lineitem")
           .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
           .distinct().localCheckpoint()
-        val pairs = baskets.as("x").join(baskets.as("y"),
+        // Apriori level-1 prune BEFORE the pair self-join: a pair with
+        // support ≥ minsup needs both items at support ≥ minsup
+        // (anti-monotone), so restricting the join input to frequent
+        // items is bit-identical — same downstream candidates, same
+        // hash — while the pair mass collapses on corpora where most
+        // items are rare. (The same argument covers the exact-support
+        // joins below: every candidate item is frequent.)
+        val freqItems = baskets.groupBy("p")
+          .agg(count(lit(1)).as("s")).filter(col("s") >= minsup)
+          .select("p")
+        val bf = baskets.join(freqItems, Seq("p"), "left_semi")
+          .localCheckpoint() // pair join reads it twice, support joins 3×
+        // SHUFFLE_HASH: the basket self-join's Σk² pair stream is
+        // hash-probed, never sorted (the q143 discipline)
+        val pairs = bf.as("x").hint("shuffle_hash").join(bf.as("y"),
             col("x.o") === col("y.o") && col("x.p") < col("y.p"))
           .groupBy(col("x.p").as("a"), col("y.p").as("b"))
           .agg(count(lit(1)).as("sup"))
@@ -92,12 +106,20 @@ object Training79 {
             col("p2.b").as("c"))
           .join(pairs.select(col("a").as("b"), col("b").as("c")),
             Seq("b", "c"), "left_semi")
-        // exact support of surviving candidates only
-        cands
-          .join(baskets.select(col("o"), col("p").as("a")), "a")
-          .join(baskets.select(col("o"), col("p").as("b")), Seq("o", "b"),
+        // exact support of surviving candidates only. The basket rows
+        // are first cut to items that appear in some candidate — a
+        // BROADCAST semi-join (the candidate dictionary is pair-join-
+        // sized), so the three verification joins below shuffle the
+        // candidate-touching slice of the corpus, not all of it.
+        val cc = graft.Iterate.ckpt(cands)
+        val candItems = cc.selectExpr("explode(array(a, b, c)) AS p").distinct()
+        val bfc = bf.join(broadcast(candItems), Seq("p"), "left_semi")
+          .localCheckpoint() // the three verification joins read it
+        cc
+          .join(bfc.select(col("o"), col("p").as("a")), "a")
+          .join(bfc.select(col("o"), col("p").as("b")), Seq("o", "b"),
             "inner")
-          .join(baskets.select(col("o"), col("p").as("c")), Seq("o", "c"),
+          .join(bfc.select(col("o"), col("p").as("c")), Seq("o", "c"),
             "inner")
           .groupBy("a", "b", "c")
           .agg(count(lit(1)).as("support"))
@@ -111,9 +133,12 @@ object Training79 {
       Some("""
         WITH baskets AS (
           SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        freq AS (SELECT p FROM baskets GROUP BY p HAVING count(*) >= 2),
+        bf AS MATERIALIZED (
+          SELECT b.o, b.p FROM baskets b JOIN freq f ON f.p = b.p),
         pairs AS MATERIALIZED (
           SELECT x.p AS a, y.p AS b
-          FROM baskets x JOIN baskets y ON x.o = y.o AND x.p < y.p
+          FROM bf x JOIN bf y ON x.o = y.o AND x.p < y.p
           GROUP BY 1, 2 HAVING count(*) >= 2),
         cands AS (
           SELECT p1.a, p1.b, p2.b AS c
@@ -124,9 +149,9 @@ object Training79 {
         sup AS (
           SELECT cd.a, cd.b, cd.c, count(*) AS support
           FROM cands cd
-          JOIN baskets ba ON ba.p = cd.a
-          JOIN baskets bb ON bb.p = cd.b AND bb.o = ba.o
-          JOIN baskets bc ON bc.p = cd.c AND bc.o = ba.o
+          JOIN bf ba ON ba.p = cd.a
+          JOIN bf bb ON bb.p = cd.b AND bb.o = ba.o
+          JOIN bf bc ON bc.p = cd.c AND bc.o = ba.o
           GROUP BY 1, 2, 3)
         SELECT a, b, c, CAST(support AS BIGINT) AS support
         FROM sup ORDER BY support DESC, a, b, c LIMIT 20""")),

@@ -21,10 +21,13 @@ import graft.{QueryDef, Tables}
   *    blocked candidate part pairs scored by per-field agreement
   *    weights ln(m/u) / ln((1-m)/(1-u)) in integer micro-nats
   *    (plan-time literals, identical in both dialects), classified
-  *    into link / possible / non-link bands. The blocking
-  *    (2-char name prefix + brand + size±1) bounds the quadratic
-  *    exactly like q89; the FS weight algebra on top is what turns
-  *    "fuzzy pairs" into a calibrated linkage decision.
+  *    into link / possible / non-link bands. Blocking is ADAPTIVE
+  *    (see `fsSql`): a measured block-mass probe escalates blocks
+  *    above the pair budget from the 2-char name prefix to a 6-char
+  *    prefix to the full name (+ brand and size±1 throughout), all
+  *    deterministic so DuckDB replays the escalation; the FS weight
+  *    algebra on top is what turns "fuzzy pairs" into a calibrated
+  *    linkage decision.
   *  - q434: follow-the-leader expert replay with hindsight regret —
   *    arms are event types, rounds are days, reward is the day's
   *    total value in integer micro-units; each day FTL plays the arm
@@ -44,6 +47,70 @@ object Training90 {
   private val SizeA = mlog(0.85 / 0.30); private val SizeD = mlog(0.15 / 0.70)
   private val PriceA = mlog(0.80 / 0.02); private val PriceD = mlog(0.20 / 0.98)
   private val LinkThr = 5000000L
+
+  /** q433 block pair budget: a block whose row count exceeds this
+    * escalates to the next-tighter key. 64² = 4096 comparisons is the
+    * per-block ceiling at every bounded level.
+    */
+  private val FsBlockCap = 64
+
+  /** q433 — Fellegi–Sunter scoring over ADAPTIVELY blocked pairs.
+    * Blocking keys come in three precision levels: L0 = 2-char name
+    * prefix + brand, L1 = 6-char prefix + brand, L2 = full name +
+    * brand. Each row's key is the COARSEST level whose block stays
+    * within `FsBlockCap` rows (the measured block-mass probe the
+    * HotShingleCap/`Dedup.jaccardPairs(dfCap)` recipe uses, applied to
+    * linkage): rows sharing an L1 key share an L0 key, so level
+    * selection is consistent — key equality implies the same level —
+    * and fully DETERMINISTIC, which is what lets DuckDB replay the
+    * escalation and keep the query hash-oracled with the adaptivity
+    * ACTIVE. A static key's blocks grow linearly with the corpus and
+    * their pair mass quadratically (5.6× at 10× in r9); under
+    * escalation only the irreducible identical-name mass remains
+    * quadratic — and those pairs ARE the linkage candidates. The level
+    * tag ('0:'/'1:'/'2:') keeps keys from different levels from
+    * colliding. One SQL string serves both dialects (no dialect
+    * divergence to drift).
+    */
+  private def fsSql(partRel: String): String = s"""
+    WITH p0 AS (
+      SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice,
+             substr(p_name, 1, 2) AS k0, substr(p_name, 1, 6) AS k1
+      FROM $partRel),
+    c0 AS (SELECT k0, p_brand AS br, count(*) AS n FROM p0 GROUP BY k0, p_brand),
+    c1 AS (SELECT k1, p_brand AS br, count(*) AS n FROM p0 GROUP BY k1, p_brand),
+    keyed AS (
+      SELECT p0.p_partkey, p0.p_name, p0.p_brand, p0.p_type, p0.p_size,
+             p0.p_retailprice,
+             CASE WHEN c0.n <= $FsBlockCap THEN concat('0:', p0.k0)
+                  WHEN c1.n <= $FsBlockCap THEN concat('1:', p0.k1)
+                  ELSE concat('2:', p0.p_name) END AS blk
+      FROM p0
+      JOIN c0 ON c0.k0 = p0.k0 AND c0.br = p0.p_brand
+      JOIN c1 ON c1.k1 = p0.k1 AND c1.br = p0.p_brand),
+    pairs AS (
+      SELECT (CASE WHEN levenshtein(a.p_name, b.p_name) <= 4
+              THEN CAST($NameA AS BIGINT) ELSE CAST($NameD AS BIGINT) END)
+           + (CASE WHEN a.p_type = b.p_type
+              THEN CAST($TypeA AS BIGINT) ELSE CAST($TypeD AS BIGINT) END)
+           + (CASE WHEN a.p_size = b.p_size
+              THEN CAST($SizeA AS BIGINT) ELSE CAST($SizeD AS BIGINT) END)
+           + (CASE WHEN abs(CAST(round(a.p_retailprice * 100, 0) AS BIGINT)
+                      - CAST(round(b.p_retailprice * 100, 0) AS BIGINT)) <= 2000
+              THEN CAST($PriceA AS BIGINT) ELSE CAST($PriceD AS BIGINT) END) AS score,
+             CASE WHEN levenshtein(a.p_name, b.p_name) <= 4 THEN 1 ELSE 0 END AS na
+      FROM keyed a JOIN keyed b
+        ON a.blk = b.blk
+       AND a.p_brand = b.p_brand
+       AND abs(a.p_size - b.p_size) <= 1
+       AND a.p_partkey < b.p_partkey)
+    SELECT CASE WHEN score >= $LinkThr THEN 'link'
+                WHEN score >= 0 THEN 'possible'
+                ELSE 'non_link' END AS band,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(score) AS BIGINT) AS sum_score_micro,
+           CAST(sum(na) AS BIGINT) AS n_name_agree
+    FROM pairs GROUP BY 1 ORDER BY band"""
 
   /** q432's grid SQL (the only fact-table-sized step), per dialect. */
   private def haarGridSql(spark: Boolean, ordersRel: String): String = {
@@ -160,55 +227,9 @@ object Training90 {
       "q433_fellegi_sunter_linkage",
       (s, d) => {
         t(s, d, "part").createOrReplaceTempView("graft_fs_part")
-        s.sql(s"""
-          WITH pairs AS (
-            SELECT (CASE WHEN levenshtein(a.p_name, b.p_name) <= 4
-                    THEN ${NameA}L ELSE ${NameD}L END)
-                 + (CASE WHEN a.p_type = b.p_type
-                    THEN ${TypeA}L ELSE ${TypeD}L END)
-                 + (CASE WHEN a.p_size = b.p_size
-                    THEN ${SizeA}L ELSE ${SizeD}L END)
-                 + (CASE WHEN abs(CAST(round(a.p_retailprice * 100, 0) AS BIGINT)
-                            - CAST(round(b.p_retailprice * 100, 0) AS BIGINT)) <= 2000
-                    THEN ${PriceA}L ELSE ${PriceD}L END) AS score,
-                   CASE WHEN levenshtein(a.p_name, b.p_name) <= 4 THEN 1 ELSE 0 END AS na
-            FROM graft_fs_part a JOIN graft_fs_part b
-              ON substring(a.p_name, 1, 2) = substring(b.p_name, 1, 2)
-             AND a.p_brand = b.p_brand
-             AND abs(a.p_size - b.p_size) <= 1
-             AND a.p_partkey < b.p_partkey)
-          SELECT CASE WHEN score >= $LinkThr THEN 'link'
-                      WHEN score >= 0 THEN 'possible'
-                      ELSE 'non_link' END AS band,
-                 count(*) AS n_pairs,
-                 CAST(sum(score) AS BIGINT) AS sum_score_micro,
-                 CAST(sum(na) AS BIGINT) AS n_name_agree
-          FROM pairs GROUP BY 1 ORDER BY band""")
+        s.sql(fsSql("graft_fs_part"))
       },
-      Some(s"""
-        WITH pairs AS (
-          SELECT (CASE WHEN levenshtein(a.p_name, b.p_name) <= 4
-                  THEN $NameA ELSE $NameD END)
-               + (CASE WHEN a.p_type = b.p_type
-                  THEN $TypeA ELSE $TypeD END)
-               + (CASE WHEN a.p_size = b.p_size
-                  THEN $SizeA ELSE $SizeD END)
-               + (CASE WHEN abs(CAST(round(a.p_retailprice * 100, 0) AS BIGINT)
-                          - CAST(round(b.p_retailprice * 100, 0) AS BIGINT)) <= 2000
-                  THEN $PriceA ELSE $PriceD END) AS score,
-                 CASE WHEN levenshtein(a.p_name, b.p_name) <= 4 THEN 1 ELSE 0 END AS na
-          FROM part a JOIN part b
-            ON substr(a.p_name, 1, 2) = substr(b.p_name, 1, 2)
-           AND a.p_brand = b.p_brand
-           AND abs(a.p_size - b.p_size) <= 1
-           AND a.p_partkey < b.p_partkey)
-        SELECT CASE WHEN score >= $LinkThr THEN 'link'
-                    WHEN score >= 0 THEN 'possible'
-                    ELSE 'non_link' END AS band,
-               CAST(count(*) AS BIGINT) AS n_pairs,
-               CAST(sum(score) AS BIGINT) AS sum_score_micro,
-               CAST(sum(na) AS BIGINT) AS n_name_agree
-        FROM pairs GROUP BY 1 ORDER BY band""")),
+      Some(fsSql("part"))),
 
     QueryDef(
       "q434_ftl_expert_replay",

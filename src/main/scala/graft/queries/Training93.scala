@@ -124,25 +124,51 @@ object Training93 {
       GROUP BY t.na, t.nb, b.mx, b.mn"""
   }
 
-  private def rulesSql(spark: Boolean, liRel: String): String = {
+  /** Pair support floor for q443. Applied TWICE: as the final HAVING
+    * and — Apriori's anti-monotone property — as a pre-enumeration
+    * semi-join on the items (a pair in ≥3 baskets needs BOTH items in
+    * ≥3 baskets), so the `op × op` self-join only ever sees frequent
+    * items. Output is bit-identical to the unpruned form (the r9 hash
+    * oracle is unchanged); pair mass collapses on skewed corpora where
+    * most items are rare (PlantedHotBasket spec pins the collapse).
+    */
+  private val RuleMinSup = 3
+
+  /** Everything past the basket/item/frequent-item staging, shared by
+    * both dialects. The Spark side materializes `op`/`item`/`opf` ONCE
+    * as checkpointed views (a plain CTE is re-inlined at every
+    * reference — the unstaged form scanned and re-distinct'd lineitem
+    * FOUR times: n_orders, item, and both sides of the pair join);
+    * DuckDB materializes the same stages in-SQL.
+    */
+  private def rulesOpSql(liRel: String): String =
+    s"SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM $liRel"
+
+  private def rulesItemSql(opRel: String): String =
+    s"SELECT p, CAST(count(*) AS BIGINT) AS supp FROM $opRel GROUP BY p"
+
+  private def rulesOpfSql(opRel: String, itemRel: String): String =
+    s"""SELECT op.o, op.p FROM $opRel op
+        JOIN $itemRel it ON it.p = op.p AND it.supp >= $RuleMinSup"""
+
+  private def rulesRestSql(spark: Boolean, opRel: String, itemRel: String,
+      opfRel: String): String = {
     val idiv = if (spark) "div" else "//"
     s"""
-      WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM $liRel),
-      n_orders AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n FROM op),
-      item AS (SELECT p, CAST(count(*) AS BIGINT) AS supp FROM op GROUP BY p),
+      n_orders AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n FROM $opRel),
       pair AS (
         SELECT a.p AS x, b.p AS y, CAST(count(*) AS BIGINT) AS supp_xy
-        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        FROM $opfRel a JOIN $opfRel b ON a.o = b.o AND a.p < b.p
         GROUP BY a.p, b.p
-        HAVING count(*) >= 3),
+        HAVING count(*) >= $RuleMinSup),
       rules AS (
         SELECT r.x, r.y, r.supp_xy,
                (r.supp_xy * 1000000) $idiv ix.supp AS conf_ppm,
                (r.supp_xy * n.n * 1000000) $idiv (ix.supp * iy.supp) AS lift_ppm
         FROM (SELECT x, y, supp_xy FROM pair
               UNION ALL SELECT y AS x, x AS y, supp_xy FROM pair) r
-        JOIN item ix ON ix.p = r.x
-        JOIN item iy ON iy.p = r.y
+        JOIN $itemRel ix ON ix.p = r.x
+        JOIN $itemRel iy ON iy.p = r.y
         CROSS JOIN n_orders n)
       SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
              supp_xy, CAST(conf_ppm AS BIGINT) AS conf_ppm,
@@ -173,8 +199,20 @@ object Training93 {
       "q443_association_rules",
       (s, d) => {
         t(s, d, "lineitem").createOrReplaceTempView("graft_ar_lineitem")
-        s.sql(rulesSql(spark = true, "graft_ar_lineitem"))
+        val op = graft.Iterate.ckpt(s.sql(rulesOpSql("graft_ar_lineitem")))
+        op.createOrReplaceTempView("graft_ar_op")
+        val item = graft.Iterate.ckpt(s.sql(rulesItemSql("graft_ar_op")))
+        item.createOrReplaceTempView("graft_ar_item")
+        val opf = graft.Iterate.ckpt(
+          s.sql(rulesOpfSql("graft_ar_op", "graft_ar_item")))
+        opf.createOrReplaceTempView("graft_ar_opf")
+        s.sql("WITH " + rulesRestSql(spark = true,
+          "graft_ar_op", "graft_ar_item", "graft_ar_opf"))
       },
-      Some(rulesSql(spark = false, "lineitem"))),
+      Some(s"""
+        WITH op AS MATERIALIZED (${rulesOpSql("lineitem")}),
+        item AS MATERIALIZED (${rulesItemSql("op")}),
+        opf AS MATERIALIZED (${rulesOpfSql("op", "item")}),
+        ${rulesRestSql(spark = false, "op", "item", "opf")}""")),
   )
 }
