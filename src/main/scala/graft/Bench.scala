@@ -30,6 +30,19 @@ object Bench {
     "q49_cosine_topk",
     "q52_kmeans_embeddings")
 
+  /** The roster's expensive tail (round-9 verdict item 6): the headline
+    * set is all sub-2s queries, so a regression in the expensive family
+    * (exact percentile layout scoring, end-to-end capped-LSH dedup, the
+    * dispatched triangle count) was only visible in ScaleCheck. These
+    * are timed with the same cold+warm discipline and reported as
+    * `heavy_total`/`queries_heavy`, SEPARATE from `value` so the
+    * headline stays comparable across rounds r1-r9.
+    */
+  val heavy: Seq[String] = Seq(
+    "q143_triangle_count",
+    "q318_zorder_layout",
+    "q350_dedup_canonical_quality")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -124,6 +137,7 @@ object Bench {
     waferInput.unpersist()
 
     val timed = headline.map(n => n -> coldThenWarm(n))
+    val heavyTimed = heavy.map(n => n -> coldThenWarm(n))
     val results = timed.map { case (n, (_, med, _, _)) => n -> med } :+
       ("wafer_pipeline_63909" -> waferSecs)
     val spreads = timed.map { case (n, (_, _, lo, hi)) => n -> (lo, hi) } :+
@@ -132,9 +146,12 @@ object Bench {
     val sjson = spreads.map { case (k, (lo, hi)) => s""""$k":[$lo,$hi]""" }
       .mkString("{", ",", "}")
     val cjson = timed.map { case (k, (c, _, _, _)) => s""""$k":$c""" }.mkString("{", ",", "}")
+    val hjson = heavyTimed.map { case (k, (_, med, _, _)) => s""""$k":$med""" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val coldTotal = timed.map(_._2._1).filter(_ >= 0).sum
-    println(s"""{"metric":"headline_total","value":$total,"unit":"sec","mode":"warm_median_of_3","cold_total":$coldTotal,"queries":$qjson,"queries_minmax":$sjson,"queries_cold":$cjson,"sf":"$sfDir"}""")
+    val heavyTotal = heavyTimed.map(_._2._2).filter(_ >= 0).sum
+    println(s"""{"metric":"headline_total","value":$total,"unit":"sec","mode":"warm_median_of_3","cold_total":$coldTotal,"heavy_total":$heavyTotal,"queries":$qjson,"queries_minmax":$sjson,"queries_cold":$cjson,"queries_heavy":$hjson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -513,6 +513,13 @@ object Similarity {
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
     val emb = df.select(col(idCol), col(vecCol))
+    // The probe re-derives subDim as dim / subspaces from the stored
+    // coarse centroids; a build whose subspaces*subDim disagrees with
+    // the vector dimension would slice DIFFERENT sub-vectors at build
+    // vs probe and return silently wrong ADC distances. Fail the build.
+    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    require(subspaces * subDim == dim,
+      s"buildIvfPqIndex: subspaces($subspaces) * subDim($subDim) != vector dim($dim)")
     val coarseF = Future(DeterministicKMeans.fit(emb, idCol, vecCol, nlist, iters))
     val pqF = (0 until subspaces).map { s =>
       Future(DeterministicKMeans.fit(

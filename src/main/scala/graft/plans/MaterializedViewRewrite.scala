@@ -47,7 +47,20 @@ object MaterializedViewRewrite extends Rule[LogicalPlan] {
     */
   def register(spark: SparkSession, basePath: String, mvPath: String,
       groupCol: String, sumCols: Set[String]): Unit = {
-    rootPathOf(spark.read.parquet(basePath).queryExecution.analyzed)
+    val base = spark.read.parquet(basePath)
+    // sum over DecimalType widens with every re-aggregation level
+    // (sum(x): precision+10, sum(sum_x): +20) — the rewrite would hand
+    // parents a stale narrower dataType under the original exprId.
+    // Integral/floating sums re-aggregate to the same type; decimals
+    // are refused here, where the MV author can see it.
+    sumCols.foreach { c =>
+      base.schema.find(_.name == c).foreach { f =>
+        require(!f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType],
+          s"MV register($basePath): sum column '$c' is ${f.dataType}; " +
+            "DecimalType sums change precision under re-aggregation — not supported")
+      }
+    }
+    rootPathOf(base.queryExecution.analyzed)
       .foreach { p =>
         registry.put(p, MvDef(mvPath, groupCol, sumCols))
         ()
@@ -123,6 +136,14 @@ object MaterializedViewRewrite extends Rule[LogicalPlan] {
         }
       case other => sys.error(s"unreachable: $other")
     }
-    Aggregate(Seq(mvG), newAggs, mvPlan)
+    // Type guard (belt to register()'s decimal braces): the rewrite
+    // reuses the original exprIds, so a re-aggregated expression whose
+    // dataType differs from the original output would hand every parent
+    // a stale type. Bail out to the base plan on any mismatch — a
+    // rewrite that doesn't fire is only a slow query.
+    val typesOk = newAggs.zip(agg.aggregateExpressions).forall {
+      case (n, o) => n.dataType == o.dataType
+    }
+    if (typesOk) Aggregate(Seq(mvG), newAggs, mvPlan) else agg
   }
 }

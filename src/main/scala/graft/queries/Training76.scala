@@ -27,6 +27,11 @@ import graft.operators.{DeterministicKMeans, EquiDepthBins}
   *    ⌈partial/2⌉). The exact recount rides along as the witness and
   *    the bound flag is pinned TRUE — summary-answerable queries are
   *    how a 100 TB engine serves dashboards without touching the fact.
+  *    THIS exact-percentile form is the ORACLE TRUTH; the declared
+  *    plan that survives 100 TB is its sketch-boundary twin
+  *    q489_histogram_answering_sketch (one mergeable approx_percentile
+  *    agg, slab-population + error-bound contract gates — the
+  *    q318→q344 recipe) — reach for q489 at scale.
   */
 object Training76 {
   private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)

@@ -348,10 +348,19 @@ final class GbdScan(path: String, required: StructType, pushed: Array[Filter])
     Array(org.apache.spark.sql.connector.expressions.Expressions.column("doc_id"))
 
   override def filter(filters: Array[Filter]): Unit = {
+    // Pruning is only SOUND if the kept id set is a superset of the
+    // matching ids: a value the Long conversion doesn't cover (a Decimal
+    // or String arriving through some future cast on doc_id) must
+    // disable runtime pruning for the scan entirely — silently dropping
+    // it from the set would prune blocks that hold genuinely matching
+    // rows (missing results, not a slow query).
     runtimeIds = filters.collectFirst {
       case org.apache.spark.sql.sources.In("doc_id", vs) =>
-        vs.iterator.flatMap(asLong).toArray.sorted
-    }
+        val converted = vs.map(asLong)
+        if (converted.forall(_.isDefined))
+          Some(converted.flatten.sorted)
+        else None // unconvertible value => no-op, never unsound
+    }.flatten
     GbdScan.lastRuntime = runtimeIds.map(ids => (ids.length, planNow().length))
   }
 

@@ -622,7 +622,10 @@ object ScaleCheck {
       "q486_newsvendor_quantile",
       // wave CIX: the partitioner audit is two agg passes (the bounds
       // collect is 31 values); Banker's is 5 rounds over a 5-row state.
-      "q487_range_partitioner_balance", "q488_bankers_safety")
+      "q487_range_partitioner_balance", "q488_bankers_safety",
+      // wave CX: q396's sketch twin — one mergeable approx_percentile
+      // agg + one slab-census scan + the exact witness scan.
+      "q489_histogram_answering_sketch")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
@@ -644,12 +647,32 @@ object ScaleCheck {
       catch { case e: Throwable => println(s"[scale] $name FAILED: $e"); return -1 }
       (System.nanoTime() - t0) / 1e9
     }
+    // Queries whose fn stages tables/indexes IDEMPOTENTLY (tableExists /
+    // _SUCCESS-gated writes): their first N× run pays a one-time staging
+    // write a deployment amortizes over every subsequent query, so the
+    // end-to-end ratio reads as a scale failure when the query itself is
+    // flat (r9 ledger: q340 20.5×, q392 11.8×, q386 6.1×, q406 5.6×,
+    // q375 3.1× — all staging). For these, run the N× leg twice: the
+    // second run hits the staged artifact and times the QUERY; the
+    // difference is reported as stage_s. (The 1× leg is already
+    // query-only — its untimed warm-up run pays the 1× staging.)
+    val stagedQueries = Set(
+      "q340_gbd_agg_pushdown", "q375_dynamic_partition_pruning",
+      "q386_partition_evolution", "q392_bucket_pruning",
+      "q406_nested_schema_pruning")
     println(f"[scale] ${"query"}%-24s 1x_sec  ${factor}x_sec  ratio")
     queries.filter(q => only.forall(_.exists(q.startsWith))).foreach { q =>
       timeIt(sfDir, q) // warm codegen/JIT on the small side
       val t1 = timeIt(sfDir, q)
-      val tn = timeIt(out, q)
-      println(f"[scale] $q%-24s $t1%6.2f  $tn%7.2f  ${tn / t1}%5.1f")
+      if (stagedQueries(q)) {
+        val tTotal = timeIt(out, q) // staging write + query
+        val tn = timeIt(out, q) // query against the staged artifact
+        println(f"[scale] $q%-24s $t1%6.2f  $tn%7.2f  ${tn / t1}%5.1f" +
+          f"  (stage ${tTotal - tn}%.2f s, stage+query $tTotal%.2f s)")
+      } else {
+        val tn = timeIt(out, q)
+        println(f"[scale] $q%-24s $t1%6.2f  $tn%7.2f  ${tn / t1}%5.1f")
+      }
     }
 
     def row(name: String, t1: Double, tn: Double): Unit =
@@ -671,8 +694,14 @@ object ScaleCheck {
         }
         try { if (warm) once(); once() } finally { in.unpersist(); () }
       }
-      row("wafer_pipeline", waferAt(63909L, warm = true),
-        waferAt(63909L * factor, warm = false))
+      val w1 = waferAt(63909L, warm = true)
+      row("wafer_pipeline", w1, waferAt(63909L * factor, warm = false))
+      // the 100× row (6.39M rows): the flagship composed pipeline's
+      // "survives 100× scale-up" evidence — every stage is a keyed agg,
+      // a broadcast bounds-join, or a seed-pinned KMeans over the same
+      // row count, so the expectation is ≤ 20× wall at 100× data
+      if (factor == 10)
+        row("wafer_pipeline_100x", w1, waferAt(63909L * 100, warm = false))
     }
 
     // Snapshot READ-BACK half of the storage family (q232-q234 are
