@@ -977,4 +977,26 @@ class PlanSpec extends SparkSpec {
     assert(readSchema.contains("o_orderkey") && !readSchema.contains("o_totalprice"),
       readSchema)
   }
+
+  test("r10 quadratic closures: plan shapes stay scale-safe") {
+    // q470: the per-user top-3 is pruned MAP-SIDE (WindowGroupLimit
+    // partial) before the one user shuffle, and nothing funnels through
+    // a single partition
+    val p470 = plan("q470_item_cf_recs")
+    assert(p470.contains("WindowGroupLimit"), p470)
+    assert(!p470.contains("Exchange SinglePartition"), p470)
+    // q443: top-20 rules ride TakeOrderedAndProject (map-side partial
+    // heaps), never a global sort
+    val p443 = plan("q443_association_rules")
+    assert(p443.contains("TakeOrderedAndProject"), p443)
+    assert(!p443.contains("Exchange SinglePartition"), p443)
+    // q433: the adaptive-block pair join stays an equi-join on the
+    // derived key — no cartesian product anywhere
+    val p433 = plan("q433_fellegi_sunter_linkage")
+    assert(!p433.contains("CartesianProduct"), p433)
+    // q255: the order-statistic lookup is a literal expression — no
+    // per-row join, no single-partition exchange for the dictionary
+    val p255 = plan("q255_quantile_normalize")
+    assert(!p255.contains("Exchange SinglePartition"), p255)
+  }
 }
