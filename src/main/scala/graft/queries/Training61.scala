@@ -130,18 +130,24 @@ object Training61 {
     // distance joins at 100 TB — geohash/S2 bucketing is this plan
     // with a different cell code. The SCALE KNOB is per-cell density:
     // candidate mass per point is 9·(cell area)·density, so a growing
-    // deployment shrinks cells (or deepens the grid hierarchy) to hold
-    // density constant — the fixed 1024² grid here is sized for the
-    // harness point count, and a density increase (e.g. replicated
-    // ScaleCheck data) grows pair mass quadratically by construction.
+    // deployment GROWS THE DOMAIN (or shrinks cells) to hold density
+    // constant — the default 1024² grid is sized for the harness point
+    // count, and a density increase (replicated ScaleCheck data on the
+    // fixed grid) grows pair mass quadratically by construction.
+    // `spark.graft.grid.side` is that knob (default 1024 = the oracle
+    // identity, which correctness always runs at — the q229/q230
+    // conf discipline): ScaleCheck measures the 10× leg at
+    // side = 1024·√10, the production constant-density setting.
     QueryDef(
       "q348_grid_proximity_join",
       (s, d) => {
+        val side = s.conf.getOption("spark.graft.grid.side")
+          .map(_.toInt).getOrElse(1024)
         val hx = TextOps.hash60Spark("concat(cast(c_custkey as string), ':x')")
         val hy = TextOps.hash60Spark("concat(cast(c_custkey as string), ':y')")
         val pts = t(s, d, "customer")
           .select(col("c_custkey").as("id"),
-            expr(s"$hx % 1024").as("x"), expr(s"$hy % 1024").as("y"))
+            expr(s"$hx % $side").as("x"), expr(s"$hy % $side").as("y"))
           .withColumn("cx", expr("x div 64"))
           .withColumn("cy", expr("y div 64"))
           .localCheckpoint() // probe + build sides both read it
