@@ -128,15 +128,20 @@ object Training48 {
           .withColumn("z", expr(morton10("a", "b")))
           .withColumn("k", col("a") * 1024 + col("b"))
           .localCheckpoint() // boundary aggs + both folds read it
-        def layoutArea(keyCol: String, name: String): DataFrame = {
-          // boundaries collected to the driver (63 values — bounded)
-          // and embedded as a LITERAL binary-search CASE tree: 6
-          // codegen'd compares per row instead of an interpreted
-          // 63-element lambda fold (the fold form measured 40x slower
-          // here; the linear chain ~4x slower at 10x)
-          val bs = keyed.agg(
-            expr(s"transform(percentile($keyCol, array($qs)), q -> round(q, 6))")
-              .as("bs")).head().getSeq[Double](0)
+        // BOTH layouts' exact boundary grids from ONE percentile
+        // aggregation pass (they read the same checkpointed frame —
+        // two separate aggs paid the scan + percentile buffering
+        // twice), collected to the driver (2×63 values — bounded)
+        // and embedded as LITERAL binary-search CASE trees: 6
+        // codegen'd compares per row instead of an interpreted
+        // 63-element lambda fold (the fold form measured 40x slower
+        // here; the linear chain ~4x slower at 10x)
+        val bothBs = keyed.agg(
+          expr(s"transform(percentile(z, array($qs)), q -> round(q, 6))")
+            .as("zbs"),
+          expr(s"transform(percentile(k, array($qs)), q -> round(q, 6))")
+            .as("kbs")).head()
+        def layoutArea(keyCol: String, bs: Seq[Double], name: String): DataFrame = {
           val caseExpr = graft.operators.EquiDepthBins.searchCountExpr(
             keyCol, bs.map(b => s"${b}D"), strict = true)
           keyed
@@ -147,8 +152,8 @@ object Training48 {
             .agg(sum("area").as("sum_area"))
             .select(lit(name).as("layout"), col("sum_area"))
         }
-        val z = layoutArea("z", "zorder")
-        val lin = layoutArea("k", "linear")
+        val z = layoutArea("z", bothBs.getSeq[Double](0), "zorder")
+        val lin = layoutArea("k", bothBs.getSeq[Double](1), "linear")
         z.unionByName(lin)
           .crossJoin(broadcast(
             z.select(col("sum_area").as("za"))
