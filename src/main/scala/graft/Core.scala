@@ -137,6 +137,37 @@ object Iterate {
   }
 }
 
+/** Content-fingerprinted staging keys for idempotent tmp-dir caches.
+  *
+  * A staged artifact keyed only by the dataset PATH (or worse, its
+  * 32-bit hashCode) silently serves STALE derived data when the
+  * harness regenerates the parquet in place between runs — the
+  * correctness gate would then compare old staged facts against the
+  * oracle's fresh reads (the Training67 MV advisory, generalized).
+  * This key folds in each source table's per-file size + mtime, so a
+  * regenerated source gets a fresh staging root, and md5 of the full
+  * path (vs String.hashCode) keeps two datasets from colliding.
+  */
+object Stage {
+  def key(d: String, tables: String*): String = {
+    import java.nio.file.{Files, Path, Paths}
+    def entryFp(p: Path): String =
+      s"${p.getFileName}:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
+    val fp = tables.map { t =>
+      val base = Paths.get(s"$d/$t.parquet")
+      val entries =
+        if (Files.isDirectory(base)) {
+          import scala.jdk.CollectionConverters._
+          Files.list(base).iterator().asScala.toSeq
+            .sortBy(_.getFileName.toString)
+        } else Seq(base)
+      entries.map(entryFp).mkString(",")
+    }.mkString(s"$d|", ";", "")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(fp.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+  }
+}
+
 object Num {
   /** Order-independent double sum: cast each term to DECIMAL(28,6), sum
     * exactly, cast back. SQL mirror: CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE).

@@ -31,26 +31,14 @@ object Training67 {
     * whichever runs first.
     */
   private[queries] def withDocsMv(s: SparkSession, d: String): DataFrame = {
-    // The MV cache key carries a BASE-CONTENT fingerprint (per-file
-    // size + mtime of the base parquet), not just the path: a testdata
-    // dir regenerated in place gets a fresh MV instead of a silently
-    // stale one, and md5 of the full path (vs String.hashCode) keeps
-    // two datasets from colliding onto one artifact.
-    val base = java.nio.file.Paths.get(s"$d/documents.parquet")
-    val entries =
-      if (java.nio.file.Files.isDirectory(base)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.list(base).iterator().asScala
-          .toSeq.sortBy(_.getFileName.toString)
-      } else Seq(base)
-    val fpInput = entries.map(p =>
-      s"${p.getFileName}:${java.nio.file.Files.size(p)}:" +
-        s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}")
-      .mkString(s"$d|", ",", "")
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(fpInput.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    // The MV cache key carries a BASE-CONTENT fingerprint
+    // (graft.Stage.key: per-file size + mtime + md5 of the full path),
+    // not just the path: a testdata dir regenerated in place gets a
+    // fresh MV instead of a silently stale one, and two datasets can
+    // never collide onto one artifact.
     val mvPath = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_mv_docs_$key").toString
+      sys.props("java.io.tmpdir"),
+      s"graft_mv_docs_${graft.Stage.key(d, "documents")}").toString
     val docs = t(s, d, "documents")
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(mvPath, "_SUCCESS"))) {

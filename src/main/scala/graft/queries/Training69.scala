@@ -105,7 +105,7 @@ object Training69 {
       (s, d) => {
         val root = java.nio.file.Paths.get(
           sys.props("java.io.tmpdir"),
-          s"graft_dpp_${Integer.toHexString(d.hashCode)}").toString
+          s"graft_dpp_${graft.Stage.key(d, "orders")}").toString
         if (!java.nio.file.Files.exists(
             java.nio.file.Paths.get(root, "_SUCCESS"))) {
           t(s, d, "orders")

@@ -121,7 +121,7 @@ object Training73 {
       (s, d) => {
         val root = java.nio.file.Paths.get(
           sys.props("java.io.tmpdir"),
-          s"graft_pspec_${Integer.toHexString(d.hashCode)}").toString
+          s"graft_pspec_${graft.Stage.key(d, "events")}").toString
         if (!java.nio.file.Files.exists(
             java.nio.file.Paths.get(root, "_DONE"))) {
           val ev = t(s, d, "events").selectExpr("event_id", "user_id",

@@ -78,7 +78,7 @@ object Training80 {
       (s, d) => {
         val root = java.nio.file.Paths.get(
           sys.props("java.io.tmpdir"),
-          s"graft_nested_${Integer.toHexString(d.hashCode)}").toString
+          s"graft_nested_${graft.Stage.key(d, "orders")}").toString
         if (!java.nio.file.Files.exists(
             java.nio.file.Paths.get(root, "_SUCCESS"))) {
           t(s, d, "orders").selectExpr("o_orderkey",

@@ -145,13 +145,13 @@ object GbdFormat {
     * safe.
     */
   def stageDocuments(spark: SparkSession, sfDir: String, blockRecords: Int = 512): String = {
-    // cache key carries the block geometry: stagers asking for different
-    // blockRecords must not share a shard (the harness parquet itself is
-    // read-only, so content staleness is not a concern here)
-    // md5 of the full path, not String.hashCode: two dataset dirs with
-    // colliding 32-bit hashes must not silently share a staged shard
-    val dirKey = java.security.MessageDigest.getInstance("MD5")
-      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    // cache key carries the block geometry (stagers asking for different
+    // blockRecords must not share a shard) AND the source's content
+    // fingerprint (graft.Stage.key: per-file size+mtime + md5 of the
+    // full path) — a documents.parquet regenerated in place gets a
+    // fresh shard instead of silently serving stale blocks, and two
+    // dataset dirs can never collide onto one shard
+    val dirKey = graft.Stage.key(sfDir, "documents")
     val path = Paths.get(
       sys.props("java.io.tmpdir"),
       s"graft_gbd_${dirKey}_b$blockRecords.gbd").toString
