@@ -84,6 +84,29 @@ object Bench {
     }
     val benchDir = staged
 
+    // In-run drift calibration (round-10 verdict item 1): a FIXED
+    // synthetic no-I/O query — seeded range → hash project → 997-group
+    // agg, constant size forever — timed with the same cold+warm
+    // discipline and reported as calibration_s. Two rounds' headline
+    // numbers are only comparable after dividing out their calibration
+    // constants: r10's driver headline (11.65 s) disagreed with a
+    // same-code same-box run (9.74 s) by 20% and nothing in the
+    // recorded JSON could attribute it to machine drift. A second
+    // measurement AFTER the workload (calibration_end_s) brackets
+    // drift WITHIN the run as well.
+    import org.apache.spark.sql.functions.{count => fcount, expr, lit, sum => fsum}
+    def calibOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 200000000L, 1, 32)
+        .selectExpr("(id * 2654435761L) % 1000003 AS h")
+        .groupBy(expr("h % 997"))
+        .agg(fcount(lit(1)).as("n"), fsum(expr("h")).as("s"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibCold = calibOnce()
+    val calibWarm = Seq(calibOnce(), calibOnce(), calibOnce()).sorted.apply(1)
+
     val qs = SparkEntry.queries
     def runOne(name: String): Double = {
       val t0 = System.nanoTime()
@@ -138,6 +161,7 @@ object Bench {
 
     val timed = headline.map(n => n -> coldThenWarm(n))
     val heavyTimed = heavy.map(n => n -> coldThenWarm(n))
+    val calibEnd = Seq(calibOnce(), calibOnce(), calibOnce()).sorted.apply(1)
     val results = timed.map { case (n, (_, med, _, _)) => n -> med } :+
       ("wafer_pipeline_63909" -> waferSecs)
     val spreads = timed.map { case (n, (_, _, lo, hi)) => n -> (lo, hi) } :+
@@ -151,7 +175,7 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val coldTotal = timed.map(_._2._1).filter(_ >= 0).sum
     val heavyTotal = heavyTimed.map(_._2._2).filter(_ >= 0).sum
-    println(s"""{"metric":"headline_total","value":$total,"unit":"sec","mode":"warm_median_of_3","cold_total":$coldTotal,"heavy_total":$heavyTotal,"queries":$qjson,"queries_minmax":$sjson,"queries_cold":$cjson,"queries_heavy":$hjson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"headline_total","value":$total,"unit":"sec","mode":"warm_median_of_3","cold_total":$coldTotal,"heavy_total":$heavyTotal,"calibration_s":$calibWarm,"calibration_cold_s":$calibCold,"calibration_end_s":$calibEnd,"queries":$qjson,"queries_minmax":$sjson,"queries_cold":$cjson,"queries_heavy":$hjson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

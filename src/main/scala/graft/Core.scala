@@ -155,11 +155,15 @@ object Stage {
       s"${p.getFileName}:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
     val fp = tables.map { t =>
       val base = Paths.get(s"$d/$t.parquet")
+      require(Files.exists(base), s"Stage.key: table '$t' not found at $base")
       val entries =
         if (Files.isDirectory(base)) {
           import scala.jdk.CollectionConverters._
-          Files.list(base).iterator().asScala.toSeq
-            .sortBy(_.getFileName.toString)
+          // Files.list holds an fd until closed — and key() runs on every
+          // execution of each staged query, so a leak accumulates fast.
+          val st = Files.list(base)
+          try st.iterator().asScala.toSeq.sortBy(_.getFileName.toString)
+          finally st.close()
         } else Seq(base)
       entries.map(entryFp).mkString(",")
     }.mkString(s"$d|", ";", "")

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact global row numbers / NTILE without a global window.
+  *
+  * `row_number() OVER (ORDER BY ...)` (and `ntile`) with no PARTITION BY
+  * funnels EVERY row through ONE task — fine on a 15k-row dictionary,
+  * a single-partition wall on a dimension that is billions of rows at
+  * 100 TB. This is the classic two-phase rank:
+  *
+  *   1. range-partition on the sort key (each partition holds a
+  *      contiguous key range; partition i's keys all precede
+  *      partition i+1's),
+  *   2. sort WITHIN partitions (partition-parallel, no global sort),
+  *   3. number rows with `monotonically_increasing_id` —
+  *      `partitionId << 33 | local row index`, the zipWithIndex
+  *      discipline without leaving Dataset-land,
+  *   4. collect the per-partition row COUNTS (≤ shuffle-partition-count
+  *      rows — bounded, never data-sized), prefix-sum them into
+  *      offsets, and broadcast-join the tiny offset table back:
+  *      global rank = local index + partition offset + 1.
+  *
+  * Every stage is partition-parallel; nothing data-sized ever meets a
+  * single task. `order` must be a TOTAL order (include a unique
+  * tiebreak column) — the same determinism contract a global
+  * row_number carries. The range exchange + partition-local sort are
+  * pinned with an eager localCheckpoint so the offset-count job and
+  * the final pass see identical partitions and row orders.
+  */
+object ScalableRank {
+  private val LocalIdxMask = (1L << 33) - 1 // monotonically_increasing_id layout
+
+  /** `df` plus `outCol` = exact 1-based global row number under `order`. */
+  def withRowNumber(df: DataFrame, order: Seq[Column], outCol: String): DataFrame =
+    numbered(df, order, outCol)._1
+
+  /** `df` plus `outCol` = SQL-standard NTILE(buckets) under `order`
+    * (first n%buckets buckets hold one extra row), IntegerType like the
+    * built-in ntile. Total row count comes free from the offset table —
+    * no extra pass.
+    */
+  def withNtile(df: DataFrame, buckets: Int, order: Seq[Column], outCol: String): DataFrame = {
+    require(buckets >= 1, s"withNtile: buckets must be >= 1, got $buckets")
+    val (ranked, n) = numbered(df, order, "__sr_rank")
+    val q = n / buckets
+    val r = n % buckets
+    val cut = r * (q + 1) // ranks 1..cut land in the r padded buckets
+    ranked
+      .withColumn(outCol, expr(
+        s"""CAST(CASE WHEN __sr_rank <= ${cut}L
+            THEN (__sr_rank - 1) div ${q + 1}L + 1
+            ELSE ${r}L + (__sr_rank - ${cut}L - 1) div ${math.max(q, 1L)}L + 1
+            END AS INT)"""))
+      .drop("__sr_rank")
+  }
+
+  private def numbered(df: DataFrame, order: Seq[Column], outCol: String): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    // ckpt AFTER the partition-local sort: both downstream jobs (offset
+    // counts, final numbering) then recompute only the id projection
+    // over frozen partitions, so the ids are stable across actions.
+    val sorted = graft.Iterate.ckpt(
+      df.repartitionByRange(order: _*).sortWithinPartitions(order: _*))
+    val ids = sorted
+      .withColumn("__sr_mid", monotonically_increasing_id())
+      .withColumn("__sr_pid", expr("shiftright(__sr_mid, 33)"))
+    // bounded collect: one (pid, count) row per shuffle partition
+    val counts = ids.groupBy("__sr_pid").agg(count(lit(1)).as("c"))
+      .collect()
+      .map(row => (row.getLong(0), row.getLong(1)))
+      .sortBy(_._1)
+    val n = counts.map(_._2).sum
+    val offsets = counts.map(_._1).zip(counts.map(_._2).scanLeft(0L)(_ + _).init)
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__sr_pid", "__sr_off")
+    val out = ids
+      .join(broadcast(offDf), Seq("__sr_pid"))
+      .withColumn(outCol,
+        (col("__sr_mid").bitwiseAND(lit(LocalIdxMask))) + col("__sr_off") + 1L)
+      .drop("__sr_pid", "__sr_mid", "__sr_off")
+    (out.select((df.columns.map(col) :+ col(outCol)).toIndexedSeq: _*), n)
+  }
+}

@@ -517,7 +517,12 @@ object Similarity {
     // coarse centroids; a build whose subspaces*subDim disagrees with
     // the vector dimension would slice DIFFERENT sub-vectors at build
     // vs probe and return silently wrong ADC distances. Fail the build.
-    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    val dimRow = emb.select(size(col(vecCol))).head(1)
+    require(dimRow.nonEmpty,
+      "buildIvfPqIndex: embedding input is empty — nothing to index")
+    require(!dimRow.head.isNullAt(0),
+      s"buildIvfPqIndex: null $vecCol in embedding input")
+    val dim = dimRow.head.getInt(0)
     require(subspaces * subDim == dim,
       s"buildIvfPqIndex: subspaces($subspaces) * subDim($subDim) != vector dim($dim)")
     val coarseF = Future(DeterministicKMeans.fit(emb, idCol, vecCol, nlist, iters))

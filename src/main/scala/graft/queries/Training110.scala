@@ -60,8 +60,14 @@ object Training110 {
           case (s0, c) if s0 == sl || s0 == sh => c }.sum
         val est = inner + (partial + 1) / 2
         val maxErr = partial / 2 + 1
-        val slabsOk = summary.values.forall(c =>
-          c >= n / 64 - slack && c <= n / 64 + slack)
+        // check all 64 slab ids explicitly — an EMPTY slab (possible
+        // under duplicate sketch boundaries) is absent from the groupBy
+        // result, and a present-slabs-only forall would pass a
+        // degenerate boundary set vacuously
+        val slabsOk = (0 until 64).forall { i =>
+          val c = summary.getOrElse(i, 0L)
+          c >= n / 64 - slack && c <= n / 64 + slack
+        }
         v.filter(col("v").between(lo, hi))
           .agg(count(lit(1)).as("exact_n"))
           .selectExpr("exact_n", s"${n}L AS n_rows",

@@ -98,9 +98,13 @@ object Training41 {
     // ---- top revenue-rank movers: parts ranked by exact-cents
     // revenue in the pre-1998 and 1998+ periods; the 10 largest
     // |Δrank| are the parts whose market position moved most — the
-    // "what changed" BI report. The rank windows run over the PART
-    // DIMENSION (dictionary-sized, never the fact table); the fact
-    // pass is one keyed two-period agg.
+    // "what changed" BI report. The fact pass is one keyed two-period
+    // agg; both ranks over the part dimension come from the TWO-PHASE
+    // rank (ScalableRank: range-partition + partition-local sort +
+    // broadcast prefix offsets) — the part dimension grows linearly
+    // with the corpus, and a global row_number window would funnel all
+    // of it through ONE task at 100 TB. Bit-identical to the global
+    // window, which the oracle still states as plain row_number.
     QueryDef(
       "q292_rank_movers",
       (s, d) => {
@@ -115,12 +119,12 @@ object Training41 {
           .agg(
             sum(when(col("is_a"), col("cents")).otherwise(0L)).as("rev_a"),
             sum(when(!col("is_a"), col("cents")).otherwise(0L)).as("rev_b"))
-          .localCheckpoint(true) // part-dimension-sized, two rank windows
-        rev
-          .withColumn("rank_a", row_number().over(
-            Window.orderBy(col("rev_a").desc, col("l_partkey").asc)))
-          .withColumn("rank_b", row_number().over(
-            Window.orderBy(col("rev_b").desc, col("l_partkey").asc)))
+          .localCheckpoint(true) // part-dimension-sized, two rank passes
+        import graft.operators.ScalableRank
+        val ra = ScalableRank.withRowNumber(rev,
+          Seq(col("rev_a").desc, col("l_partkey").asc), "rank_a")
+        ScalableRank.withRowNumber(ra,
+            Seq(col("rev_b").desc, col("l_partkey").asc), "rank_b")
           .withColumn("rank_delta", col("rank_a") - col("rank_b"))
           .select(col("l_partkey"), col("rev_a"), col("rev_b"),
             col("rank_a").cast("long").as("rank_a"),

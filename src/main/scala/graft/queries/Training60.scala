@@ -153,8 +153,13 @@ object Training60 {
             .agg(((max("a") - min("a") + 1) * (max("b") - min("b") + 1))
               .as("area"), count(lit(1)).as("pop"))
             .agg(sum("area").as("sum_area"),
-              min(col("pop") >= lit(n / 64 - slack) &&
-                col("pop") <= lit(n / 64 + slack)).as("slabs_ok"))
+              // the count(*)=64 conjunct closes the empty-slab hole: an
+              // empty slab is ABSENT from the groupBy result, so a
+              // min-over-present-rows check alone would pass a
+              // degenerate (duplicate-boundary) sketch vacuously
+              (min(col("pop") >= lit(n / 64 - slack) &&
+                col("pop") <= lit(n / 64 + slack)) &&
+                count(lit(1)) === 64).as("slabs_ok"))
             .select(lit(name).as("layout"), lit(n).as("n_rows"),
               col("slabs_ok"), col("sum_area"))
         }

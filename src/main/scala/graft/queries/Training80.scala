@@ -110,22 +110,24 @@ object Training80 {
 
     // ---- uplift: treatment = hash-assigned half of customers;
     // response = order spend. Deciles come from NTILE over account
-    // balance (the "model score" stand-in) over the customer
-    // DICTIONARY; per decile the treatment-minus-control mean spend
-    // (micro-cents, half-up) is the uplift curve.
+    // balance (the "model score" stand-in) — computed by the TWO-PHASE
+    // rank (ScalableRank: range-partition + partition-local sort +
+    // broadcast prefix offsets), never a global ntile window: the
+    // customer dimension of a 100 TB star is billions of rows, and an
+    // unpartitioned window moves every one of them through ONE task.
+    // Bit-identical to ntile(10) OVER (ORDER BY ...) by the SQL-standard
+    // bucket formula, which the oracle still states as plain ntile.
     QueryDef(
       "q407_uplift_deciles",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val cust = t(s, d, "customer").selectExpr("c_custkey",
-          "c_acctbal",
-          """CASE WHEN CAST(conv(substring(md5(
-               CAST(c_custkey AS STRING)), 1, 15), 16, 10) AS BIGINT)
-               % 2 = 0
-             THEN 1 ELSE 0 END AS treated""")
-          .withColumn("decile",
-            ntile(10).over(Window.orderBy(col("c_acctbal").desc,
-              col("c_custkey"))))
+        val cust = graft.operators.ScalableRank.withNtile(
+          t(s, d, "customer").selectExpr("c_custkey",
+            "c_acctbal",
+            """CASE WHEN CAST(conv(substring(md5(
+                 CAST(c_custkey AS STRING)), 1, 15), 16, 10) AS BIGINT)
+                 % 2 = 0
+               THEN 1 ELSE 0 END AS treated"""),
+          10, Seq(col("c_acctbal").desc, col("c_custkey").asc), "decile")
         val spend = t(s, d, "orders")
           .groupBy(col("o_custkey").as("c_custkey"))
           .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))

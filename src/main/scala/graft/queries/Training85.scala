@@ -47,9 +47,14 @@ object Training85 {
           val star = li.join(ord, col("l_orderkey") === col("o_orderkey"))
             .groupBy("l_orderkey").agg(count(lit(1)).as("n"))
           // drive THIS queryExecution (count() would execute a separate
-          // plan and leave these metrics untouched)
-          val nGroups = star.collect().length.toLong
+          // plan and leave these metrics untouched) — but count the
+          // groups on the EXECUTORS: executedPlan.execute() runs the
+          // same physical plan (same SQL metrics) and RDD.count() ships
+          // back one long per partition, where collect() would funnel
+          // every group row through the driver — the exact bottleneck
+          // this audit query exists to catch
           val plan = star.queryExecution.executedPlan
+          val nGroups = plan.execute().count()
           def metric(p: SparkPlan): Option[Long] =
             p.metrics.get("numOutputRows").map(_.value)
           // exact post-filter row counts come from the Filter operators

@@ -864,11 +864,22 @@ class PlanSpec extends SparkSpec {
     assert(!p293.contains("SortMergeJoin"), p293)
   }
 
-  test("q292: rank windows run over the checkpointed part dimension, never the fact") {
+  test("q292: two-phase ranks — no window function, no global funnel, top-10 is TakeOrdered") {
     val p = SparkEntry.queries("q292_rank_movers")(spark, dir)
       .queryExecution.explainString(ExplainMode.fromString("simple"))
     assert("Scan parquet".r.findAllIn(p).size === 0, p)
     assert(p.contains("TakeOrderedAndProject"), p)
+    // the two global row_number windows are gone — ScalableRank ranks by
+    // range-partition + local sort + broadcast offsets
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("q407: deciles come from the two-phase rank — no ntile window, no global funnel") {
+    val p = SparkEntry.queries("q407_uplift_deciles")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
   }
 
   test("q253: bucketed layout co-locates the join — zero exchanges below the SortMergeJoin") {
