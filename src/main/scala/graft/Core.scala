@@ -135,6 +135,46 @@ object Iterate {
     val ck = df.localCheckpoint()
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
+
+  /** Fixed-point iteration with EARLY EXIT (round-10 verdict item 6).
+    *
+    * Runs `step` up to `maxRounds` times (checkpointing every round —
+    * the ckpt discipline above) and STOPS as soon as a round changes
+    * nothing: rows are matched on `key` and compared null-safely on
+    * `watch`. For monotone relaxations (BFS min-dist, PERT max/min
+    * relax, label propagation) convergence is OUTPUT-INVARIANT — the
+    * remaining rounds would all be no-ops — so a fixed-round oracle CTE
+    * stays bit-identical while the engine skips the dead rounds. The
+    * per-round change check is one equi-join + limit-1 existence probe
+    * over two checkpointed frames — far cheaper than a dead relaxation
+    * round (which pays the same join PLUS the aggregation and ckpt).
+    *
+    * Returns (result, roundsExecuted). `earlyExit = false` runs all
+    * `maxRounds` blindly — the spec hook proving the exit is invisible
+    * (same output either way), never a semantics change.
+    */
+  def fixpoint(
+      init: DataFrame, maxRounds: Int, key: Seq[String], watch: Seq[String],
+      earlyExit: Boolean = true)(step: DataFrame => DataFrame): (DataFrame, Int) = {
+    var cur = ckpt(init)
+    var rounds = 0
+    var converged = false
+    while (rounds < maxRounds && !converged) {
+      val nxt = ckpt(step(cur))
+      rounds += 1
+      if (earlyExit) {
+        val changedPred = watch
+          .map(c => !(col(s"__fp_n.$c") <=> col(s"__fp_p.$c")))
+          .reduce(_ || _)
+        converged = nxt.alias("__fp_n")
+          .join(cur.alias("__fp_p"), key)
+          .filter(changedPred)
+          .isEmpty
+      }
+      cur = nxt
+    }
+    (cur, rounds)
+  }
 }
 
 /** Content-fingerprinted staging keys for idempotent tmp-dir caches.

@@ -126,6 +126,79 @@ object Training98 {
       FROM $partRel p"""
   }
 
+  /** q458's two relaxation passes, shared by the QueryDef and the
+    * converged-early spec. Each pass is an [[graft.Iterate.fixpoint]]
+    * with a 12-round cap: the oracle replays all 12 rounds as CTEs, but
+    * a converged relaxation round is a no-op — so the engine EXITS as
+    * soon as a round changes nothing (verdict item 6; the DAG depth is
+    * log4 of the part count, ~5 at sf0.001 and ~9 at the 10x leg, and
+    * the fixed cap was paying 24 dead join+agg rounds regardless).
+    * Returns (result, forwardRounds, backwardRounds).
+    */
+  private[graft] def pertPasses(
+      s: SparkSession, d: String,
+      earlyExit: Boolean = true): (DataFrame, Int, Int) = {
+    t(s, d, "part").createOrReplaceTempView("graft_pp_part")
+    val tasks0 = graft.Iterate.ckpt(
+      s.sql(pertBaseSql(spark = true, "graft_pp_part")))
+    // single-partition shaping is a SMALL-scale optimization (skips 3
+    // shuffles per round); past ~64k tasks the relaxation rounds want
+    // real parallelism — dispatch on the task count (bounded: one
+    // long over the already-checkpointed frame). A moderate fan-out
+    // beats both extremes here: 1 partition serializes the big rounds,
+    // full shuffle parallelism drowns dictionary-sized rounds in task
+    // overhead.
+    val nTasks = tasks0.count()
+    def shape(df: DataFrame): DataFrame =
+      df.coalesce(if (nTasks <= 65536) 1 else 8)
+    val tasks = shape(tasks0)
+    tasks.createOrReplaceTempView("graft_pp_tasks")
+    // edges (pred -> k), doubled from the two pred columns
+    val edges = graft.Iterate.ckpt(shape(s.sql("""
+      SELECT pred1 AS src, k AS dst FROM graft_pp_tasks WHERE pred1 IS NOT NULL
+      UNION ALL
+      SELECT pred2 AS src, k AS dst FROM graft_pp_tasks WHERE pred2 IS NOT NULL""")))
+    edges.createOrReplaceTempView("graft_pp_edges")
+    // forward pass: es(k) = max over preds ef(pred); ≤12 max-relax rounds
+    val (es, fwdRounds) = graft.Iterate.fixpoint(
+      shape(s.sql("SELECT k, dur, CAST(0 AS BIGINT) AS es FROM graft_pp_tasks")),
+      maxRounds = 12, key = Seq("k"), watch = Seq("es"), earlyExit = earlyExit) { cur =>
+      cur.createOrReplaceTempView("graft_pp_es")
+      shape(s.sql("""
+        SELECT t.k, t.dur,
+               CAST(greatest(t.es, coalesce(max(p.es + p.dur), 0)) AS BIGINT) AS es
+        FROM graft_pp_es t
+        LEFT JOIN graft_pp_edges e ON e.dst = t.k
+        LEFT JOIN graft_pp_es p ON p.k = e.src
+        GROUP BY t.k, t.dur, t.es"""))
+    }
+    es.createOrReplaceTempView("graft_pp_esf")
+    // backward pass: lf(k) = min over succs (lf(succ) - dur(succ));
+    // sinks start at the project end T = max(es + dur)
+    val (lf, bwdRounds) = graft.Iterate.fixpoint(
+      shape(s.sql("""
+        SELECT k, dur, CAST((SELECT max(es + dur) FROM graft_pp_esf) AS BIGINT) AS lf
+        FROM graft_pp_esf""")),
+      maxRounds = 12, key = Seq("k"), watch = Seq("lf"), earlyExit = earlyExit) { cur =>
+      cur.createOrReplaceTempView("graft_pp_lf")
+      shape(s.sql("""
+        SELECT t.k, t.dur,
+               CAST(least(t.lf, coalesce(min(sc.lf - sc.dur), t.lf)) AS BIGINT) AS lf
+        FROM graft_pp_lf t
+        LEFT JOIN graft_pp_edges e ON e.src = t.k
+        LEFT JOIN graft_pp_lf sc ON sc.k = e.dst
+        GROUP BY t.k, t.dur, t.lf"""))
+    }
+    lf.createOrReplaceTempView("graft_pp_lff")
+    val out = s.sql("""
+      SELECT f.k, f.dur, f.es, f.es + f.dur AS ef, b.lf,
+             b.lf - f.dur - f.es AS slack,
+             (SELECT max(es + dur) FROM graft_pp_esf) AS project_duration
+      FROM graft_pp_esf f JOIN graft_pp_lff b ON b.k = f.k
+      ORDER BY slack, es, k LIMIT 10""")
+    (out, fwdRounds, bwdRounds)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -147,55 +220,7 @@ object Training98 {
 
     QueryDef(
       "q458_critical_path_pert",
-      (s, d) => {
-        t(s, d, "part").createOrReplaceTempView("graft_pp_part")
-        val tasks = graft.Iterate.ckpt(
-          s.sql(pertBaseSql(spark = true, "graft_pp_part")).coalesce(1))
-        tasks.createOrReplaceTempView("graft_pp_tasks")
-        // edges (pred -> k), doubled from the two pred columns
-        val edges = graft.Iterate.ckpt(s.sql("""
-          SELECT pred1 AS src, k AS dst FROM graft_pp_tasks WHERE pred1 IS NOT NULL
-          UNION ALL
-          SELECT pred2 AS src, k AS dst FROM graft_pp_tasks WHERE pred2 IS NOT NULL""")
-          .coalesce(1))
-        edges.createOrReplaceTempView("graft_pp_edges")
-        // forward pass: es(k) = max over preds ef(pred); 12 max-relax rounds
-        var es = graft.Iterate.ckpt(
-          s.sql("SELECT k, dur, CAST(0 AS BIGINT) AS es FROM graft_pp_tasks").coalesce(1))
-        for (_ <- 1 to 12) {
-          es.createOrReplaceTempView("graft_pp_es")
-          es = graft.Iterate.ckpt(s.sql("""
-            SELECT t.k, t.dur,
-                   CAST(greatest(t.es, coalesce(max(p.es + p.dur), 0)) AS BIGINT) AS es
-            FROM graft_pp_es t
-            LEFT JOIN graft_pp_edges e ON e.dst = t.k
-            LEFT JOIN graft_pp_es p ON p.k = e.src
-            GROUP BY t.k, t.dur, t.es""").coalesce(1))
-        }
-        es.createOrReplaceTempView("graft_pp_esf")
-        // backward pass: lf(k) = min over succs (lf(succ) - dur(succ));
-        // sinks start at the project end T = max(es + dur)
-        var lf = graft.Iterate.ckpt(s.sql("""
-          SELECT k, dur, CAST((SELECT max(es + dur) FROM graft_pp_esf) AS BIGINT) AS lf
-          FROM graft_pp_esf""").coalesce(1))
-        for (_ <- 1 to 12) {
-          lf.createOrReplaceTempView("graft_pp_lf")
-          lf = graft.Iterate.ckpt(s.sql("""
-            SELECT t.k, t.dur,
-                   CAST(least(t.lf, coalesce(min(sc.lf - sc.dur), t.lf)) AS BIGINT) AS lf
-            FROM graft_pp_lf t
-            LEFT JOIN graft_pp_edges e ON e.src = t.k
-            LEFT JOIN graft_pp_lf sc ON sc.k = e.dst
-            GROUP BY t.k, t.dur, t.lf""").coalesce(1))
-        }
-        lf.createOrReplaceTempView("graft_pp_lff")
-        s.sql("""
-          SELECT f.k, f.dur, f.es, f.es + f.dur AS ef, b.lf,
-                 b.lf - f.dur - f.es AS slack,
-                 (SELECT max(es + dur) FROM graft_pp_esf) AS project_duration
-          FROM graft_pp_esf f JOIN graft_pp_lff b ON b.k = f.k
-          ORDER BY slack, es, k LIMIT 10""")
-      },
+      (s, d) => pertPasses(s, d)._1,
       Some {
         val base = pertBaseSql(spark = false, "part")
         val fwd = (1 to 12).map { r =>
