@@ -121,45 +121,15 @@ object Training48 {
     QueryDef(
       "q318_zorder_layout",
       (s, d) => {
-        val qs = (1 to 63).map(i => i / 64.0).mkString(", ")
-        val keyed = t(s, d, "lineitem")
-          .select((col("l_partkey") % 1024).as("a"),
-            (col("l_suppkey") % 1024).as("b"))
-          .withColumn("z", expr(morton10("a", "b")))
-          .withColumn("k", col("a") * 1024 + col("b"))
-          .localCheckpoint() // boundary aggs + both folds read it
-        // BOTH layouts' exact boundary grids from ONE percentile
-        // aggregation pass (they read the same checkpointed frame —
-        // two separate aggs paid the scan + percentile buffering
-        // twice), collected to the driver (2×63 values — bounded)
-        // and embedded as LITERAL binary-search CASE trees: 6
-        // codegen'd compares per row instead of an interpreted
-        // 63-element lambda fold (the fold form measured 40x slower
-        // here; the linear chain ~4x slower at 10x)
-        val bothBs = keyed.agg(
-          expr(s"transform(percentile(z, array($qs)), q -> round(q, 6))")
-            .as("zbs"),
-          expr(s"transform(percentile(k, array($qs)), q -> round(q, 6))")
-            .as("kbs")).head()
-        def layoutArea(keyCol: String, bs: Seq[Double], name: String): DataFrame = {
-          val caseExpr = graft.operators.EquiDepthBins.searchCountExpr(
-            keyCol, bs.map(b => s"${b}D"), strict = true)
-          keyed
-            .select(col("a"), col("b"), expr(caseExpr).as("slab"))
-            .groupBy("slab")
-            .agg(((max("a") - min("a") + 1) * (max("b") - min("b") + 1))
-              .as("area"))
-            .agg(sum("area").as("sum_area"))
-            .select(lit(name).as("layout"), col("sum_area"))
-        }
-        val z = layoutArea("z", bothBs.getSeq[Double](0), "zorder")
-        val lin = layoutArea("k", bothBs.getSeq[Double](1), "linear")
-        z.unionByName(lin)
-          .crossJoin(broadcast(
-            z.select(col("sum_area").as("za"))
-              .crossJoin(lin.select(col("sum_area").as("la")))
-              .select((col("za") < col("la")).as("zorder_wins"))))
-          .orderBy("layout")
+        // exact-boundary scoring lives in operators/ZOrderLayout (ONE
+        // percentile pass for both layouts' 63-point grids, literal
+        // binary-search CASE slab assignment — the interpreted lambda
+        // fold measured 40x slower here); the scale-dispatched entry
+        // point ZOrderLayout.score routes to q344's sketch twin past
+        // spark.graft.layout.exactLimit
+        import graft.operators.ZOrderLayout
+        ZOrderLayout.scoreExact(ZOrderLayout.keyed(
+          t(s, d, "lineitem"), "l_partkey", "l_suppkey")).orderBy("layout")
       },
       Some {
         val qs = (1 to 63).map(i => i / 64.0).mkString(", ")

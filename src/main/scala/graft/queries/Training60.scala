@@ -123,53 +123,14 @@ object Training60 {
     QueryDef(
       "q344_zorder_layout_sketch",
       (s, d) => {
-        val qs = (1 to 63).map(i => i / 64.0).mkString(", ")
-        val keyed = t(s, d, "lineitem")
-          .select((col("l_partkey") % 1024).as("a"),
-            (col("l_suppkey") % 1024).as("b"))
-          .withColumn("z",
-            expr((0 until 10).map(i =>
-              s"(((a >> $i) & 1) << ${2 * i}) + (((b >> $i) & 1) << ${2 * i + 1})")
-              .mkString(" + ")))
-          .withColumn("k", col("a") * 1024 + col("b"))
-          .localCheckpoint() // one boundary agg + two slab passes read it
-        // ONE sketch pass fits both layouts' boundaries (integer input
-        // ⇒ approx_percentile returns actual data values as longs)
-        val row = keyed.agg(
-          expr(s"approx_percentile(z, array($qs), 10000)").as("zb"),
-          expr(s"approx_percentile(k, array($qs), 10000)").as("kb"),
-          count(lit(1)).as("n")).head()
-        val n = row.getLong(2)
-        val slack = n / 500 + 8
-        def layout(keyCol: String, bs: Seq[Long], name: String): DataFrame = {
-          // literal BINARY-SEARCH CASE slab id: 6 codegen'd integer
-          // compares per row (EquiDepthBins.searchCountExpr — the
-          // q294 hot-path discipline)
-          val caseExpr = graft.operators.EquiDepthBins.searchCountExpr(
-            keyCol, bs.map(b => s"${b}L"), strict = true)
-          keyed
-            .select(col("a"), col("b"), expr(caseExpr).as("slab"))
-            .groupBy("slab")
-            .agg(((max("a") - min("a") + 1) * (max("b") - min("b") + 1))
-              .as("area"), count(lit(1)).as("pop"))
-            .agg(sum("area").as("sum_area"),
-              // the count(*)=64 conjunct closes the empty-slab hole: an
-              // empty slab is ABSENT from the groupBy result, so a
-              // min-over-present-rows check alone would pass a
-              // degenerate (duplicate-boundary) sketch vacuously
-              (min(col("pop") >= lit(n / 64 - slack) &&
-                col("pop") <= lit(n / 64 + slack)) &&
-                count(lit(1)) === 64).as("slabs_ok"))
-            .select(lit(name).as("layout"), lit(n).as("n_rows"),
-              col("slabs_ok"), col("sum_area"))
-        }
-        val z = layout("z", row.getSeq[Long](0), "zorder")
-        val lin = layout("k", row.getSeq[Long](1), "linear")
-        z.unionByName(lin)
-          .crossJoin(broadcast(
-            z.select(col("sum_area").as("za"))
-              .crossJoin(lin.select(col("sum_area").as("la")))
-              .select((col("za") < col("la")).as("zorder_wins"))))
+        // sketch-boundary scoring lives in operators/ZOrderLayout (ONE
+        // mergeable approx_percentile agg fits both layouts' grids; the
+        // slab-population contract rides the same fold, all 64 slab ids
+        // checked); ZOrderLayout.score dispatches here past
+        // spark.graft.layout.exactLimit
+        import graft.operators.ZOrderLayout
+        ZOrderLayout.scoreSketch(ZOrderLayout.keyed(
+            t(s, d, "lineitem"), "l_partkey", "l_suppkey"))
           .select("layout", "n_rows", "slabs_ok", "zorder_wins")
           .orderBy("layout")
       },

@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.ZOrderLayout
+
+/** The scale-dispatched layout scorer (round-10 verdict item 7): both
+  * branches forced via the exactLimit knob, the dispatch verdicts must
+  * agree, and the sketch slab contract must hold on harness data.
+  */
+class ZOrderLayoutSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+  private def keyedFrame =
+    ZOrderLayout.keyed(Tables(spark, dir, "lineitem"), "l_partkey", "l_suppkey")
+
+  test("score: exact branch at-or-below the limit, sketch above; same verdict") {
+    val k = keyedFrame
+    val exact = ZOrderLayout.score(k, exactLimit = Long.MaxValue).collect()
+    assert(exact.length === 2)
+    assert(exact.forall(_.getAs[String]("mode") == "exact"), exact.mkString(";"))
+    val sketch = ZOrderLayout.score(k, exactLimit = 0L).collect()
+    assert(sketch.length === 2)
+    assert(sketch.forall(_.getAs[String]("mode") == "sketch"), sketch.mkString(";"))
+    // the layout DECISION must not depend on the branch taken
+    val eWins = exact.map(r =>
+      r.getAs[String]("layout") -> r.getAs[Boolean]("zorder_wins")).toMap
+    val sWins = sketch.map(r =>
+      r.getAs[String]("layout") -> r.getAs[Boolean]("zorder_wins")).toMap
+    assert(eWins === sWins)
+  }
+
+  test("score: the default limit comes from spark.graft.layout.exactLimit") {
+    val k = keyedFrame
+    spark.conf.set("spark.graft.layout.exactLimit", "0")
+    try assert(ZOrderLayout.score(k).collect()
+      .forall(_.getAs[String]("mode") == "sketch"))
+    finally spark.conf.unset("spark.graft.layout.exactLimit")
+    // unset → 10M default → harness row count takes the exact branch
+    assert(ZOrderLayout.score(k).collect()
+      .forall(_.getAs[String]("mode") == "exact"))
+  }
+
+  test("sketch slab-population contract holds across ALL 64 slabs") {
+    val rows = ZOrderLayout.scoreSketch(keyedFrame).collect()
+    assert(rows.length === 2)
+    assert(rows.forall(_.getAs[Boolean]("slabs_ok")), rows.mkString(";"))
+  }
+}
