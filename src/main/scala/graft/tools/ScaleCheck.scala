@@ -625,7 +625,11 @@ object ScaleCheck {
       "q487_range_partitioner_balance", "q488_bankers_safety",
       // wave CX: q396's sketch twin — one mergeable approx_percentile
       // agg + one slab-census scan + the exact witness scan.
-      "q489_histogram_answering_sketch")
+      "q489_histogram_answering_sketch",
+      // wave CXI: the flagship operator's approx twin — two sequential
+      // IQR filter chains (exact + t-digest) and one rank-audit agg,
+      // all broadcast-bounds passes over one checkpointed scan.
+      "q490_iqr_approx_contract")
     val qs = graft.SparkEntry.queries
     // IVF-fed queries (q229/q230) are measured at the PRODUCTION index
     // setting: nlist grows with the corpus so inverted lists keep a
