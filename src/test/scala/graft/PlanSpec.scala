@@ -989,6 +989,25 @@ class PlanSpec extends SparkSpec {
       readSchema)
   }
 
+  test("q436: declared plan is one agg over the checkpointed cents — no window, no join") {
+    // the quantile selection ran at build time via the bucket-histogram
+    // two-pass (q270 discipline); the declared frame folds literal
+    // bounds over the checkpointed scan
+    val p = SparkEntry.queries("q436_winsorized_stats")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert("Scan parquet".r.findAllIn(p).size === 0, p)
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q490: contract audit reads the checkpointed scan — no parquet re-scan, no window, no cartesian") {
+    val p = SparkEntry.queries("q490_iqr_approx_contract")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert("Scan parquet".r.findAllIn(p).size === 0, p)
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("r10 quadratic closures: plan shapes stay scale-safe") {
     // q470: the per-user top-3 is pruned MAP-SIDE (WindowGroupLimit
     // partial) before the one user shuffle, and nothing funnels through
