@@ -161,7 +161,15 @@ object Graphs {
     * round deep.
     */
   def kcoreRounds(e: DataFrame, k: Int, rounds: Int,
-      edgeLimit: Long = -1L, sampleMod: Int = -1): DataFrame = {
+      edgeLimit: Long = -1L, sampleMod: Int = -1): DataFrame =
+    kcoreRoundsCounted(e, k, rounds, edgeLimit, sampleMod)._1
+
+  /** As kcoreRounds, but also returns how many peel rounds actually
+    * executed — the early-exit observability hook GraphsKcoreSpec pins
+    * (the FixpointSpec discipline).
+    */
+  private[graft] def kcoreRoundsCounted(e: DataFrame, k: Int, rounds: Int,
+      edgeLimit: Long = -1L, sampleMod: Int = -1): (DataFrame, Int) = {
     val s = e.sparkSession
     val limit =
       if (edgeLimit >= 0) edgeLimit
@@ -180,17 +188,35 @@ object Graphs {
         (k + p - 1) / p, p.toLong)
     var und = g0
     val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
-    out += ((0, und.select("u").distinct().count(), und.count() / 2 * scale))
-    for (r <- 1 to rounds) {
+    var nodes = und.select("u").distinct().count()
+    var edges = und.count()
+    out += ((0, nodes, edges / 2 * scale))
+    var r = 1
+    var executed = 0
+    while (r <= rounds && out.size == r) {
+      executed += 1
       val keep = und.groupBy("u").agg(count(lit(1)).as("dg"))
         .filter(col("dg") >= kk).select("u")
       und = und.join(keep.as("ka"), Seq("u"))
         .join(keep.as("kb").withColumnRenamed("u", "v"), Seq("v"))
         .select("u", "v")
         .localCheckpoint(true)
-      out += ((r, und.select("u").distinct().count(), und.count() / 2 * scale))
+      val n2 = und.select("u").distinct().count()
+      val e2 = und.count()
+      out += ((r, n2, e2 / 2 * scale))
+      // Fixpoint early-exit (the Iterate.fixpoint discipline): the peel
+      // is monotone, so an unchanged edge count means no node fell
+      // below the threshold and every later round is a no-op — emit the
+      // remaining fixed rows without running their joins. The counts
+      // are computed for the output anyway, so the probe is free;
+      // output-invariant w.r.t. the fixed-round oracle unroll.
+      if (e2 == edges && n2 == nodes)
+        for (rr <- r + 1 to rounds) out += ((rr, n2, e2 / 2 * scale))
+      nodes = n2
+      edges = e2
+      r += 1
     }
     import s.implicits._
-    out.toSeq.toDF("round", "n_nodes", "n_edges")
+    (out.toSeq.toDF("round", "n_nodes", "n_edges"), executed)
   }
 }
