@@ -56,6 +56,49 @@ object ScalableRank {
       .drop("__sr_rank")
   }
 
+  /** `df` plus `cumCol` = exact inclusive running SUM of `value` under
+    * `order` — and optionally `rankCol` = the 1-based global row number
+    * — without a global window. Same two-phase shape as `numbered`,
+    * with the per-partition offset table carrying (row count, value
+    * sum) prefix pairs; the only window is PARTITIONED by the range
+    * partition id, so nothing data-sized meets one task. `value` must
+    * be integral (BIGINT arithmetic end to end — the exactness that
+    * keeps the result bit-identical to the global-window form) and
+    * non-null; `order` must be a total order.
+    */
+  def withPrefixSum(df: DataFrame, order: Seq[Column], value: Column,
+      cumCol: String, rankCol: Option[String] = None): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = graft.Iterate.ckpt(
+      df.repartitionByRange(order: _*).sortWithinPartitions(order: _*))
+    val ids = sorted
+      .withColumn("__sr_val", value.cast("long"))
+      .withColumn("__sr_mid", monotonically_increasing_id())
+      .withColumn("__sr_pid", expr("shiftright(__sr_mid, 33)"))
+    // bounded collect: one (pid, rows, sum) row per shuffle partition
+    val parts = ids.groupBy("__sr_pid")
+      .agg(count(lit(1)).as("c"), sum("__sr_val").as("s"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val rowOff = parts.map(_._2).scanLeft(0L)(_ + _).init
+    val sumOff = parts.map(_._3).scanLeft(0L)(_ + _).init
+    import spark.implicits._
+    val offDf = parts.indices
+      .map(i => (parts(i)._1, rowOff(i), sumOff(i)))
+      .toDF("__sr_pid", "__sr_roff", "__sr_soff")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__sr_pid").orderBy("__sr_mid")
+      .rowsBetween(Long.MinValue, 0)
+    val withCum = ids
+      .join(broadcast(offDf), Seq("__sr_pid"))
+      .withColumn(cumCol, sum("__sr_val").over(w) + col("__sr_soff"))
+    val out = rankCol.fold(withCum)(rc => withCum.withColumn(rc,
+      col("__sr_mid").bitwiseAND(lit(LocalIdxMask)) + col("__sr_roff") + 1L))
+    out.select(
+      (df.columns.map(col) ++ (rankCol.toSeq :+ cumCol).map(col)).toIndexedSeq: _*)
+  }
+
   private def numbered(df: DataFrame, order: Seq[Column], outCol: String): (DataFrame, Long) = {
     val spark = df.sparkSession
     // ckpt AFTER the partition-local sort: both downstream jobs (offset

@@ -119,17 +119,17 @@ object Training74 {
     QueryDef(
       "q389_horvitz_thompson",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val li = t(s, d, "lineitem")
         val rev = li.groupBy(col("l_partkey").as("pk"))
           .agg(sum(expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)"))
             .as("w_cents"),
             sum(expr("CAST(l_quantity AS BIGINT)")).as("qty"))
-        val w = Window.orderBy("pk").rowsBetween(Window.unboundedPreceding, 0)
         val tot = rev.agg(sum("w_cents").as("total"),
           sum("qty").as("exact_qty"))
-        val sampled = rev
-          .withColumn("cum", sum("w_cents").over(w))
+        // two-phase prefix sum, not a global window: the cumulative
+        // weight runs over the PART dimension (data-sized at 100 TB)
+        val sampled = graft.operators.ScalableRank
+          .withPrefixSum(rev, Seq(col("pk")), col("w_cents"), "cum")
           .crossJoin(broadcast(tot))
           .withColumn("step", greatest(expr("total div 64"), lit(1L)))
           .filter(expr("cum div step > (cum - w_cents) div step"))

@@ -53,12 +53,19 @@ object Training87 {
     QueryDef(
       "q425_learned_index_error",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        // the indexed key space: distinct extendedprice cents, ranked
-        val keys = t(s, d, "lineitem")
-          .selectExpr("CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS k")
-          .distinct()
-          .withColumn("r", row_number().over(Window.orderBy("k")) - 1)
+        // the indexed key space: distinct extendedprice cents, ranked.
+        // Two-phase ScalableRank, not a global row_number window: the
+        // rank dictionary is value-space-sized (distinct cents), which
+        // grows with price cardinality — the same class the q436
+        // borderline named. Bit-identical ranks, nothing data-sized in
+        // one task.
+        val keys = graft.operators.ScalableRank.withRowNumber(
+          t(s, d, "lineitem")
+            .selectExpr("CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS k")
+            .distinct(),
+          Seq(col("k")), "__rn")
+          .withColumn("r", col("__rn") - 1)
+          .drop("__rn")
           .localCheckpoint() // slab fit and error audit read it twice
         val n = keys.count()
         val slabs = keys.withColumn("slab", expr(s"r div ${math.max(n / 64, 1)}"))

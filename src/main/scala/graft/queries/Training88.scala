@@ -29,19 +29,19 @@ object Training88 {
     QueryDef(
       "q427_maxmin_fair_allocation",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val demands = t(s, d, "orders")
           .groupBy(col("o_custkey").as("cust"))
           .agg(count(lit(1)).as("demand"))
           .localCheckpoint() // capacity agg + waterline pass read it
         val cap = demands.agg((sum("demand") / 2).cast("long").as("cap"))
         // sorted cumulative pass: find the crossing segment where
-        // serving everyone below level d_k exhausts capacity
-        val w = Window.orderBy(col("demand"), col("cust"))
-        val ranked = demands.crossJoin(broadcast(cap))
-          .withColumn("idx", row_number().over(w))
-          .withColumn("cum", sum("demand").over(
-            w.rowsBetween(Window.unboundedPreceding, 0)))
+        // serving everyone below level d_k exhausts capacity — via the
+        // two-phase rank+prefix-sum (the demand table is the CUSTOMER
+        // dimension, data-sized at 100 TB; no global window)
+        val ranked = graft.operators.ScalableRank
+          .withPrefixSum(demands, Seq(col("demand"), col("cust")),
+            col("demand"), "cum", rankCol = Some("idx"))
+          .crossJoin(broadcast(cap))
           .crossJoin(broadcast(
             demands.agg(count(lit(1)).as("n_cust"))))
         // the waterline segment: smallest idx where serving the rest at

@@ -882,6 +882,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
+  test("q308/q389/q427: prefix sums are two-phase — every window keyed by the range id") {
+    // the cumulative weight runs over a data-sized dimension (part /
+    // customer) in all three; the only windows the declared plans may
+    // carry are partition-LOCAL running sums keyed by __sr_pid, and the
+    // only single-partition exchanges the bounded scalar aggregates
+    // (total weight / capacity / n_cust — ≤ partition-count partial
+    // rows each, the q144 allowance)
+    for ((q, scalarAggs) <- Seq(
+        "q308_pps_systematic_sample" -> 1,
+        "q389_horvitz_thompson" -> 2,
+        "q427_maxmin_fair_allocation" -> 3)) {
+      val p = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.explainString(ExplainMode.fromString("simple"))
+      assert("Exchange SinglePartition".r.findAllIn(p).size <= scalarAggs,
+        s"$q:\n$p")
+      val windows =
+        p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+      assert(windows.nonEmpty, s"$q:\n$p")
+      windows.foreach(w => assert(w.contains("__sr_pid"), s"$q: $w"))
+    }
+  }
+
   test("q253: bucketed layout co-locates the join — zero exchanges below the SortMergeJoin") {
     val p = SparkEntry.queries("q253_bucketed_join")(spark, dir)
       .queryExecution.explainString(ExplainMode.fromString("simple"))

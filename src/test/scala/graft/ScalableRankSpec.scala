@@ -62,4 +62,31 @@ class ScalableRankSpec extends SparkSpec {
     assert(ScalableRank.withNtile(
       synth(0), 10, Seq(col("id").asc), "t").count() === 0L)
   }
+
+  test("withPrefixSum equals the global running-sum window (rank included)") {
+    for (n <- Seq(1, 101, 4000)) {
+      val df = synth(n)
+      val order = Seq(col("v").asc, col("id").asc)
+      val got = ScalableRank.withPrefixSum(df, order, col("v"), "cum", Some("r"))
+      val w = Window.orderBy(order: _*)
+      val want = df
+        .withColumn("r", row_number().over(w).cast("long"))
+        .withColumn("cum",
+          sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .select("v", "id", "r", "cum")
+      assert(got.except(want).isEmpty && want.except(got).isEmpty, s"n=$n")
+    }
+    assert(ScalableRank.withPrefixSum(
+      synth(0), Seq(col("id").asc), col("v"), "cum").count() === 0L)
+  }
+
+  test("withPrefixSum plan: the only window partitions by the range id") {
+    val got = ScalableRank.withPrefixSum(
+      synth(1000), Seq(col("v").asc, col("id").asc), col("v"), "cum")
+    val p = got.queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("Exchange SinglePartition"), p)
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty, p)
+    windows.foreach(w => assert(w.contains("__sr_pid"), w))
+  }
 }
