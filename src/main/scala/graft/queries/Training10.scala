@@ -444,9 +444,12 @@ object Training10 {
             when(col("event_type") === "click", lit(1L)).otherwise(lit(0L)).as("isa"))
         val byV = ev.groupBy("c")
           .agg(sum("isa").as("na"), sum(expr("1 - isa")).as("nb"))
-        val wPrev = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
-        byV
-          .withColumn("cumb", coalesce(sum("nb").over(wPrev), lit(0L)))
+        // exclusive prefix over the distinct-value dictionary via the
+        // two-phase prefix sum (value space grows with data — q436
+        // class; no unpartitioned window)
+        graft.operators.ScalableRank
+          .withPrefixSum(byV, Seq(col("c")), col("nb"), "cuminc")
+          .withColumn("cumb", col("cuminc") - col("nb"))
           .agg(
             sum("na").as("n_click"),
             sum("nb").as("n_purchase"),

@@ -50,8 +50,11 @@ object Training11 {
           .join(items, "okey")
         def doubledMidrank(df: DataFrame, c: String): DataFrame = {
           val byV = df.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
-          val w = Window.orderBy(col(c)).rowsBetween(Window.unboundedPreceding, -1)
-          byV.withColumn("cumb", coalesce(sum("cnt").over(w), lit(0L)))
+          // exclusive prefix over the distinct-value dictionary via the
+          // two-phase prefix sum (q436 class; no unpartitioned window)
+          graft.operators.ScalableRank
+            .withPrefixSum(byV, Seq(col(c)), col("cnt"), "cuminc")
+            .withColumn("cumb", col("cuminc") - col("cnt"))
             .select(col(c), (lit(2L) * col("cumb") + col("cnt") + lit(1L)).as(c + "r"))
         }
         ord
@@ -219,10 +222,12 @@ object Training11 {
         val rev = t(s, d, "lineitem")
           .groupBy(col("l_suppkey").as("sk"))
           .agg(sum(expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)")).as("c"))
-        val ranked = rev
-          .withColumn("i",
-            row_number().over(Window.orderBy(col("c").asc, col("sk").asc)).cast("long"))
-          .withColumn("ntot", count(lit(1)).over(Window.partitionBy()))
+        // two-phase rank over the SUPPLIER dimension (q292 class — no
+        // global row_number window); ntot by broadcast scalar, not an
+        // everything-in-one-partition count window
+        val ranked = graft.operators.ScalableRank
+          .withRowNumber(rev, Seq(col("c").asc, col("sk").asc), "i")
+          .crossJoin(broadcast(rev.agg(count(lit(1)).as("ntot"))))
         ranked.agg(
           count(lit(1)).as("n"),
           sum("c").as("s"),

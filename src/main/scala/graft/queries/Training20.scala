@@ -42,8 +42,11 @@ object Training20 {
         val vocab = t(s, d, "documents")
           .select(explode(split(col("text"), " ")).as("word"))
           .groupBy("word").agg(count(lit(1)).as("n"))
-        val ranked = vocab.withColumn("rk",
-          row_number().over(Window.orderBy(col("n").desc, col("word"))))
+        // two-phase rank: the vocabulary is corpus-derived (Heaps' law
+        // — ~10^8 words at 100 TB), too big for a global row_number's
+        // single task
+        val ranked = graft.operators.ScalableRank
+          .withRowNumber(vocab, Seq(col("n").desc, col("word").asc), "rk")
         val ks = Seq(10, 100, 1000)
         val total = vocab.agg(sum("n").as("total_tokens"),
           count(lit(1)).as("vocab_size"))

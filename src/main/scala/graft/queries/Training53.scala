@@ -43,10 +43,12 @@ object Training53 {
           .agg(
             sum(when(col("f") === "R", 1L).otherwise(0L)).as("c1"),
             sum(when(col("f") === "A", 1L).otherwise(0L)).as("c2"))
-        val w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
-        cnt
-          .withColumn("cumb",
-            coalesce(sum(col("c1") + col("c2")).over(w), lit(0L)))
+        // exclusive prefix over the distinct-price dictionary via the
+        // two-phase prefix sum (the dictionary grows with price
+        // cardinality — the q436 class; no unpartitioned window)
+        graft.operators.ScalableRank
+          .withPrefixSum(cnt, Seq(col("cents")), col("c1") + col("c2"), "cuminc")
+          .withColumn("cumb", col("cuminc") - col("c1") - col("c2"))
           .select(col("c1"), col("c2"),
             (col("cumb") * 2 + col("c1") + col("c2") + 1).as("m2"))
           .agg(

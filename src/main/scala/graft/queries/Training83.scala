@@ -201,9 +201,16 @@ object Training83 {
           .groupBy(col("l_partkey"))
           .agg(sum(expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)"))
             .as("cents"), count(lit(1)).as("n_lines"))
-        val ranked = perPart.withColumn("rnk",
-          row_number().over(Window.orderBy(col("cents").desc,
-            col("l_partkey"))))
+        // only the top-5 ever need a rank: TakeOrdered the 5 winners
+        // (never a global row_number over the part dimension — the q292
+        // class) and broadcast them back; the 5-row window is bounded
+        val top5 = perPart
+          .orderBy(col("cents").desc, col("l_partkey")).limit(5)
+          .withColumn("rnk",
+            row_number().over(Window.orderBy(col("cents").desc,
+              col("l_partkey"))))
+          .select(col("l_partkey"), col("rnk"))
+        val ranked = perPart.join(broadcast(top5), Seq("l_partkey"), "left")
         ranked
           .selectExpr(
             """CASE WHEN rnk <= 5 THEN CAST(l_partkey AS STRING)

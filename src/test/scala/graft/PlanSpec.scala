@@ -904,6 +904,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dictionary midranks/ranks are two-phase — q173/q174/q177/q217/q331/q415") {
+    // value-dictionary cumulative windows (q436 class) and dimension
+    // ranks (q292 class), all moved onto ScalableRank: any window the
+    // declared plans carry must be keyed by the range partition id;
+    // single-partition exchanges only for bounded scalar aggregates
+    for ((q, scalarAggs) <- Seq(
+        "q173_mwu_auc" -> 1,
+        "q174_spearman" -> 1,
+        "q177_concentration" -> 2,
+        "q217_vocab_coverage" -> 1,
+        "q331_mann_whitney" -> 1)) {
+      val p = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.explainString(ExplainMode.fromString("simple"))
+      assert("Exchange SinglePartition".r.findAllIn(p).size <= scalarAggs,
+        s"$q:\n$p")
+      p.linesIterator.filter(_.contains("windowspecdefinition"))
+        .foreach(w => assert(w.contains("__sr_pid"), s"$q: $w"))
+    }
+    // q415: only the 5 winners are ranked — TakeOrdered + broadcast,
+    // the one remaining window runs over exactly those 5 rows
+    val p415 = SparkEntry.queries("q415_topn_other_rollup")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(p415.contains("TakeOrderedAndProject"), p415)
+    assert(p415.contains("BroadcastHashJoin"), p415)
+    assert("Exchange SinglePartition".r.findAllIn(p415).size <= 1, p415)
+  }
+
   test("q253: bucketed layout co-locates the join — zero exchanges below the SortMergeJoin") {
     val p = SparkEntry.queries("q253_bucketed_join")(spark, dir)
       .queryExecution.explainString(ExplainMode.fromString("simple"))
