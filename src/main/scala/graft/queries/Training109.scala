@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, min}
 
 import graft.{Iterate, QueryDef, Tables}
 import graft.operators.{EquiDepthBins, TextOps}
@@ -123,9 +124,22 @@ object Training109 {
       "q487_range_partitioner_balance",
       (s, d) => {
         t(s, d, "lineitem").createOrReplaceTempView("graft_rp_lineitem")
-        // driver-bounded: 31 boundary values
-        val bounds = s.sql(rpBoundsSql(spark = true, "graft_rp_lineitem"))
-          .collect().map(_.getLong(0)).toSeq
+        // the 1-in-97 sample is a constant FRACTION of the keys (still
+        // data-sized at 100 TB), so its rank comes from the two-phase
+        // ScalableRank, not rpBoundsSql's global window (which stays as
+        // the oracle form); same rk*32 div (n+1) bucketing, n by scalar
+        val sample = s.sql(s"""
+          SELECT DISTINCT l_orderkey AS k FROM graft_rp_lineitem
+          WHERE ${TextOps.hash60Spark("cast(l_orderkey as string)")} % 97 = 0""")
+        val n = sample.count() // driver-bounded: one scalar
+        val bounds = graft.operators.ScalableRank
+          .withRowNumber(sample, Seq(col("k")), "rk")
+          .selectExpr("k", s"rk * 32 div ${n + 1}L AS q")
+          .where("q >= 1 AND q <= 31")
+          .groupBy("q").agg(min("k").as("bound"))
+          .orderBy("q")
+          // driver-bounded: 31 boundary values
+          .collect().map(_.getAs[Long]("bound")).toSeq
         s.sql(rpFinalSql(spark = true, "graft_rp_lineitem", bounds))
       },
       // the oracle computes the SAME sampled bounds inline and assigns

@@ -109,6 +109,38 @@ object Training97 {
       ORDER BY c.k"""
   }
 
+  /** The vent/curve/gini tail of lorenzSql over a pre-ranked relation
+    * (x, rn, cum) — the Spark side builds that relation with the
+    * two-phase ScalableRank.withPrefixSum (the customer spend table is
+    * data-sized; lorenzSql's global rank+running-sum window stays as
+    * the DuckDB oracle form only). Arithmetic kept verbatim from
+    * lorenzSql so the two sides cannot drift.
+    */
+  private def lorenzCurveSparkSql(rankedRel: String): String = {
+    val vals = (1 to 20).map(k => s"($k)").mkString(", ")
+    s"""
+      WITH tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx
+        FROM $rankedRel),
+      vent AS (SELECT CAST(k AS BIGINT) AS k FROM (VALUES $vals) AS t(k)),
+      curve AS (
+        SELECT v.k,
+               CAST((v.k * 1000000) div 20 AS BIGINT) AS cum_pop_ppm,
+               CAST((r.cum * 1000000) div t.sx AS BIGINT) AS cum_spend_ppm
+        FROM vent v
+        CROSS JOIN tot t
+        JOIN $rankedRel r ON r.rn = (t.n * v.k) div 20),
+      gini AS (
+        SELECT CAST(1000000 - (sum(cum_spend_ppm + coalesce(prev, 0)) div 40)
+               AS BIGINT) AS g
+        FROM (SELECT cum_spend_ppm,
+                     lag(cum_spend_ppm) OVER (ORDER BY k) AS prev
+              FROM curve) c)
+      SELECT c.k, c.cum_pop_ppm, c.cum_spend_ppm, g.g AS gini_trapezoid_ppm
+      FROM curve c CROSS JOIN gini g
+      ORDER BY c.k"""
+  }
+
   private def orSql(spark: Boolean, ordersRel: String, custRel: String): String = {
     val idiv = if (spark) "div" else "//"
     s"""
@@ -146,8 +178,17 @@ object Training97 {
     QueryDef(
       "q454_lorenz_gini",
       (s, d) => {
-        t(s, d, "orders").createOrReplaceTempView("graft_lg_orders")
-        s.sql(lorenzSql(spark = true, "graft_lg_orders"))
+        // per-customer spend is data-sized: rank + running sum via the
+        // two-phase prefix sum, never a global window over customers
+        val spend = t(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(expr("CAST(sum(CAST(round(o_totalprice, 0) AS BIGINT)) AS BIGINT)")
+            .as("x"))
+        graft.operators.ScalableRank
+          .withPrefixSum(spend, Seq(col("x"), col("o_custkey")), col("x"),
+            "cum", rankCol = Some("rn"))
+          .createOrReplaceTempView("graft_lg_ranked")
+        s.sql(lorenzCurveSparkSql("graft_lg_ranked"))
       },
       Some(lorenzSql(spark = false, "orders"))),
 

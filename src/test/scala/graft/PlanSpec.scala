@@ -929,6 +929,19 @@ class PlanSpec extends SparkSpec {
     assert(p415.contains("TakeOrderedAndProject"), p415)
     assert(p415.contains("BroadcastHashJoin"), p415)
     assert("Exchange SinglePartition".r.findAllIn(p415).size <= 1, p415)
+    // q454: customer-spend rank+cumsum is two-phase; the only
+    // unpartitioned window left is the 20-row ventile-curve lag
+    val p454 = SparkEntry.queries("q454_lorenz_gini")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    val w454 =
+      p454.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(w454.exists(_.contains("__sr_pid")), p454)
+    assert(w454.count(w => !w.contains("__sr_pid")) <= 1, p454)
+    // q487: the declared plan (literal-bounds assignment census) carries
+    // no window at all — the sample rank ran two-phase, bounds-collected
+    val p487 = SparkEntry.queries("q487_range_partitioner_balance")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p487.contains("windowspecdefinition"), p487)
   }
 
   test("q253: bucketed layout co-locates the join — zero exchanges below the SortMergeJoin") {
