@@ -131,6 +131,7 @@ object Training109 {
         val sample = s.sql(s"""
           SELECT DISTINCT l_orderkey AS k FROM graft_rp_lineitem
           WHERE ${TextOps.hash60Spark("cast(l_orderkey as string)")} % 97 = 0""")
+          .localCheckpoint(true) // count + rank share ONE sample scan
         val n = sample.count() // driver-bounded: one scalar
         val bounds = graft.operators.ScalableRank
           .withRowNumber(sample, Seq(col("k")), "rk")

@@ -48,6 +48,7 @@ object Training11 {
           .select(col("o_orderkey").as("okey"),
             expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("u"))
           .join(items, "okey")
+          .localCheckpoint(true) // two midrank dicts + final agg read it
         def doubledMidrank(df: DataFrame, c: String): DataFrame = {
           val byV = df.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
           // exclusive prefix over the distinct-value dictionary via the
@@ -222,6 +223,7 @@ object Training11 {
         val rev = t(s, d, "lineitem")
           .groupBy(col("l_suppkey").as("sk"))
           .agg(sum(expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)")).as("c"))
+          .localCheckpoint(true) // rank pass + ntot scalar share one scan
         // two-phase rank over the SUPPLIER dimension (q292 class — no
         // global row_number window); ntot by broadcast scalar, not an
         // everything-in-one-partition count window

@@ -42,6 +42,7 @@ object Training20 {
         val vocab = t(s, d, "documents")
           .select(explode(split(col("text"), " ")).as("word"))
           .groupBy("word").agg(count(lit(1)).as("n"))
+          .localCheckpoint(true) // rank pass + totals share one explode
         // two-phase rank: the vocabulary is corpus-derived (Heaps' law
         // — ~10^8 words at 100 TB), too big for a global row_number's
         // single task

@@ -188,6 +188,7 @@ object Training45 {
           .groupBy(col("l_partkey").as("pk"))
           .agg(sum(expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)"))
             .as("w_cents"))
+          .localCheckpoint(true) // total scalar + prefix pass share one scan
         val tot = rev.agg(sum("w_cents").as("total"))
         // two-phase prefix sum, not a global window: the cumulative
         // weight runs over the PART dimension (data-sized at 100 TB)

@@ -124,6 +124,7 @@ object Training74 {
           .agg(sum(expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)"))
             .as("w_cents"),
             sum(expr("CAST(l_quantity AS BIGINT)")).as("qty"))
+          .localCheckpoint(true) // totals scalar + prefix pass share one scan
         val tot = rev.agg(sum("w_cents").as("total"),
           sum("qty").as("exact_qty"))
         // two-phase prefix sum, not a global window: the cumulative

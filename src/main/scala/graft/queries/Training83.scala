@@ -201,6 +201,7 @@ object Training83 {
           .groupBy(col("l_partkey"))
           .agg(sum(expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)"))
             .as("cents"), count(lit(1)).as("n_lines"))
+          .localCheckpoint(true) // top-5 pick + join side share one scan
         // only the top-5 ever need a rank: TakeOrdered the 5 winners
         // (never a global row_number over the part dimension — the q292
         // class) and broadcast them back; the 5-row window is bounded

@@ -184,6 +184,11 @@ object Training97 {
           .groupBy(col("o_custkey"))
           .agg(expr("CAST(sum(CAST(round(o_totalprice, 0) AS BIGINT)) AS BIGINT)")
             .as("x"))
+        // NOT checkpointed: the two view references (tot + the 20-row
+        // ventile probe) re-run only the window+broadcast projection
+        // over withPrefixSum's internally checkpointed sorted base, and
+        // the declared plan keeps its __sr_pid window visible for the
+        // PlanSpec keying gate
         graft.operators.ScalableRank
           .withPrefixSum(spend, Seq(col("x"), col("o_custkey")), col("x"),
             "cum", rankCol = Some("rn"))

@@ -126,6 +126,9 @@ object ScaleCheck {
       // under replication, q182's only data-sized pass is the
       // (source, word) distinct whose shuffle grows with the salted
       // vocabulary — both linear by construction.
+      // q173 joined the roster in r11 when its exclusive-prefix midrank
+      // moved onto the two-phase withPrefixSum (value-dictionary sized)
+      "q173_mwu_auc",
       "q174_spearman", "q176_ab_test", "q177_concentration",
       "q178_zipf_slope", "q179_dow_profile", "q181_ess_weights",
       "q182_vocab_overlap", "q184_lang_kappa", "q186_event_dispersion",
