@@ -48,9 +48,14 @@ object Training61 {
           .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
           .distinct()
           .localCheckpoint() // three keyed aggs read it
-        def norm(df: DataFrame, sCol: String): DataFrame =
-          df.crossJoin(broadcast(df.agg(max(col(sCol)).as("m"))))
+        def norm(df: DataFrame, sCol: String): DataFrame = {
+          // pin the round's keyed agg once: the broadcast max probe and
+          // the downstream join would otherwise each re-run it (exchange
+          // reuse does not cover the probe's extra agg reliably)
+          val base = df.localCheckpoint()
+          base.crossJoin(broadcast(base.agg(max(col(sCol)).as("m"))))
             .withColumn("nv", expr(s"(2 * $sCol * 1000000 + m) div (2 * m)"))
+        }
         // a1 ∝ in-degree (h0 = 1e6 uniformly)
         val a1 = norm(op.groupBy("p")
           .agg((count(lit(1)) * 1000000L).as("sv")), "sv")
