@@ -61,12 +61,18 @@ object ZOrderLayout {
       .agg(((max("a") - min("a") + 1) * (max("b") - min("b") + 1)).as("area"),
         count(lit(1)).as("pop"))
 
-  private def withVerdict(z: DataFrame, lin: DataFrame): DataFrame =
+  private def withVerdict(zRaw: DataFrame, linRaw: DataFrame): DataFrame = {
+    // pin each layout's one-row area summary: the union row and the
+    // verdict probe would otherwise each re-run the slab-keyed pass
+    // over the full keyed frame (4 data passes instead of 2)
+    val z = zRaw.localCheckpoint()
+    val lin = linRaw.localCheckpoint()
     z.unionByName(lin)
       .crossJoin(broadcast(
         z.select(col("sum_area").as("za"))
           .crossJoin(lin.select(col("sum_area").as("la")))
           .select((col("za") < col("la")).as("zorder_wins"))))
+  }
 
   /** Exact-boundary scoring → (layout, sum_area, zorder_wins), unsorted.
     * BOTH layouts' exact 63-point boundary grids come from ONE

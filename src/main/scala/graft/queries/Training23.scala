@@ -43,8 +43,12 @@ object Training23 {
           .agg(count(lit(1)).as("n_rows"))
           .withColumn("bucket", expr(
             s"${hash60Spark("concat(seg, '|', cast(nk as string))")} % 64"))
+          // pin the customer scan once: three downstream probes
+          // (n_features, buckets, collided join) read the dictionary
+          .localCheckpoint()
         val buckets = feats.groupBy("bucket")
           .agg(count(lit(1)).as("bsz"), sum("n_rows").as("brows"))
+          .localCheckpoint()
         feats.agg(count(lit(1)).as("n_features"))
           .crossJoin(buckets.agg(
             count(lit(1)).as("buckets_used"),

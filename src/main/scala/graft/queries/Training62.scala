@@ -199,7 +199,9 @@ object Training62 {
               (col("n_violations") === 0L).as("holds"))
         def ind(a: DataFrame, ac: String, b: DataFrame, bc: String,
             label: String): DataFrame = {
-          val av = a.select(col(ac).as("v")).distinct()
+          // pin the lhs distinct once: the anti-join and the n_lhs count
+          // probe would otherwise each re-run it (q346's norm lesson)
+          val av = a.select(col(ac).as("v")).distinct().localCheckpoint()
           val bv = b.select(col(bc).as("v")).distinct()
           av.join(bv, Seq("v"), "left_anti")
             .agg(count(lit(1)).as("n_violations"))

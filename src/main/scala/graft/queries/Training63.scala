@@ -183,11 +183,15 @@ object Training63 {
       "q357_largest_remainder_allocation",
       (s, d) => {
         val B = 1000000L
+        // pin the corpus groupBy once: the tot and qsum probes would
+        // otherwise each re-run the documents scan (q346's norm lesson)
         val c = t(s, d, "documents").groupBy("lang")
           .agg(sum("n_chars").as("chars"))
+          .localCheckpoint()
         val q = c.crossJoin(broadcast(c.agg(sum("chars").as("tot"))))
           .withColumn("quota", expr(s"($B * chars) div tot"))
           .withColumn("rem", expr(s"$B * chars - quota * tot"))
+          .localCheckpoint()
         q.crossJoin(broadcast(q.agg(sum("quota").as("qsum"))))
           .withColumn("rn", row_number().over(
             Window.orderBy(col("rem").desc, col("lang").asc)))
