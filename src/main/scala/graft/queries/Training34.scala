@@ -139,6 +139,7 @@ object Training34 {
         val ud = t(s, d, "events")
           .select(to_date(col("ts")).as("day"), col("user_id"))
           .distinct()
+          .localCheckpoint() // day spine + explode share one distinct
         val days = ud.select(col("day").as("wend")).distinct()
         ud.select(explode(expr("sequence(day, date_add(day, 6))")).as("wend"),
             col("user_id"))
