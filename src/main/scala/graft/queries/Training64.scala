@@ -48,15 +48,17 @@ object Training64 {
         for (step <- 1 to 3) {
           val h = TextOps.hash60Spark(
             s"concat(cast(seed as string), ':$step:', cast(v as string))")
-          val rnW = Window.partitionBy("seed")
-            .orderBy(col("__hv").asc, col("v").asc)
           val path = (1 until step).map(i => col(s"n$i"))
+          // hash-argmin as min(struct(hv, v)): lexicographic struct min
+          // IS the (hv, v)-ordered first row, but as a map-side-
+          // combinable aggregate — no per-seed sort window over the
+          // neighbor fan-out (the oracle keeps the window form)
           w = w.join(und, col("cur") === col("u"))
             .withColumn("__hv", expr(h))
-            .withColumn("__rn", row_number().over(rnW))
-            .filter(col("__rn") === 1)
+            .groupBy((col("seed") +: path): _*)
+            .agg(min(struct(col("__hv"), col("v"))).as("__m"))
             .select((col("seed") +: path) ++
-              Seq(col("v").as(s"n$step"), col("v").as("cur")): _*)
+              Seq(col("__m.v").as(s"n$step"), col("__m.v").as("cur")): _*)
         }
         w.select("seed", "n1", "n2", "n3").orderBy("seed")
       },
