@@ -43,4 +43,29 @@ class ZOrderLayoutSpec extends SparkSpec {
     assert(rows.length === 2)
     assert(rows.forall(_.getAs[Boolean]("slabs_ok")), rows.mkString(";"))
   }
+
+  test("histPercentiles replays Spark's percentile+round bit-for-bit") {
+    // skewed deterministic (value, freq) histogram: values cluster via
+    // a quadratic residue walk, frequencies power-law-ish — exercises
+    // tie ranks, interpolated ranks, and exact-hit ranks (lower==higher)
+    import org.apache.spark.sql.functions._
+    val pairs = (0 until 500).map { i =>
+      val v = (i.toLong * i * 2654435761L) % 4096L
+      val c = 1L + (i.toLong * 40503L) % 97L
+      (v, c)
+    }.toArray
+    // duplicate values must merge identically on both sides
+    val ps = (1 to 63).map(_ / 64.0) ++ Seq(0.0, 1.0, 0.5)
+    val psArr = ps.mkString(", ")
+    import spark.implicits._
+    val live = pairs.toSeq.toDF("v", "c")
+      .agg(expr(s"transform(percentile(v, array($psArr), c), q -> round(q, 6))"))
+      .head().getSeq[Double](0)
+    val merged = pairs.groupBy(_._1).map { case (v, g) => (v, g.map(_._2).sum) }.toArray
+    val replay = ZOrderLayout.histPercentiles(merged, ps.toArray)
+    assert(live.toSeq === replay.toSeq)
+    // single-row histogram: every percentile is the value itself
+    assert(ZOrderLayout.histPercentiles(Array((7L, 3L)), Array(0.0, 0.33, 1.0))
+      .toSeq === Seq(7.0, 7.0, 7.0))
+  }
 }
