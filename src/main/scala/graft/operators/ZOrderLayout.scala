@@ -153,6 +153,8 @@ object ZOrderLayout {
       .localCheckpoint() // boundary collect + both slab folds read it
     // bounded collect: ≤ 2^20 rows by the mod-1024 key domain
     val rows = hist.select("z", "k", "__c").collect()
+    require(rows.nonEmpty,
+      "ZOrderLayout.scoreExact: empty keyed frame — nothing to score")
     val zbs = histPercentiles(
       rows.map(r => (r.getAs[Number](0).longValue(), r.getLong(2))), ps63)
     val kbs = histPercentiles(

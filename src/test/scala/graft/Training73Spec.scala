@@ -51,8 +51,11 @@ class Training73Spec extends SparkSpec {
 
   test("q386: both generations prune on their own partition layout") {
     q("q386_partition_evolution").collect() // stage the generations
+    // derive the staging root EXACTLY as the query does (Stage.key —
+    // content-fingerprinted since the staleness-proof key generalization;
+    // the old dir.hashCode derivation silently diverged from it)
     val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_pspec_${Integer.toHexString(dir.hashCode)}").toString
+      s"graft_pspec_${graft.Stage.key(dir, "events")}").toString
     val g0 = spark.read.parquet(s"$root/gen0")
       .filter(col("month") === "2024-01")
       .filter(col("day").between("2024-01-10", "2024-01-20"))

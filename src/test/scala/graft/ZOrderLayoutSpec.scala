@@ -68,4 +68,38 @@ class ZOrderLayoutSpec extends SparkSpec {
     assert(ZOrderLayout.histPercentiles(Array((7L, 3L)), Array(0.0, 0.33, 1.0))
       .toSeq === Seq(7.0, 7.0, 7.0))
   }
+
+  test("histPercentiles property: random histograms match the live agg") {
+    // 8 seeded-random histograms (sizes 1..200, freq 1..1000, values
+    // with forced ties) checked against percentile(v, ps, c) in ONE
+    // grouped pass — the PropertySpecs seeded-loop discipline.
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(4242)
+    val cases = (0 until 8).map { cid =>
+      val sz = 1 + rnd.nextInt(200)
+      cid -> Array.fill(sz)(
+        (rnd.nextInt(50).toLong * 7L, 1L + rnd.nextInt(1000).toLong))
+    }
+    val ps = Seq(0.0, 0.125, 1.0 / 3, 0.5, 0.75, 63.0 / 64, 1.0)
+    val psArr = ps.mkString(", ")
+    import spark.implicits._
+    val live = cases.flatMap { case (cid, pairs) =>
+      pairs.map(p => (cid, p._1, p._2))
+    }.toDF("cid", "v", "c")
+      .groupBy("cid")
+      .agg(expr(s"transform(percentile(v, array($psArr), c), q -> round(q, 6))")
+        .as("qs"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    cases.foreach { case (cid, pairs) =>
+      val merged = pairs.groupBy(_._1).map { case (v, g) => (v, g.map(_._2).sum) }.toArray
+      val replay = ZOrderLayout.histPercentiles(merged, ps.toArray)
+      assert(live(cid).toSeq === replay.toSeq, s"case $cid diverged")
+    }
+  }
+
+  test("scoreExact fails with a named error on an empty keyed frame") {
+    val empty = keyedFrame.filter(org.apache.spark.sql.functions.lit(false))
+    val e = intercept[IllegalArgumentException](ZOrderLayout.scoreExact(empty))
+    assert(e.getMessage.contains("empty keyed frame"))
+  }
 }
