@@ -67,9 +67,13 @@ object Bench {
       "lineitem" -> 16, "orders" -> 8, "documents" -> 16,
       "embeddings" -> 16, "customer" -> 4, "part" -> 4,
       "supplier" -> 2, "region" -> 1, "nation" -> 1)
+    // content-fingerprinted staging key (graft.Stage.key): the harness
+    // regenerates the parquet in place between rounds, and a
+    // hashCode-keyed _STAGED cache then silently benchmarks the OLD
+    // tables (the q386-spec incident, applied to the bench gate).
     val staged = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"),
-      s"graft_bench_staged_${Integer.toHexString(sfDir.hashCode)}").toString
+      s"graft_bench_staged_${graft.Stage.key(sfDir, (parts.keys.toSeq.sorted :+ "events"): _*)}").toString
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(staged, "_STAGED"))) {
       parts.foreach { case (t, n) =>
         spark.read.parquet(s"$sfDir/$t.parquet")

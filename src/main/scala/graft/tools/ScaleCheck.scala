@@ -30,7 +30,14 @@ object ScaleCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val out = s"/tmp/graft_scale${factor}e_${Integer.toHexString(sfDir.hashCode)}"
+    // content-fingerprinted key (graft.Stage.key): the q386 incident
+    // proved the harness regenerates the parquet in place between
+    // sessions — a hashCode-keyed _DONE cache then silently reuses a
+    // replica built from the OLD tables. Generator changes still need
+    // the `e` tag bump; source changes now invalidate automatically.
+    val out = s"/tmp/graft_scale${factor}e_" +
+      graft.Stage.key(sfDir, "lineitem", "orders", "customer", "part",
+        "supplier", "nation", "region", "events", "documents", "embeddings")
 
     // key shift: large stride so replica keyspaces never collide
     val S = 1000000000L
@@ -775,7 +782,8 @@ object ScaleCheck {
       import org.apache.spark.sql.streaming.StreamingQueryListener
       import org.apache.spark.sql.streaming.StreamingQueryListener._
       def stageSlices(srcDir: String, tag: String): String = {
-        val stage = s"/tmp/graft_steady_${tag}_${Integer.toHexString(srcDir.hashCode)}"
+        // content-fingerprinted for the same reason as `out` above
+        val stage = s"/tmp/graft_steady_${tag}_${graft.Stage.key(srcDir, "events")}"
         if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stage, "_DONE"))) {
           graft.Tables(spark, srcDir, "events")
             .repartition(8, col("user_id"))
