@@ -58,13 +58,26 @@ object ZOrderLayout {
       .withColumn("k", col("a") * 1024 + col("b"))
       .localCheckpoint()
 
-  private def areaFold(
-      keyed: DataFrame, keyCol: String, caseExpr: String): DataFrame =
-    keyed
-      .select(col("a"), col("b"), expr(caseExpr).as("slab"))
+  /** The shared bounded histogram: one `groupBy(a, b, z, k)` count —
+    * ≤2²⁰ rows by the mod-1024 key construction, CONSTANT in data
+    * size — checkpointed because every downstream pass (boundary
+    * collect, slab folds for BOTH layouts) reads it.
+    */
+  private def boundedHist(keyed: DataFrame): DataFrame =
+    keyed.groupBy("a", "b", "z", "k")
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+
+  /** Per-slab bounding-box area + population over the bounded histogram
+    * (pop = Σ __c recovers the raw row count per slab exactly) — the
+    * fold costs ≤2²⁰ rows however large the data was.
+    */
+  private def histAreaFold(hist: DataFrame, caseExpr: String): DataFrame =
+    hist
+      .select(col("a"), col("b"), expr(caseExpr).as("slab"), col("__c"))
       .groupBy("slab")
       .agg(((max("a") - min("a") + 1) * (max("b") - min("b") + 1)).as("area"),
-        count(lit(1)).as("pop"))
+        sum("__c").as("pop"))
 
   private def withVerdict(zRaw: DataFrame, linRaw: DataFrame): DataFrame = {
     // pin each layout's one-row area summary: the union row and the
@@ -148,9 +161,7 @@ object ZOrderLayout {
     * sf0.1 vs ~2 s for this form; boundaries and areas bit-identical).
     */
   def scoreExact(keyed: DataFrame): DataFrame = {
-    val hist = keyed.groupBy("a", "b", "z", "k")
-      .agg(count(lit(1)).as("__c"))
-      .localCheckpoint() // boundary collect + both slab folds read it
+    val hist = boundedHist(keyed)
     // bounded collect: ≤ 2^20 rows by the mod-1024 key domain
     val rows = hist.select("z", "k", "__c").collect()
     require(rows.nonEmpty,
@@ -162,9 +173,7 @@ object ZOrderLayout {
     def layoutArea(keyCol: String, bs: Seq[Double], name: String): DataFrame = {
       val caseExpr = EquiDepthBins.searchCountExpr(
         keyCol, bs.map(b => s"${b}D"), strict = true)
-      hist.select(col("a"), col("b"), expr(caseExpr).as("slab"))
-        .groupBy("slab")
-        .agg(((max("a") - min("a") + 1) * (max("b") - min("b") + 1)).as("area"))
+      histAreaFold(hist, caseExpr)
         .agg(sum("area").as("sum_area"))
         .select(lit(name).as("layout"), col("sum_area"))
     }
@@ -182,16 +191,22 @@ object ZOrderLayout {
     * catches empty slabs from degenerate duplicate boundaries).
     */
   def scoreSketch(keyed: DataFrame): DataFrame = {
+    // the boundary agg stays on the RAW stream — the mergeable-t-digest
+    // single pass is the point of the sketch form; the slab folds ride
+    // the bounded histogram (pop = Σ __c is exactly the raw per-slab
+    // count), so the data is read twice total instead of three times
+    // and the folds stay ≤2²⁰ rows at any scale.
     val row = keyed.agg(
       expr(s"approx_percentile(z, array($qs63), 10000)").as("zb"),
       expr(s"approx_percentile(k, array($qs63), 10000)").as("kb"),
       count(lit(1)).as("n")).head()
     val n = row.getLong(2)
     val slack = n / 500 + 8
+    val hist = boundedHist(keyed)
     def layout(keyCol: String, bs: Seq[Long], name: String): DataFrame = {
       val caseExpr = EquiDepthBins.searchCountExpr(
         keyCol, bs.map(b => s"${b}L"), strict = true)
-      areaFold(keyed, keyCol, caseExpr)
+      histAreaFold(hist, caseExpr)
         .agg(sum("area").as("sum_area"),
           (min(col("pop") >= lit(n / 64 - slack) &&
             col("pop") <= lit(n / 64 + slack)) &&
