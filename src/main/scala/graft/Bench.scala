@@ -74,6 +74,10 @@ object Bench {
     val staged = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"),
       s"graft_bench_staged_${graft.Stage.key(sfDir, (parts.keys.toSeq.sorted :+ "events"): _*)}").toString
+    // retire stale-generation staging dirs (each regeneration mints a
+    // fresh fingerprint key; without a sweep /tmp accumulates copies)
+    graft.Stage.sweepSiblings(sys.props("java.io.tmpdir"),
+      "graft_bench_staged_", new java.io.File(staged).getName)
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(staged, "_STAGED"))) {
       parts.foreach { case (t, n) =>
         spark.read.parquet(s"$sfDir/$t.parquet")

@@ -140,14 +140,16 @@ object Iterate {
     *
     * Runs `step` up to `maxRounds` times (checkpointing every round —
     * the ckpt discipline above) and STOPS as soon as a round changes
-    * nothing: rows are matched on `key` and compared null-safely on
-    * `watch`. For monotone relaxations (BFS min-dist, PERT max/min
-    * relax, label propagation) convergence is OUTPUT-INVARIANT — the
-    * remaining rounds would all be no-ops — so a fixed-round oracle CTE
-    * stays bit-identical while the engine skips the dead rounds. The
-    * per-round change check is one equi-join + limit-1 existence probe
-    * over two checkpointed frames — far cheaper than a dead relaxation
-    * round (which pays the same join PLUS the aggregation and ckpt).
+    * nothing: rows are matched FULL OUTER on `key` (an added or removed
+    * key is a change — a growing frontier can never be declared
+    * converged) and compared null-safely on `watch`. For monotone
+    * relaxations (BFS min-dist, PERT max/min relax, label propagation)
+    * convergence is OUTPUT-INVARIANT — the remaining rounds would all
+    * be no-ops — so a fixed-round oracle CTE stays bit-identical while
+    * the engine skips the dead rounds. The per-round change check is
+    * one outer-join + limit-1 existence probe over two checkpointed
+    * frames — far cheaper than a dead relaxation round (which pays the
+    * same join PLUS the aggregation and ckpt).
     *
     * Returns (result, roundsExecuted). `earlyExit = false` runs all
     * `maxRounds` blindly — the spec hook proving the exit is invisible
@@ -163,11 +165,19 @@ object Iterate {
       val nxt = ckpt(step(cur))
       rounds += 1
       if (earlyExit) {
+        // FULL OUTER on the key with presence markers: a row added or
+        // removed by the step is a change even when every matched row's
+        // watch columns are identical — an inner-join probe would
+        // declare convergence on a growing frontier and silently
+        // truncate it (the scaladoc's output-invariance promise).
         val changedPred = watch
           .map(c => !(col(s"__fp_n.$c") <=> col(s"__fp_p.$c")))
-          .reduce(_ || _)
-        converged = nxt.alias("__fp_n")
-          .join(cur.alias("__fp_p"), key)
+          .reduce(_ || _) ||
+          col("__fp_n.__fp_present_n").isNull ||
+          col("__fp_p.__fp_present_p").isNull
+        converged = nxt.withColumn("__fp_present_n", lit(true)).alias("__fp_n")
+          .join(cur.withColumn("__fp_present_p", lit(true)).alias("__fp_p"),
+            key, "full_outer")
           .filter(changedPred)
           .isEmpty
       }
@@ -189,6 +199,23 @@ object Iterate {
   * path (vs String.hashCode) keeps two datasets from colliding.
   */
 object Stage {
+  /** Delete sibling staging dirs under `parent` that carry `prefix` but
+    * are not `keep`. Content-fingerprinted keys mint a FRESH dir every
+    * time the source tables regenerate, so without a sweep the stale
+    * generations (multi-GB for the bench staging and the ScaleCheck
+    * replicas) accumulate until the tmp filesystem fills; this also
+    * retires dirs from the pre-fingerprint hashCode keys.
+    */
+  def sweepSiblings(parent: String, prefix: String, keep: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    Option(new java.io.File(parent).listFiles()).foreach(_.foreach { f =>
+      if (f.isDirectory && f.getName.startsWith(prefix) && f.getName != keep)
+        rm(f)
+    })
+  }
+
   def key(d: String, tables: String*): String = {
     import java.nio.file.{Files, Path, Paths}
     def entryFp(p: Path): String =

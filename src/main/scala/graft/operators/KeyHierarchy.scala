@@ -69,6 +69,14 @@ object KeyHierarchy {
     * flat chain of <= powers(base).size-1 CASE factors — each factor is
     * 1 exactly when the path has already terminated, so the chain is
     * correct for every depth without branching on depth itself.
+    *
+    * OVERFLOW PRECONDITION: the product runs in BIGINT, so the caller
+    * must ensure max|factor|^(path length) fits 63 bits — path length
+    * is floor(log_base(k)), so the bound is
+    * log2(maxFactor) * log_base(Long.MaxValue) < 63. q426 (base 4,
+    * factor <= 3, <= 31 factors) peaks at 3^31 ~ 6.2e14 — safe by 16
+    * bits; a factor of 5+ at base 2 would NOT be. Spark wraps BIGINT
+    * multiplies silently outside ANSI mode — there is no runtime net.
     */
   def pathProductSql(k: String, base: Long, factor: String => String): String = {
     val ps = powers(base)

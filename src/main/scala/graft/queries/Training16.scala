@@ -41,9 +41,14 @@ object Training16 {
     * inspect the pre-execution plan — an eager helper would hide the
     * UnionLoop behind a checkpointed RDD scan).
     */
-  private[graft] def q200Plan(s: SparkSession, d: String): (DataFrame, () => Unit) = {
+  /** `nParts` lets the dispatch site reuse its own count — passing -1
+    * (the spec entry point) counts here.
+    */
+  private[graft] def q200Plan(s: SparkSession, d: String,
+      nParts: Long = -1L): (DataFrame, () => Unit) = {
     val parts = t(s, d, "part")
-    val bound = (parts.count() + 1000L) * 12L // ≤12 decimal digits/key
+    val n = if (nParts >= 0) nParts else parts.count()
+    val bound = (n + 1000L) * 12L // ≤12 decimal digits/key
     val prev = s.conf.getOption("spark.sql.cteRecursionRowLimit")
     s.conf.set("spark.sql.cteRecursionRowLimit", bound.toString)
     parts.createOrReplaceTempView("graft_part_rec")
@@ -136,9 +141,10 @@ object Training16 {
         val parts = t(s, d, "part")
         val limit = s.conf.getOption("spark.graft.hierarchy.recursionLimit")
           .map(_.toLong).getOrElse(100000L)
-        if (parts.count() > limit) q200ClosedForm(parts)
+        val nParts = parts.count() // shared by the dispatch AND the row-limit bound
+        if (nParts > limit) q200ClosedForm(parts)
         else {
-          val (df, restore) = q200Plan(s, d)
+          val (df, restore) = q200Plan(s, d, nParts)
           // eager: materialized while the bound is set, then the session
           // default is restored so the runaway-recursion guard stays
           // armed for every later query in a long-lived session.

@@ -23,14 +23,12 @@ import graft.{QueryDef, Tables}
 object Training48 {
   private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
 
-  /** Morton interleave of two 10-bit ints as a pure integer expression
-    * string (bit i of a → bit 2i, bit i of b → bit 2i+1), expanded at
-    * plan time for both dialects — codegen-able arithmetic, no UDF.
+  /** Morton interleave for the ORACLE SQL — the engine-neutral integer
+    * arithmetic is owned by graft.operators.ZOrderLayout.morton10 (one
+    * source for both dialects, so engine and oracle cannot drift).
     */
   private def morton10(a: String, b: String): String =
-    (0 until 10).map(i =>
-      s"(((($a) >> $i) & 1) << ${2 * i}) + (((($b) >> $i) & 1) << ${2 * i + 1})")
-      .mkString(" + ")
+    graft.operators.ZOrderLayout.morton10(a, b)
 
   val defs: Seq[QueryDef] = Seq(
 

@@ -130,6 +130,8 @@ object Training91 {
           .selectExpr("CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents")
           .localCheckpoint(true) // histogram, two bucket slices, final agg
         val nRows = cents.count()
+        require(nRows > 0,
+          "q436_winsorized_stats: empty orders input — no quantile ranks to select")
         val bw = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
         val hist = cents.select(expr("cents div 4096").as("b"))
           .groupBy("b").agg(count(lit(1)).as("c"))

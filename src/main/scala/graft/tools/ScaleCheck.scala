@@ -38,6 +38,10 @@ object ScaleCheck {
     val out = s"/tmp/graft_scale${factor}e_" +
       graft.Stage.key(sfDir, "lineitem", "orders", "customer", "part",
         "supplier", "nation", "region", "events", "documents", "embeddings")
+    // retire replicas built from prior source generations (and the
+    // pre-fingerprint hashCode-keyed ones) — each is factor× the source
+    graft.Stage.sweepSiblings("/tmp", s"graft_scale${factor}e_",
+      new java.io.File(out).getName)
 
     // key shift: large stride so replica keyspaces never collide
     val S = 1000000000L
@@ -784,6 +788,8 @@ object ScaleCheck {
       def stageSlices(srcDir: String, tag: String): String = {
         // content-fingerprinted for the same reason as `out` above
         val stage = s"/tmp/graft_steady_${tag}_${graft.Stage.key(srcDir, "events")}"
+        graft.Stage.sweepSiblings("/tmp", s"graft_steady_${tag}_",
+          new java.io.File(stage).getName)
         if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stage, "_DONE"))) {
           graft.Tables(spark, srcDir, "events")
             .repartition(8, col("user_id"))

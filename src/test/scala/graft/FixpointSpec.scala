@@ -40,6 +40,31 @@ class FixpointSpec extends SparkSpec {
       .toSeq === got.toSeq)
   }
 
+  test("a growing key set is a change even when matched rows are identical") {
+    // frontier-only shape: each round ADDS one key and touches nothing
+    // else — an inner-join probe would see zero changed matches after
+    // round 1 and truncate the frontier; the full-outer presence probe
+    // must keep running to the cap
+    val (res, rounds) = Iterate.fixpoint(
+      Seq((1, 0L)).toDF("k", "v"), 5, Seq("k"), Seq("v")) { c =>
+      val mx = c.agg(max("k")).head().getInt(0)
+      c.unionByName(Seq((mx + 1, 0L)).toDF("k", "v"))
+    }
+    assert(rounds === 5, s"growing frontier early-exited at round $rounds")
+    assert(res.count() === 6L)
+  }
+
+  test("a shrinking key set is a change even when surviving rows are identical") {
+    val init = (1 to 6).map(i => (i, 0L)).toDF("k", "v")
+    val (res, rounds) = Iterate.fixpoint(
+      init, 5, Seq("k"), Seq("v")) { c =>
+      val mx = c.agg(max("k")).head().getInt(0)
+      c.filter(col("k") =!= mx) // drop one key per round, values untouched
+    }
+    assert(rounds === 5, s"shrinking key set early-exited at round $rounds")
+    assert(res.count() === 1L)
+  }
+
   test("a never-converging step runs exactly maxRounds") {
     val (res, rounds) = Iterate.fixpoint(
       Seq((1, 0L)).toDF("k", "v"), 7, Seq("k"), Seq("v")) { c =>
