@@ -49,11 +49,19 @@ object AsOfJoin {
       .partitionBy(keys.map(col): _*)
       .orderBy(col("__t"), col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withVals = rightValueCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(s"__rv_$c"), ignoreNulls = true).over(w))
-    }
-    withVals
+    // ONE struct fold, not one last() per column: per-column folds with
+    // ignoreNulls are independent, so a null field in the most recent
+    // right row would resurrect a STALE value from an older right row —
+    // stitching fields of different rows together. The struct is non-null
+    // exactly for right rows (null for left), so last(_, ignoreNulls)
+    // carries the most recent right ROW as a unit; a null field stays
+    // null, true as-of semantics. Also one window expression instead of N.
+    val packed = when(col("__side") === 1,
+      struct(rightValueCols.map(c => col(s"__rv_$c").as(c)): _*))
+    unioned
+      .withColumn("__rv_row", last(packed, ignoreNulls = true).over(w))
       .filter(col("__side") === 2)
-      .select((left.columns ++ rightValueCols).map(col).toIndexedSeq: _*)
+      .select((left.columns.map(col) ++
+        rightValueCols.map(c => col(s"__rv_row.$c").as(c))).toIndexedSeq: _*)
   }
 }

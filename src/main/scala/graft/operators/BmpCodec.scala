@@ -110,6 +110,9 @@ object BmpCodec {
     require(buf.getShort(28) == 24, "only 24-bpp supported")
     require(buf.getInt(30) == 0, "compressed BMP unsupported")
     val rs = rowSize(w)
+    // lower bound too: an offset pointing inside the header would walk
+    // header bytes as pixels (wrong sums, no error) or crash on negative
+    require(offset >= 54, s"pixel data offset $offset inside the header")
     require(bytes.length >= offset + rs * h, "truncated pixel data")
     var sr = 0L; var sg = 0L; var sb = 0L
     var y = 0

@@ -46,7 +46,9 @@ object Dedup {
     */
   def minhashCandidatePairs(
       bandsDf: DataFrame, idCol: String, maxBucket: Int = 32): DataFrame = {
-    val bands = bandsDf.columns.filter(_.startsWith("band"))
+    // exactly the generated band0..bandN names — a bare startsWith would
+    // sweep an id column named e.g. "band_id" into the band array
+    val bands = bandsDf.columns.filter(_.matches("band\\d+"))
     val stacked = bandsDf.select(col(idCol),
       posexplode(array(bands.map(col).toIndexedSeq: _*)).as(Seq("band_idx", "band_key")))
     // bucket sizes: one keyed agg (map-side combinable); the join back is
@@ -59,15 +61,22 @@ object Dedup {
       .filter(col("__bsz") > maxBucket)
       .drop("__bsz")
       .cache()
-    val kept =
-      if (oversized.isEmpty) { oversized.unpersist(); stacked }
-      else stacked.join(oversized, Seq("band_idx", "band_key"), "left_anti")
-    kept.as("a").join(kept.as("b"),
-      col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_key") === col("b.band_key") &&
-        col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as(s"${idCol}_a"), col(s"b.$idCol").as(s"${idCol}_b"))
-      .distinct()
+    def pairsOf(kept: DataFrame): DataFrame =
+      kept.as("a").join(kept.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(col(s"a.$idCol").as(s"${idCol}_a"), col(s"b.$idCol").as(s"${idCol}_b"))
+        .distinct()
+    if (oversized.isEmpty) { oversized.unpersist(); pairsOf(stacked) }
+    else
+      // hot-bucket path: materialize the (cap-bounded) pair set so the
+      // oversized cache can be released here — the lazy form leaked it
+      // for the session (there is no later lifecycle hook to free it)
+      try pairsOf(
+        stacked.join(oversized, Seq("band_idx", "band_key"), "left_anti"))
+        .localCheckpoint()
+      finally oversized.unpersist()
   }
 
   /** Word-3-gram Jaccard similarity for every document pair sharing at

@@ -49,14 +49,20 @@ object GridDensity {
     require(outOfDomain == 0L,
       s"GridDensity cell coordinates exceed the injective id domain " +
         s"[-64, 16320); raise cellMicro (currently $cellMicro)")
+    // Adjacency joins on the TRUE (cx, cy) pair, never on an encoded
+    // neighbor id: encoding cx+dx/cy+dy first would wrap across the
+    // y-axis at the domain edges (cy=-64 with dy=-1 aliases the id of
+    // (cx+dx-1, 16319)) and silently merge spatially distant clusters —
+    // the in-domain require guards actual cells, not neighbor probes.
     val nbr = cells.select(col("cell"), col("cx"), col("cy"))
       .crossJoin(broadcast(s.createDataFrame(
         Seq((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)))
         .toDF("dx", "dy")))
-      .withColumn("ncell",
-        (col("cx") + col("dx") + 64) * 16384 + (col("cy") + col("dy") + 64))
+      .withColumn("ncx", col("cx") + col("dx"))
+      .withColumn("ncy", col("cy") + col("dy"))
+      .join(cells.select(col("cell").as("ncell"), col("cx").as("ncx"),
+        col("cy").as("ncy")), Seq("ncx", "ncy"))
       .filter(col("cell") < col("ncell"))
-      .join(cells.select(col("cell").as("ncell")), Seq("ncell"))
       .select(col("cell").as("ca"), col("ncell").as("cb"))
     // Star contraction converges in O(log n) rounds on ANY cell-graph
     // shape (min-label propagation caps at maxIter and would silently

@@ -71,8 +71,21 @@ object IqrOutlierFilter {
             scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
           bounds.schema)
       }
-      cur = cur
-        .join(broadcast(boundsLocal), groupCols, "inner")
+      // dropNullKeys=false must join NULL-SAFELY: groupBy emits a
+      // null-key bounds row, but a using-columns inner join never
+      // matches null = null — the kept-null-keys promise would
+      // silently drop those rows anyway.
+      val joined =
+        if (dropNullKeys) cur.join(broadcast(boundsLocal), groupCols, "inner")
+        else {
+          val bl = groupCols.foldLeft(boundsLocal)(
+            (d, g) => d.withColumnRenamed(g, s"__bk_$g"))
+          cur.join(broadcast(bl),
+              groupCols.map(g => col(g) <=> col(s"__bk_$g")).reduce(_ && _),
+              "inner")
+            .drop(groupCols.map(g => s"__bk_$g"): _*)
+        }
+      cur = joined
         .filter(
           col("__cnt") < 2 ||
             (col("__q3") - col("__q1")) === 0.0 ||

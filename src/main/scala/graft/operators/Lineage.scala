@@ -46,6 +46,21 @@ object Lineage {
         case Project(exprs, _) => exprs.foreach(record)
         case Aggregate(_, exprs, _, _) => exprs.foreach(record)
         case w: Window => w.windowExpressions.foreach(record)
+        case u: Union =>
+          // Union's output reuses the FIRST child's ExprIds — without
+          // merging, every other branch's sources silently vanish from
+          // the report. Fold each branch's provenance into the output
+          // attribute position-by-position.
+          u.children.foreach { child =>
+            u.output.zip(child.output).foreach { case (out, in) =>
+              prov(out.exprId.id) = prov.getOrElse(out.exprId.id, Set.empty) ++
+                prov.getOrElse(in.exprId.id, Set.empty)
+            }
+          }
+        case g: Generate =>
+          // explode/posexplode: generated columns derive from the
+          // generator's references
+          g.generatorOutput.foreach(a => prov(a.exprId.id) = refs(g.generator))
         case _ => // joins/filters/aliases pass attributes through by id
       }
     }

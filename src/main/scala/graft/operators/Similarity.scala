@@ -75,21 +75,24 @@ object Similarity {
       tables: Int = 2, planesPerTable: Int = 4): DataFrame = {
     CosineSimilarity.register(df.sparkSession)
     val bucketed = withLshBuckets(df, vecCol, dim, tables, planesPerTable).cache()
-    val cands = (0 until tables).map { t =>
-      val q = bucketed.filter(queryFilter)
-        .select(col(idCol).as("query_id"), col(s"b$t").as("bucket"))
-      val c = bucketed.select(col(idCol).as("cand_id"), col(s"b$t").as("bucket"))
-      q.join(c, Seq("bucket")).filter(col("query_id") =!= col("cand_id"))
-        .select("query_id", "cand_id")
-    }.reduce(_ unionByName _).distinct()
-    val qv = bucketed.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val cv = bucketed.select(col(idCol).as("cand_id"), col(vecCol).as("__cv"))
-    val sims = cands.join(broadcast(qv), "query_id").join(cv, "cand_id")
-      .withColumn("cos_sim", round(expr("graft_cosine(__qv, __cv)"), 4))
-    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("cand_id").asc)
-    sims.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select("query_id", "cand_id", "cos_sim", "rnk")
+    try {
+      val cands = (0 until tables).map { t =>
+        val q = bucketed.filter(queryFilter)
+          .select(col(idCol).as("query_id"), col(s"b$t").as("bucket"))
+        val c = bucketed.select(col(idCol).as("cand_id"), col(s"b$t").as("bucket"))
+        q.join(c, Seq("bucket")).filter(col("query_id") =!= col("cand_id"))
+          .select("query_id", "cand_id")
+      }.reduce(_ unionByName _).distinct()
+      val qv = bucketed.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      val cv = bucketed.select(col(idCol).as("cand_id"), col(vecCol).as("__cv"))
+      val sims = cands.join(broadcast(qv), "query_id").join(cv, "cand_id")
+        .withColumn("cos_sim", round(expr("graft_cosine(__qv, __cv)"), 4))
+      val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("cand_id").asc)
+      sims.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rnk")
+        .localCheckpoint() // materialize so the cache can be freed
+    } finally bucketed.unpersist()
   }
 
   /** Corpus-as-queries top-k with a SCALE-DISPATCHED default (the
@@ -150,6 +153,12 @@ object Similarity {
     CosineSimilarity.register(df.sparkSession)
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    // Resolve the query set against the FULL input frame before the
+    // index projection: `queryFilter` may reference any df column, and
+    // filtering the (id, vec, list) projection instead would resolve
+    // only below the brute-force dispatch limit and then throw the day
+    // the corpus outgrows it.
+    val queryIds = df.filter(queryFilter).select(col(idCol)).distinct()
     val assembled = df
       .select(col(idCol), col(vecCol))
       .withColumn("__fv", array_to_vector(col(vecCol)))
@@ -172,7 +181,7 @@ object Similarity {
         // nprobe nearest lists per query by L2 distance to the centroid
         val l2 = expr(
           "aggregate(zip_with(__qv, __centroid, (a, b) -> (a - b) * (a - b)), 0D, (acc, v) -> acc + v)")
-        val queries = listed.filter(queryFilter)
+        val queries = listed.join(queryIds, Seq(idCol), "left_semi")
           .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
         val probeW = Window.partitionBy("query_id").orderBy(col("__d2").asc, col("__list").asc)
         val probes = queries.crossJoin(broadcast(centroids))

@@ -51,9 +51,13 @@ object ZOrderLayout {
 
   /** (a, b, z, k) keyed frame from two integer key expressions mod 1024,
     * localCheckpointed — the boundary agg and both layout folds read it.
+    * `pmod`, not `%`: Spark's `%` is sign-preserving, and a negative
+    * a/b would sign-extend through morton10's shifts and alias k cells
+    * (a=1,b=-1 collides with a=0,b=1023) — pmod pins a,b ∈ [0,1024) for
+    * ANY integer key expression, keeping (a,b) ↔ z ↔ k bijective.
     */
   def keyed(df: DataFrame, aExpr: String, bExpr: String): DataFrame =
-    df.select(expr(s"($aExpr) % 1024").as("a"), expr(s"($bExpr) % 1024").as("b"))
+    df.select(expr(s"pmod($aExpr, 1024)").as("a"), expr(s"pmod($bExpr, 1024)").as("b"))
       .withColumn("z", expr(morton10("a", "b")))
       .withColumn("k", col("a") * 1024 + col("b"))
       .localCheckpoint()
