@@ -45,15 +45,25 @@ case class NGramGenerator(tokens: Expression, nExpr: Expression)
     val n = nv.asInstanceOf[Int]
     val total = a.numElements() - n + 1
     if (n <= 0 || total <= 0) return Iterator.empty
-    (0 until total).iterator.map { i =>
+    // windows containing a NULL token are SKIPPED (the generator's
+    // output fields are declared non-nullable; appending a null would
+    // NPE the whole query) — position `pos` still names the window's
+    // start index in the original array
+    (0 until total).iterator.flatMap { i =>
       val sb = new java.lang.StringBuilder
       var j = 0
-      while (j < n) {
-        if (j > 0) sb.append(' ')
-        sb.append(a.getUTF8String(i + j).toString)
-        j += 1
+      var hasNull = false
+      while (j < n && !hasNull) {
+        val t = a.getUTF8String(i + j)
+        if (t == null) hasNull = true
+        else {
+          if (j > 0) sb.append(' ')
+          sb.append(t.toString)
+          j += 1
+        }
       }
-      InternalRow(i, UTF8String.fromString(sb.toString))
+      if (hasNull) Iterator.empty
+      else Iterator.single(InternalRow(i, UTF8String.fromString(sb.toString)))
     }
   }
 }

@@ -32,7 +32,12 @@ object ApproxQuantileRewrite extends Rule[LogicalPlan] {
       plan.transformAllExpressions {
         case ae: AggregateExpression =>
           ae.aggregateFunction match {
-            case p: Percentile if p.child.dataType == DoubleType && p.frequencyExpression == Literal(1L) =>
+            // !p.reverse: a descending PERCENTILE_CONT (WITHIN GROUP
+            // ORDER BY v DESC) carries reverse=true — rewriting it to
+            // the ascending ApproximatePercentile would return ~the
+            // (1-p) quantile, silently wrong, not merely approximate
+            case p: Percentile if p.child.dataType == DoubleType &&
+                p.frequencyExpression == Literal(1L) && !p.reverse =>
               ae.copy(aggregateFunction = new ApproximatePercentile(
                 p.child, p.percentageExpression, Literal(accuracy)))
             case _ => ae

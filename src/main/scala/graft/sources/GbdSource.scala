@@ -91,13 +91,24 @@ object GbdFormat {
         out.writeInt(g.length)
         offset += 4
         g.foreach { case (id, lang, payload) =>
-          val lb = lang.getBytes("UTF-8")
+          // -1 length = the format's null marker (the reader and the
+          // distributed shard writer both speak it; writing unguarded
+          // would NPE on the nullable source columns instead)
           out.writeLong(id)
-          out.writeInt(lb.length)
-          out.write(lb)
-          out.writeInt(payload.length)
-          out.write(payload)
-          offset += 8 + 4 + lb.length + 4 + payload.length
+          offset += 8
+          if (lang == null) { out.writeInt(-1); offset += 4 }
+          else {
+            val lb = lang.getBytes("UTF-8")
+            out.writeInt(lb.length)
+            out.write(lb)
+            offset += 4 + lb.length
+          }
+          if (payload == null) { out.writeInt(-1); offset += 4 }
+          else {
+            out.writeInt(payload.length)
+            out.write(payload)
+            offset += 4 + payload.length
+          }
         }
         blocks += BlockMeta(start, g.length, g.map(_._1).min, g.map(_._1).max)
       }

@@ -52,7 +52,15 @@ object Sinks {
       keyCols: Seq[String], versionCol: String, version: Long): Unit = {
     val spark = incoming.sparkSession
     val in = incoming.withColumn("__src", lit(1))
-    val merged = latestSnapshotDir(snapshotRoot) match {
+    // merge against the newest version STRICTLY BELOW the one being
+    // written, never latest-overall: a microbatch retry (crash between
+    // snapshot commit and checkpoint commit) re-runs with the same
+    // `version`, and reading latest would read v<version> itself while
+    // overwriting it — "cannot overwrite a path being read from", a
+    // permanently wedged stream. Against v<version-1> the retry is a
+    // byte-identical idempotent recompute of v<version>.
+    val merged = snapshotVersions(snapshotRoot).filter(_ < version)
+      .lastOption match {
       case Some(prev) =>
         // allowMissingColumns = ADDITIVE SCHEMA EVOLUTION: a batch may
         // carry columns the snapshot has never seen (rows already
@@ -61,7 +69,7 @@ object Sinks {
         // the new table schema, exactly a table format's mergeSchema
         // commit rule. Renames/type changes stay out of scope (as they
         // do in Delta/Iceberg without an explicit ALTER).
-        spark.read.parquet(prev).withColumn("__src", lit(0))
+        spark.read.parquet(s"$snapshotRoot/v$prev").withColumn("__src", lit(0))
           .unionByName(in, allowMissingColumns = true)
       case None => in
     }
@@ -135,10 +143,19 @@ object Sinks {
         StandardCopyOption.ATOMIC_MOVE)
       true
     } catch {
-      case _: java.nio.file.FileAlreadyExistsException
-          | _: java.nio.file.FileSystemException =>
-        // lost the race (or the target appeared mid-rename): discard
-        // the stale stage; the caller re-reads latest and re-merges
+      case e: java.nio.file.FileSystemException =>
+        // a lost race surfaces as FileAlreadyExistsException OR (Linux
+        // rename(2) ENOTEMPTY under ATOMIC_MOVE) a GENERIC
+        // FileSystemException "Directory not empty" — so discriminate
+        // by the ground truth instead of the exception type: if the
+        // target version now exists, another writer won; anything else
+        // (EACCES, disk full, cross-device) is a real IO failure and
+        // must propagate, not burn five silent re-merges into a
+        // misleading "lost the commit race" error
+        if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$root/v$next"))) throw e
+        // lost the race: discard the stale stage; the caller re-reads
+        // latest and re-merges
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
         }
@@ -267,13 +284,20 @@ object Sinks {
       fromVersion: Long, toVersion: Long, keyCols: Seq[String]): DataFrame = {
     val a = readSnapshot(spark, root, fromVersion)
     val b = readSnapshot(spark, root, toVersion)
-    val valCols = a.columns.filterNot(keyCols.contains).toSeq
-    val oldDf = a.select(
-      (keyCols.map(col) :+ lit(1).as("__in_old")) ++
-        valCols.map(c => col(c).as(s"old_$c")): _*)
-    val newDf = b.select(
-      (keyCols.map(col) :+ lit(1).as("__in_new")) ++
-        valCols.map(c => col(c).as(s"new_$c")): _*)
+    // value columns = UNION of both snapshots' schemas (additive schema
+    // evolution means either side may carry columns the other predates;
+    // a from-side-only list would silently drop changes in added
+    // columns and crash selecting removed ones) — a missing side reads
+    // as null, exactly how the evolved snapshot itself reads back
+    val valCols = (a.columns ++ b.columns).distinct
+      .filterNot(keyCols.contains).toSeq
+    def side(df: DataFrame, marker: String, pfx: String) = df.select(
+      (keyCols.map(col) :+ lit(1).as(marker)) ++
+        valCols.map(c =>
+          (if (df.columns.contains(c)) col(c) else lit(null))
+            .as(s"$pfx$c")): _*)
+    val oldDf = side(a, "__in_old", "old_")
+    val newDf = side(b, "__in_new", "new_")
     val changed = valCols
       .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
@@ -311,9 +335,13 @@ object Sinks {
     * version, never a torn one. Returns the expired versions.
     */
   def vacuumSnapshots(spark: SparkSession, root: String, keepLast: Int): Seq[Long] = {
-    val expired = retentionPlan(spark, root, keepLast)
-      .filter(col("expire")).select("version")
-      .collect().map(_.getLong(0)).toSeq
+    // pure metadata: the cut comes straight from the version listing —
+    // going through retentionPlan would run its per-version row-count
+    // job for numbers the vacuum never uses
+    require(keepLast >= 1, s"retention must keep at least 1 version, got $keepLast")
+    val vs = snapshotVersions(root)
+    val cut = if (vs.size > keepLast) vs(vs.size - keepLast) else Long.MinValue
+    val expired = vs.filter(_ < cut)
     expired.foreach { v =>
       val dir = new java.io.File(s"$root/v$v")
       new java.io.File(dir, "_SUCCESS").delete()

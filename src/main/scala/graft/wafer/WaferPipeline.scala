@@ -74,12 +74,16 @@ object WaferPipeline {
     * denominator is exactly 0 (input == -1e-6).
     */
   private def ieeeDiv(num: Column, den: Column): Column =
-    when(den =!= 0.0, num / den)
+    // null-first: a null DENOMINATOR must propagate null (pandas
+    // x/NaN = NaN = missing) — the bare `den =!= 0.0` guard evaluates
+    // null on it and would fall into the zero-denominator branch,
+    // fabricating ±Infinity for a missing input
+    when(num.isNull || den.isNull, lit(null))
+      .when(den =!= 0.0, num / den)
       .otherwise(
         when(num > 0.0, lit(Double.PositiveInfinity))
           .when(num < 0.0, lit(Double.NegativeInfinity))
-          .when(num === 0.0, lit(Double.NaN))
-          .otherwise(lit(null))) // num is null
+          .otherwise(lit(Double.NaN))) // num == 0.0
 
   /** ±inf/NaN → null scrub (F3/F4's post-division cleanup,
     * preprocessing.py:145,149 — pandas replaces ±inf with NaN; our
@@ -187,7 +191,14 @@ object WaferPipeline {
         val labels = labelParts.reduce(_ unionByName _)
         withId.join(labels, Seq("__row_id"), "left")
       }
-    out.drop("__row_id")
+    // materialize, then free the withId cache: the returned lazy plan
+    // references it, so without this every pipeline run in a session
+    // leaks a cached copy of the full input (the operator already
+    // forces actions internally — fits, counts — so eagerness here
+    // changes nothing observable)
+    val result = out.drop("__row_id").localCheckpoint()
+    withId.unpersist()
+    result
   }
 
   /** G5/F8: rule-based killer labeling — the reference's row loop folded
