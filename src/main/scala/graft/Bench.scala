@@ -71,13 +71,17 @@ object Bench {
     // regenerates the parquet in place between rounds, and a
     // hashCode-keyed _STAGED cache then silently benchmarks the OLD
     // tables (the q386-spec incident, applied to the bench gate).
+    val benchPrefix = s"graft_bench_staged_${graft.Stage.pathTag(sfDir)}_"
     val staged = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"),
-      s"graft_bench_staged_${graft.Stage.key(sfDir, (parts.keys.toSeq.sorted :+ "events"): _*)}").toString
-    // retire stale-generation staging dirs (each regeneration mints a
-    // fresh fingerprint key; without a sweep /tmp accumulates copies)
+      benchPrefix +
+        graft.Stage.key(sfDir, (parts.keys.toSeq.sorted :+ "events"): _*)).toString
+    // retire THIS source's stale-generation staging dirs (each
+    // regeneration mints a fresh fingerprint key; without a sweep /tmp
+    // accumulates copies — and the pathTag scope keeps a run on one SF
+    // from evicting another's live staging)
     graft.Stage.sweepSiblings(sys.props("java.io.tmpdir"),
-      "graft_bench_staged_", new java.io.File(staged).getName)
+      benchPrefix, new java.io.File(staged).getName)
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(staged, "_STAGED"))) {
       parts.foreach { case (t, n) =>
         spark.read.parquet(s"$sfDir/$t.parquet")
@@ -183,7 +187,12 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val coldTotal = timed.map(_._2._1).filter(_ >= 0).sum
     val heavyTotal = heavyTimed.map(_._2._2).filter(_ >= 0).sum
-    println(s"""{"metric":"headline_total","value":$total,"unit":"sec","mode":"warm_median_of_3","cold_total":$coldTotal,"heavy_total":$heavyTotal,"calibration_s":$calibWarm,"calibration_cold_s":$calibCold,"calibration_end_s":$calibEnd,"queries":$qjson,"queries_minmax":$sjson,"queries_cold":$cjson,"queries_heavy":$hjson,"sf":"$sfDir"}""")
+    // failures must be LOUD in the JSON: a crashed query drops out of
+    // the totals (filter >= 0), which reads as a round-over-round
+    // SPEEDUP unless the failure is surfaced top-level
+    val failed = (results ++ heavyTimed.map { case (n, (_, med, _, _)) => n -> med })
+      .collect { case (n, v) if v < 0 => s""""$n"""" }.mkString("[", ",", "]")
+    println(s"""{"metric":"headline_total","value":$total,"unit":"sec","mode":"warm_median_of_3","failed":$failed,"cold_total":$coldTotal,"heavy_total":$heavyTotal,"calibration_s":$calibWarm,"calibration_cold_s":$calibCold,"calibration_end_s":$calibEnd,"queries":$qjson,"queries_minmax":$sjson,"queries_cold":$cjson,"queries_heavy":$hjson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

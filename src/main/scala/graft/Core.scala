@@ -69,14 +69,26 @@ object Tables {
     // FileStreamSource insists on a directory path (it manages its own
     // basePath); the harness table is a single file. Stage a symlink to
     // it in a per-sfDir temp directory and stream that directory.
+    // md5 pathTag, not String.hashCode: a 32-bit collision between two
+    // dataset paths would silently stream the WRONG dataset's events
+    // (the link is created first-wins). A symlink follows the live
+    // file, so regeneration needs no content fingerprint here.
     val stage = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"),
-      s"graft_events_stream_${Integer.toHexString(dir.hashCode)}")
+      s"graft_events_stream_${Stage.pathTag(dir)}")
     java.nio.file.Files.createDirectories(stage)
     val link = stage.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+    if (!java.nio.file.Files.exists(link)) {
+      try {
+        java.nio.file.Files.createSymbolicLink(
+          link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+        ()
+      } catch {
+        // two sessions raced the exists/create pair — the winner's
+        // link points at the same target, nothing to do
+        case _: java.nio.file.FileAlreadyExistsException => ()
+      }
+    }
     normalizeEventTs(spark.readStream.schema(rawSchema).parquet(stage.toString))
   }
 }
@@ -170,9 +182,12 @@ object Iterate {
         // watch columns are identical — an inner-join probe would
         // declare convergence on a growing frontier and silently
         // truncate it (the scaladoc's output-invariance promise).
+        // reduceOption: an empty watch list means presence-only
+        // convergence (pure frontier growth/shrink) — a bare reduce
+        // would throw on it instead
         val changedPred = watch
           .map(c => !(col(s"__fp_n.$c") <=> col(s"__fp_p.$c")))
-          .reduce(_ || _) ||
+          .reduceOption(_ || _).getOrElse(lit(false)) ||
           col("__fp_n.__fp_present_n").isNull ||
           col("__fp_p.__fp_present_p").isNull
         converged = nxt.withColumn("__fp_present_n", lit(true)).alias("__fp_n")
@@ -199,12 +214,25 @@ object Iterate {
   * path (vs String.hashCode) keeps two datasets from colliding.
   */
 object Stage {
+  /** Stable per-SOURCE tag (md5 of the dataset path, 8 hex chars): part
+    * of every staging-dir name so [[sweepSiblings]] can scope its
+    * deletes to generations of the SAME dataset — a bare shared prefix
+    * would let a run on sfA evict sfB's live staging (and two
+    * concurrent processes on different sources would evict each other
+    * mid-measurement).
+    */
+  def pathTag(d: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+
   /** Delete sibling staging dirs under `parent` that carry `prefix` but
     * are not `keep`. Content-fingerprinted keys mint a FRESH dir every
     * time the source tables regenerate, so without a sweep the stale
     * generations (multi-GB for the bench staging and the ScaleCheck
     * replicas) accumulate until the tmp filesystem fills; this also
-    * retires dirs from the pre-fingerprint hashCode keys.
+    * retires dirs from the pre-fingerprint hashCode keys. Callers pass
+    * a prefix that INCLUDES [[pathTag]] so only the same source's
+    * generations are swept.
     */
   def sweepSiblings(parent: String, prefix: String, keep: String): Unit = {
     def rm(f: java.io.File): Unit = {

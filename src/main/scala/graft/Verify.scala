@@ -39,6 +39,14 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failure BEFORE the overwrite deletes anything (plan-time
+        // error) would leave a PRIOR run's dump in place — the oracle
+        // compare would then hash stale results and report a false
+        // pass; a failed query must have NO result directory
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(s"$outDir/$name"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -63,9 +63,13 @@ object CatalogGen {
     val ratioRe = """\|\s*(q\w+)[^|]*\|\s*[\d.]+\s*\|\s*[\d.]+\s*\|\s*([\d.]+)\s*\|""".r
     val scaleFiles = {
       val st = Files.list(root)
+      // sort by the extracted ROUND NUMBER, not the file name:
+      // lexicographic order would put SCALE_r100.md before SCALE_r11.md
+      // and let every older round override the newest measurements
       try st.iterator().asScala
         .filter(p => p.getFileName.toString.matches("SCALE_r\\d+\\.md"))
-        .toSeq.sortBy(p => p.getFileName.toString)
+        .toSeq.sortBy(p =>
+          p.getFileName.toString.stripPrefix("SCALE_r").stripSuffix(".md").toInt)
       finally st.close()
     }
     val ratios = scaleFiles.foldLeft(Map.empty[String, String]) { (acc, p) =>
@@ -78,10 +82,16 @@ object CatalogGen {
         .groupBy(_._1).view.mapValues(_.head._2).toMap
       acc ++ fileFirst
     }
-    val extraRe = """\|\s*(wafer_pipeline|snapshot_read\w*)\s*\|\s*[\d.]+\s*\|\s*[\d.]+\s*\|\s*([\d.]+)\s*\|""".r
+    // [^|]* after the name: annotation-tolerant like ratioRe above
+    // ("wafer_pipeline (10× = 639k rows)" is the newest isolated row)
+    val extraRe = """\|\s*(wafer_pipeline|snapshot_read\w*)[^|]*\|\s*[\d.]+\s*\|\s*[\d.]+\s*\|\s*([\d.]+)\s*\|""".r
     val extraRatios = scaleFiles.foldLeft(Map.empty[String, String]) { (acc, p) =>
       val text = new String(Files.readAllBytes(p), "UTF-8")
-      acc ++ extraRe.findAllMatchIn(text).map(m => m.group(1) -> m.group(2))
+      // same first-occurrence-in-file rule as the query ratios above:
+      // isolated re-measures precede the pollution-inflated sweep rows
+      acc ++ extraRe.findAllMatchIn(text)
+        .map(m => m.group(1) -> m.group(2)).toSeq
+        .groupBy(_._1).view.mapValues(_.head._2).toMap
     }
 
     val defs = graft.SparkEntry.allDefs

@@ -35,12 +35,14 @@ object ScaleCheck {
     // sessions — a hashCode-keyed _DONE cache then silently reuses a
     // replica built from the OLD tables. Generator changes still need
     // the `e` tag bump; source changes now invalidate automatically.
-    val out = s"/tmp/graft_scale${factor}e_" +
+    val scalePrefix = s"graft_scale${factor}e_${graft.Stage.pathTag(sfDir)}_"
+    val out = s"/tmp/$scalePrefix" +
       graft.Stage.key(sfDir, "lineitem", "orders", "customer", "part",
         "supplier", "nation", "region", "events", "documents", "embeddings")
-    // retire replicas built from prior source generations (and the
-    // pre-fingerprint hashCode-keyed ones) — each is factor× the source
-    graft.Stage.sweepSiblings("/tmp", s"graft_scale${factor}e_",
+    // retire THIS source's replicas from prior generations — each is
+    // factor× the source; the pathTag scope keeps concurrent runs on
+    // different sources from evicting each other mid-measurement
+    graft.Stage.sweepSiblings("/tmp", scalePrefix,
       new java.io.File(out).getName)
 
     // key shift: large stride so replica keyspaces never collide
@@ -671,6 +673,16 @@ object ScaleCheck {
       val t0 = System.nanoTime()
       try qs(name)(spark, dir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => println(s"[scale] $name FAILED: $e"); return -1 }
+      finally {
+        // restore session defaults: a leaked production-setting conf
+        // would silently re-route every LATER roster query that reads
+        // it (autoTopK documents that an explicit conf wins)
+        if (annQueries(name)) {
+          spark.conf.unset("spark.graft.ann.nlist")
+          spark.conf.unset("spark.graft.ann.nprobe")
+        }
+        if (gridQueries(name)) spark.conf.unset("spark.graft.grid.side")
+      }
       (System.nanoTime() - t0) / 1e9
     }
     // Queries whose fn stages tables/indexes IDEMPOTENTLY (tableExists /
@@ -686,6 +698,11 @@ object ScaleCheck {
       "q340_gbd_agg_pushdown", "q375_dynamic_partition_pruning",
       "q386_partition_evolution", "q392_bucket_pruning",
       "q406_nested_schema_pruning")
+    // a failed leg must print FAIL, never a ratio: -1/-1 would render
+    // as a perfect 1.0 and a skimmed ledger (or the catalog generator's
+    // numeric-row regex) would record a broken query as flat-scaling
+    def ratioStr(t1: Double, tn: Double): String =
+      if (t1 < 0 || tn < 0) " FAIL" else f"${tn / t1}%5.1f"
     println(f"[scale] ${"query"}%-24s 1x_sec  ${factor}x_sec  ratio")
     queries.filter(q => only.forall(_.exists(q.startsWith))).foreach { q =>
       timeIt(sfDir, q) // warm codegen/JIT on the small side
@@ -693,16 +710,16 @@ object ScaleCheck {
       if (stagedQueries(q)) {
         val tTotal = timeIt(out, q) // staging write + query
         val tn = timeIt(out, q) // query against the staged artifact
-        println(f"[scale] $q%-24s $t1%6.2f  $tn%7.2f  ${tn / t1}%5.1f" +
+        println(f"[scale] $q%-24s $t1%6.2f  $tn%7.2f  ${ratioStr(t1, tn)}" +
           f"  (stage ${tTotal - tn}%.2f s, stage+query $tTotal%.2f s)")
       } else {
         val tn = timeIt(out, q)
-        println(f"[scale] $q%-24s $t1%6.2f  $tn%7.2f  ${tn / t1}%5.1f")
+        println(f"[scale] $q%-24s $t1%6.2f  $tn%7.2f  ${ratioStr(t1, tn)}")
       }
     }
 
     def row(name: String, t1: Double, tn: Double): Unit =
-      println(f"[scale] $name%-24s $t1%6.2f  $tn%7.2f  ${tn / t1}%5.1f")
+      println(f"[scale] $name%-24s $t1%6.2f  $tn%7.2f  ${ratioStr(t1, tn)}")
 
     // The composed wafer pipeline (the reference's main()) — benched at
     // its canonical 63,909-row scale for years but never scale-swept.
@@ -786,9 +803,12 @@ object ScaleCheck {
       import org.apache.spark.sql.streaming.StreamingQueryListener
       import org.apache.spark.sql.streaming.StreamingQueryListener._
       def stageSlices(srcDir: String, tag: String): String = {
-        // content-fingerprinted for the same reason as `out` above
-        val stage = s"/tmp/graft_steady_${tag}_${graft.Stage.key(srcDir, "events")}"
-        graft.Stage.sweepSiblings("/tmp", s"graft_steady_${tag}_",
+        // content-fingerprinted + pathTag-scoped for the same reasons
+        // as `out` above
+        val steadyPrefix =
+          s"graft_steady_${tag}_${graft.Stage.pathTag(srcDir)}_"
+        val stage = s"/tmp/$steadyPrefix${graft.Stage.key(srcDir, "events")}"
+        graft.Stage.sweepSiblings("/tmp", steadyPrefix,
           new java.io.File(stage).getName)
         if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stage, "_DONE"))) {
           graft.Tables(spark, srcDir, "events")
@@ -805,7 +825,10 @@ object ScaleCheck {
           override def onQueryProgress(e: QueryProgressEvent): Unit =
             if (e.progress.numInputRows > 0)
               durs.synchronized {
-                durs += e.progress.durationMs.get("triggerExecution").toDouble / 1000.0
+                // a batch may lack the triggerExecution duration key —
+                // a bare .get would NPE inside the async listener
+                Option(e.progress.durationMs.get("triggerExecution"))
+                  .foreach(d => durs += d.toDouble / 1000.0)
                 ()
               }
           override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
@@ -843,10 +866,18 @@ object ScaleCheck {
       Seq("bitmap", "sketch").foreach { shape =>
         val d1 = batchTimes(p1, shape)
         val dn = batchTimes(pn, shape)
-        println(f"[scale] steady_$shape%-17s 1x: first=${d1.head}%.2f " +
-          f"median_rest=${median(d1.tail)}%.3f (${d1.length} batches)  " +
-          f"${factor}x: first=${dn.head}%.2f median_rest=${median(dn.tail)}%.3f")
-        row(s"stream_steady_$shape", median(d1.tail), median(dn.tail))
+        // need ≥2 batches per leg (first is warm-up, the median runs
+        // over the rest) — a tiny input or undrained async listener
+        // otherwise crashes the whole run AFTER the expensive legs
+        if (d1.size < 2 || dn.size < 2)
+          println(s"[scale] steady_$shape SKIPPED: too few recorded " +
+            s"batches (1x=${d1.size}, ${factor}x=${dn.size})")
+        else {
+          println(f"[scale] steady_$shape%-17s 1x: first=${d1.head}%.2f " +
+            f"median_rest=${median(d1.tail)}%.3f (${d1.length} batches)  " +
+            f"${factor}x: first=${dn.head}%.2f median_rest=${median(dn.tail)}%.3f")
+          row(s"stream_steady_$shape", median(d1.tail), median(dn.tail))
+        }
       }
     }
     spark.stop()
