@@ -192,7 +192,23 @@ object Bench {
     // SPEEDUP unless the failure is surfaced top-level
     val failed = (results ++ heavyTimed.map { case (n, (_, med, _, _)) => n -> med })
       .collect { case (n, v) if v < 0 => s""""$n"""" }.mkString("[", ",", "]")
-    println(s"""{"metric":"headline_total","value":$total,"unit":"sec","mode":"warm_median_of_3","failed":$failed,"cold_total":$coldTotal,"heavy_total":$heavyTotal,"calibration_s":$calibWarm,"calibration_cold_s":$calibCold,"calibration_end_s":$calibEnd,"queries":$qjson,"queries_minmax":$sjson,"queries_cold":$cjson,"queries_heavy":$hjson,"sf":"$sfDir"}""")
+    // a query whose COLD run crashed but whose warm reps passed would
+    // otherwise silently shrink cold_total — the same false-speedup
+    // pattern `failed` closes for the warm medians
+    val failedCold = (timed ++ heavyTimed)
+      .collect { case (n, (c, _, _, _)) if c < 0 => s""""$n"""" }
+      .mkString("[", ",", "]")
+    // Self-normalizing gate (round-11 verdict item 2): two rounds'
+    // headlines are only comparable after dividing out the box's speed
+    // that day, and the division must be mechanical, not editorial.
+    // calibration_end_s (measured AFTER the workload, adjacent in time
+    // to the timed queries) is the divisor; headline_calibrated is the
+    // workload expressed in "calibration units" — a dimensionless
+    // number a 2.7x box-drift wave cannot move. Compare THIS across
+    // rounds; compare raw `value` only between same-box calm runs.
+    val calibrated =
+      if (calibEnd > 0) "%.3f".formatLocal(java.util.Locale.ROOT, total / calibEnd) else "-1"
+    println(s"""{"metric":"headline_total","value":$total,"unit":"sec","mode":"warm_median_of_3","failed":$failed,"failed_cold":$failedCold,"cold_total":$coldTotal,"heavy_total":$heavyTotal,"calibration_s":$calibWarm,"calibration_cold_s":$calibCold,"calibration_end_s":$calibEnd,"headline_calibrated":$calibrated,"queries":$qjson,"queries_minmax":$sjson,"queries_cold":$cjson,"queries_heavy":$hjson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -167,6 +167,62 @@ object Iterate {
     * `maxRounds` blindly — the spec hook proving the exit is invisible
     * (same output either way), never a semantics change.
     */
+  /** Delta-frontier fixed-point iteration (round-11 verdict item 1).
+    *
+    * [[fixpoint]] skips DEAD rounds, but every LIVE round still
+    * reprocesses the FULL frame — at 100 TB a relaxation whose last
+    * frontier is 50 keys would still join billions of rows per round.
+    * This is the delta-iteration plan (Ewen et al., "Spinning Fast
+    * Iterative Data Flows", VLDB 2012): `step` receives
+    * (state, frontier) where frontier holds ONLY the keys the previous
+    * round changed, and returns (nextState, nextFrontier). A correct
+    * step recomputes just the frontier's neighborhood and merges it
+    * into the state with a broadcast-sized join — per-round work is
+    * then proportional to the CHANGE, not the data, and a
+    * late-converging component drags only its own neighborhood.
+    *
+    * `step` returns ONE merged frame carrying a boolean `flagCol`
+    * marking the changed rows; the loop checkpoints it ONCE per round
+    * and derives both the next state (drop the flag) and the next
+    * frontier (filter on it) as lazy views over the same materialized
+    * RDD — the round-10 lesson that per-round wall on dictionary-sized
+    * frames is materializations and job launches, not rows (a
+    * three-checkpoint round measured ~70% slower than this single-
+    * checkpoint form at sf0.1). The loop stops when the frontier is
+    * empty (an empty frontier can never repopulate — `step` derives
+    * the next frontier from the current one) or at `maxRounds`. For
+    * synchronous (Jacobi-style) monotone relaxations the round-r state
+    * is IDENTICAL to the full-frame fixpoint's round-r state — keys
+    * outside the frontier's neighborhood would have recomputed their
+    * old value — so a fixed-round oracle stays bit-identical. The
+    * returned frontier sizes (count() over a just-materialized
+    * checkpoint — a cheap local fold that doubles as the empty probe)
+    * are the observability hook the planted-graph specs pin.
+    * `earlyExit = false` runs all rounds blindly (an empty frontier
+    * makes them no-ops) — the spec hook proving the exit is invisible.
+    *
+    * Returns (state, roundsExecuted, frontierSizes).
+    */
+  def deltaFixpoint(
+      init: DataFrame, initFrontier: DataFrame, maxRounds: Int,
+      flagCol: String = "__delta_chg", earlyExit: Boolean = true)(
+      step: (DataFrame, DataFrame) => DataFrame): (DataFrame, Int, Seq[Long]) = {
+    var cur = ckpt(init)
+    var frontier = ckpt(initFrontier)
+    var n = frontier.count()
+    val sizes = scala.collection.mutable.ArrayBuffer[Long]()
+    var rounds = 0
+    while (rounds < maxRounds && (n > 0 || !earlyExit)) {
+      val merged = ckpt(step(cur, frontier))
+      cur = merged.drop(flagCol)
+      frontier = merged.filter(col(flagCol)).drop(flagCol)
+      n = frontier.count()
+      sizes += n
+      rounds += 1
+    }
+    (cur, rounds, sizes.toSeq)
+  }
+
   def fixpoint(
       init: DataFrame, maxRounds: Int, key: Seq[String], watch: Seq[String],
       earlyExit: Boolean = true)(step: DataFrame => DataFrame): (DataFrame, Int) = {
@@ -238,9 +294,27 @@ object Stage {
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
     }
+    // Two hardenings against concurrent runs straddling a dataset
+    // regeneration (round-11 advisory):
+    //  - skip dirs touched in the last 30 min: a sibling process'
+    //    LIVE staging (it was created/written recently; reads don't
+    //    bump mtime, but a generation old enough to be stale is hours
+    //    old) must not be evicted mid-measurement;
+    //  - delete the completion markers FIRST: rm ignores per-file
+    //    delete failures, so a partially-swept dir could otherwise
+    //    survive WITH its _STAGED/_DONE marker and be trusted as a
+    //    complete artifact on the next run.
+    val recentMs = 30L * 60 * 1000
+    val now = System.currentTimeMillis()
     Option(new java.io.File(parent).listFiles()).foreach(_.foreach { f =>
-      if (f.isDirectory && f.getName.startsWith(prefix) && f.getName != keep)
-        rm(f)
+      if (f.isDirectory && f.getName.startsWith(prefix) && f.getName != keep
+          && now - f.lastModified() > recentMs) {
+        val markers = Seq("_STAGED", "_DONE")
+          .map(new java.io.File(f, _)).filter(_.exists())
+        // only recurse once every marker is verifiably gone; a dir
+        // whose marker cannot be deleted is left fully intact
+        if (markers.forall(_.delete())) rm(f)
+      }
     })
   }
 

@@ -156,20 +156,46 @@ object Graphs {
     *    ⌈k/p⌉-core of the sample — the p× work reduction that keeps the
     *    multi-round peel alive when the full edge list outgrows a box).
     *
-    * Every round localCheckpoints (the Dedup.*Star discipline): lineage
-    * and Catalyst re-analysis of the growing self-join tree stay one
-    * round deep.
+    * DELTA-FRONTIER rounds (round-11 verdict item 1): the edge list is
+    * checkpointed ONCE and never rewritten; the peel maintains only a
+    * node-sized DEGREE-IN-THE-SURVIVING-GRAPH table, so each round is
+    * driven by the REMOVED set (the frontier), not a full-graph
+    * recompute:
+    *
+    *   removed = deg < k entries — one filter over the node-sized
+    *             degree table (the old plan's full-edge groupBy is
+    *             gone);
+    *   dec     = STATIC edges with v removed this round, grouped by u
+    *             — one broadcast-semi-join scan of the fixed edge list
+    *             whose aggregated mass is the frontier's neighborhood
+    *             (edges into previously-removed v's were already
+    *             subtracted the round their v fell; u's outside the
+    *             live degree table drop out of the merge below);
+    *   deg'    = (deg ∖ removed) − dec, dropping newly isolated
+    *             nodes — node-sized, broadcast-joined, the ONLY frame
+    *             written per round.
+    *
+    * The old plan shuffled and REWROTE the full edge list through two
+    * hash joins every round; this one's per-round cost is a shuffle-
+    * free scan of the static edge list plus a node-table merge. The
+    * census comes free from the degree invariant (n_nodes = live rows,
+    * doubled edges = Σ deg — bit-identical to the old distinct/count
+    * probes). After round one `removed` is frontier-sized, so every
+    * join broadcasts — the shape a 100 TB peel needs: a
+    * late-converging component drags only its own neighborhood.
     */
   def kcoreRounds(e: DataFrame, k: Int, rounds: Int,
       edgeLimit: Long = -1L, sampleMod: Int = -1): DataFrame =
     kcoreRoundsCounted(e, k, rounds, edgeLimit, sampleMod)._1
 
   /** As kcoreRounds, but also returns how many peel rounds actually
-    * executed — the early-exit observability hook GraphsKcoreSpec pins
-    * (the FixpointSpec discipline).
+    * executed (a convergence-probe round counts — it runs the
+    * removed-set filter) and the per-round removed-frontier sizes —
+    * the early-exit + delta observability hooks GraphsKcoreSpec and
+    * DeltaFrontierSpec pin.
     */
   private[graft] def kcoreRoundsCounted(e: DataFrame, k: Int, rounds: Int,
-      edgeLimit: Long = -1L, sampleMod: Int = -1): (DataFrame, Int) = {
+      edgeLimit: Long = -1L, sampleMod: Int = -1): (DataFrame, Int, Seq[Long]) = {
     val s = e.sparkSession
     val limit =
       if (edgeLimit >= 0) edgeLimit
@@ -182,41 +208,61 @@ object Graphs {
     // the dispatch probe is one count over the (checkpointed) oriented
     // edge list the query builds anyway
     val m = 2L * e.count()
-    val (g0, kk, scale) =
+    val (und, kk, scale) =
       if (m <= limit) (doubled(e).localCheckpoint(true), k, 1L)
       else (doubled(sampleEdges(e, p)).localCheckpoint(true),
         (k + p - 1) / p, p.toLong)
-    var und = g0
+    // node-sized degree table; invariant: deg holds EXACTLY the
+    // surviving nodes with ≥1 edge to another survivor, dg = that
+    // degree. `und` stays the STATIC round-0 graph — only deg evolves.
+    var deg = und.groupBy("u").agg(count(lit(1)).as("dg"))
+      .localCheckpoint(true)
+    def degCounts(): (Long, Long) = {
+      val row = deg.agg(count(lit(1)).as("n"),
+        coalesce(sum("dg"), lit(0L)).as("s")).first()
+      (row.getLong(0), row.getLong(1))
+    }
     val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
-    var nodes = und.select("u").distinct().count()
-    var edges = und.count()
+    var (nodes, edges) = degCounts()
     out += ((0, nodes, edges / 2 * scale))
+    val frontierSizes = scala.collection.mutable.ArrayBuffer[Long]()
     var r = 1
     var executed = 0
     while (r <= rounds && out.size == r) {
       executed += 1
-      val keep = und.groupBy("u").agg(count(lit(1)).as("dg"))
-        .filter(col("dg") >= kk).select("u")
-      und = und.join(keep.as("ka"), Seq("u"))
-        .join(keep.as("kb").withColumnRenamed("u", "v"), Seq("v"))
-        .select("u", "v")
-        .localCheckpoint(true)
-      val n2 = und.select("u").distinct().count()
-      val e2 = und.count()
-      out += ((r, n2, e2 / 2 * scale))
-      // Fixpoint early-exit (the Iterate.fixpoint discipline): the peel
-      // is monotone, so an unchanged edge count means no node fell
-      // below the threshold and every later round is a no-op — emit the
-      // remaining fixed rows without running their joins. The counts
-      // are computed for the output anyway, so the probe is free;
-      // output-invariant w.r.t. the fixed-round oracle unroll.
-      if (e2 == edges && n2 == nodes)
-        for (rr <- r + 1 to rounds) out += ((rr, n2, e2 / 2 * scale))
-      nodes = n2
-      edges = e2
+      // lazy view over the checkpointed deg — each use is a local scan
+      val removed = deg.filter(col("dg") < kk).select("u")
+      val nRemoved = removed.count()
+      frontierSizes += nRemoved
+      if (nRemoved == 0) {
+        // fixpoint: nothing below threshold — every later round is a
+        // no-op; emit the remaining fixed rows without any join work
+        // (output-invariant w.r.t. the fixed-round oracle unroll)
+        for (rr <- r to rounds) out += ((rr, nodes, edges / 2 * scale))
+      } else {
+        // degree decrements from the STATIC edge list: edges whose v
+        // fell THIS round (v was live until now, so each such edge is
+        // subtracted exactly once across the peel); rows whose u is
+        // already dead vanish in the deg-side merge join below
+        val dec = und
+          .join(removed.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
+          .groupBy("u").agg(count(lit(1)).as("__dec"))
+        deg = deg
+          .join(removed, Seq("u"), "left_anti")
+          .join(dec, Seq("u"), "left")
+          .select(col("u"),
+            (col("dg") - coalesce(col("__dec"), lit(0L))).as("dg"))
+          .filter(col("dg") > 0) // newly isolated: no surviving edge
+          .localCheckpoint(true)
+        val (n2, e2) = degCounts()
+        out += ((r, n2, e2 / 2 * scale))
+        nodes = n2
+        edges = e2
+      }
       r += 1
     }
     import s.implicits._
-    (out.toSeq.toDF("round", "n_nodes", "n_edges"), executed)
+    (out.toSeq.toDF("round", "n_nodes", "n_edges"), executed,
+      frontierSizes.toSeq)
   }
 }

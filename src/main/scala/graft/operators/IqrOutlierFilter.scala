@@ -41,8 +41,12 @@ object IqrOutlierFilter {
       k: Double = 1.5,
       dropNullKeys: Boolean = true,
       exact: Boolean = true): DataFrame = {
+    // reduceOption: groupCols may be EMPTY (global, ungrouped IQR pass —
+    // the reference's whole-frame form); a bare reduce throws on it
     var cur =
-      if (dropNullKeys) df.filter(groupCols.map(col(_).isNotNull).reduce(_ && _))
+      if (dropNullKeys)
+        df.filter(groupCols.map(col(_).isNotNull)
+          .reduceOption(_ && _).getOrElse(lit(true)))
       else df
     for (c <- valueCols) {
       // Both quartiles come from ONE percentile(col, array(...)) aggregate
@@ -81,7 +85,11 @@ object IqrOutlierFilter {
           val bl = groupCols.foldLeft(boundsLocal)(
             (d, g) => d.withColumnRenamed(g, s"__bk_$g"))
           cur.join(broadcast(bl),
-              groupCols.map(g => col(g) <=> col(s"__bk_$g")).reduce(_ && _),
+              // reduceOption: empty groupCols degenerates to the one-row
+              // global-bounds cross join (lit(true)), matching the old
+              // using-columns behavior instead of throwing
+              groupCols.map(g => col(g) <=> col(s"__bk_$g"))
+                .reduceOption(_ && _).getOrElse(lit(true)),
               "inner")
             .drop(groupCols.map(g => s"__bk_$g"): _*)
         }

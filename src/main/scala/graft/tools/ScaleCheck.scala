@@ -703,6 +703,24 @@ object ScaleCheck {
     // numeric-row regex) would record a broken query as flat-scaling
     def ratioStr(t1: Double, tn: Double): String =
       if (t1 < 0 || tn < 0) " FAIL" else f"${tn / t1}%5.1f"
+    // In-run drift calibration (the Bench.scala fixture, verbatim): the
+    // same fixed synthetic no-I/O query, timed before and after the
+    // sweep. A ledger row is only comparable across sessions when both
+    // sessions' calibration sits in the same band (calm ≈ 0.5-0.7 s on
+    // this box); re-measures taken during a drift wave must be re-run,
+    // not recorded — round-11 adjudicated three rows on drift-era
+    // numbers precisely because ScaleCheck could not prove calm.
+    def calibOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 200000000L, 1, 32)
+        .selectExpr("(id * 2654435761L) % 1000003 AS h")
+        .groupBy(expr("h % 997"))
+        .agg(count(lit(1)).as("n"), sum(expr("h")).as("s"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibOnce() // warm the fixture's codegen before the recorded sample
+    println(f"[scale] calibration_s ${Seq(calibOnce(), calibOnce(), calibOnce()).sorted.apply(1)}%.3f")
     println(f"[scale] ${"query"}%-24s 1x_sec  ${factor}x_sec  ratio")
     queries.filter(q => only.forall(_.exists(q.startsWith))).foreach { q =>
       timeIt(sfDir, q) // warm codegen/JIT on the small side
@@ -880,6 +898,10 @@ object ScaleCheck {
         }
       }
     }
+    // bracket drift WITHIN the run as well (the Bench calibration_end_s
+    // discipline): a wave that started mid-sweep shows up as the two
+    // calibration numbers disagreeing
+    println(f"[scale] calibration_end_s ${Seq(calibOnce(), calibOnce(), calibOnce()).sorted.apply(1)}%.3f")
     spark.stop()
   }
 }

@@ -86,13 +86,35 @@ class FixpointSpec extends SparkSpec {
     assert(outBlind.collect().map(_.toSeq).toSeq === fastRows)
   }
 
+  test("q458: delta-frontier rounds equal the full-frame dispatch default") {
+    // sf0.001 routes full-frame (2000 tasks < 65536); forcing the
+    // limit to 0 routes every round through the delta-frontier form —
+    // both must produce the identical critical path (verdict-agreement
+    // across the pertPasses dispatch)
+    val (outDefault, _, _) = queries.Training98.pertPasses(spark, dir)
+    val defaultRows = outDefault.collect().map(_.toSeq).toSeq
+    spark.conf.set("spark.graft.pert.deltaTaskLimit", "0")
+    try {
+      val (outDelta, fwd, bwd) = queries.Training98.pertPasses(spark, dir)
+      assert(fwd < 12 && bwd < 12, s"delta passes did not exit early: $fwd/$bwd")
+      assert(outDelta.collect().map(_.toSeq).toSeq === defaultRows)
+    } finally spark.conf.unset("spark.graft.pert.deltaTaskLimit")
+  }
+
   test("q307: BFS exits as soon as a round improves nothing; output equals blind replay") {
-    val (outFast, rounds) = queries.Training45.bfsDistance(spark, dir)
+    val (outFast, rounds, sizes) = queries.Training45.bfsDistance(spark, dir)
     val fastRows = outFast.collect().map(_.toSeq).toSeq
-    val (outBlind, roundsB) =
+    val (outBlind, roundsB, _) =
       queries.Training45.bfsDistance(spark, dir, earlyExit = false)
     assert(roundsB === 4)
     assert(rounds <= 4)
+    // delta-frontier shape: each node settles exactly once, so the
+    // per-round frontiers are disjoint and their total is bounded by
+    // the node count — the old all-settled-nodes form re-expanded
+    // every settled node every round
+    val nNodes = queries.Training45.bfsDistance(spark, dir)._1
+      .agg(org.apache.spark.sql.functions.sum("n_nodes")).head().getLong(0)
+    assert(sizes.sum <= nNodes, s"frontiers re-expanded settled nodes: $sizes")
     assert(outBlind.collect().map(_.toSeq).toSeq === fastRows)
   }
 }

@@ -14,7 +14,7 @@ class GraphsKcoreSpec extends SparkSpec {
     // triangle, k=2: every node keeps degree 2, round 1 removes nothing
     val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("u", "v")
       .localCheckpoint(true)
-    val (df, executed) =
+    val (df, executed, _) =
       Graphs.kcoreRoundsCounted(tri, k = 2, rounds = 5,
         edgeLimit = Long.MaxValue)
     val rows = df.collect().sortBy(_.getInt(0))
@@ -28,7 +28,7 @@ class GraphsKcoreSpec extends SparkSpec {
     // round 2; round 3 is the no-change probe, rounds 4-6 are fills
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
       .localCheckpoint(true)
-    val (df, executed) =
+    val (df, executed, _) =
       Graphs.kcoreRoundsCounted(chain, k = 2, rounds = 6,
         edgeLimit = Long.MaxValue)
     val rows = df.collect().sortBy(_.getInt(0))
