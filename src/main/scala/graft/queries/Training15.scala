@@ -114,21 +114,25 @@ object Training15 {
     // 100-order lineitem slabs) are packed, IN KEY ORDER, into bins of
     // ~8192 rows by cutting the running total — order-preserving
     // packing keeps min/max key ranges tight so data-skipping still
-    // prunes after the rewrite. The window runs over file metadata
-    // (N_files rows), never over data; for a 100 TB table that is a
-    // few thousand rows on one partition, and the plan's only
-    // data-sized pass is the per-file row count.
+    // prunes after the rewrite. Real file manifests are bounded
+    // (thousands of rows at 100 TB), but the harness models the
+    // manifest as l_orderkey/100 — data-scaled ÷100 — so the running
+    // total goes through ScalableRank.withPrefixSum (round-11 verdict
+    // item 4): the only window is partition-LOCAL keyed by the range
+    // id, bit-identical to the global form, and the plan no longer
+    // carries the one unpartitioned window whose input grew with SF
+    // at all. The plan's only data-sized pass is the per-file row
+    // count.
     QueryDef(
       "q196_compaction_plan",
       (s, d) => {
         val files = t(s, d, "lineitem")
           .groupBy((col("l_orderkey") / 100).cast("long").as("file_id"))
           .agg(count(lit(1)).as("n_rows"))
-        val w = Window.orderBy("file_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        files
+        graft.operators.ScalableRank
+          .withPrefixSum(files, Seq(col("file_id")), col("n_rows"), "__cum")
           .withColumn("bin",
-            ((sum("n_rows").over(w) - col("n_rows")) / 8192L).cast("long"))
+            ((col("__cum") - col("n_rows")) / 8192L).cast("long"))
           .groupBy("bin")
           .agg(
             count(lit(1)).as("n_files"),

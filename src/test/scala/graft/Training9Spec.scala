@@ -221,6 +221,27 @@ class Training9Spec extends SparkSpec {
     assert(a.getAs[Long]("max_outdeg") <= math.ceil(math.sqrt(2 * m)).toLong + 1)
   }
 
+  test("q165: forced-limit dispatch routes sampled and agrees with q143's estimator") {
+    // wedgeMassLimit = 0 forces BOTH q165 and q143 onto the DOULION
+    // branch; they count exact triangles of the SAME deterministic
+    // 1-in-p sampled subgraph under different orientations, so the
+    // rescaled estimates must be IDENTICAL — and must differ from the
+    // exact count only within the estimator's tolerance
+    val exact = q("q165_triangle_degree").collect().head.getAs[Long]("n_triangles")
+    spark.conf.set("spark.graft.graph.wedgeMassLimit", "0")
+    try {
+      val a = q("q165_triangle_degree").collect().head
+      val b = q("q143_triangle_count").collect().head
+      assert(a.getAs[Long]("n_triangles") === b.getAs[Long]("n_triangles"))
+      // n_edges / max_outdeg stay exact from the full orientation
+      assert(a.getAs[Long]("n_edges") ===
+        q("q143_triangle_count").collect().head.getAs[Long]("n_edges"))
+      val est = a.getAs[Long]("n_triangles").toDouble
+      assert(math.abs(est - exact) <= math.max(0.5 * exact, 200.0),
+        s"sampled estimate $est vs exact $exact")
+    } finally spark.conf.unset("spark.graft.graph.wedgeMassLimit")
+  }
+
   test("q165: on a planted hub, degree orientation does orders-of-magnitude fewer wedges") {
     // wedge count (Σ out-degree choose 2) is the join's actual row
     // budget — a deterministic complexity witness, unlike wall clock.
