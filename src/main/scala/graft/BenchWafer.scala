@@ -58,6 +58,16 @@ object BenchWafer {
     time("full-pipeline-2nd-run")(
       wafer.WaferPipeline.preprocess(in, exactQuantiles = exact)
         .write.format("noop").mode("overwrite").save())
+    // variance probe (round-11 verdict item 6): repeat the full
+    // pipeline reps=N times and print each wall so the min-max band —
+    // and WHERE the spread lives — is measurable inside one session
+    args.collectFirst { case a if a.startsWith("reps=") => a.drop(5).toInt }
+      .foreach { reps =>
+        for (i <- 1 to reps)
+          time(s"full-pipeline-rep$i")(
+            wafer.WaferPipeline.preprocess(in, exactQuantiles = exact)
+              .write.format("noop").mode("overwrite").save())
+      }
     spark.stop()
   }
 }

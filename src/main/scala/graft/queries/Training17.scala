@@ -217,18 +217,28 @@ object Training17 {
           .distinct()
           .localCheckpoint() // candIds + verify both read it
         // verification touches ONLY candidate postings: a semi-join on
-        // the (broadcast-small) candidate id set bounds both verify
-        // sides BEFORE any shuffle — the full posting stream never
-        // enters the composite-key join.
+        // the candidate id set bounds both verify sides BEFORE any
+        // shuffle. The pair counts then come from an h-KEYED self-join
+        // of the candidate postings (mass Σ_h df(h)² with df ≤ cap —
+        // the q47 shape, linear in corpus under the cap) followed by a
+        // candidate-pair semi-join — NOT from expanding each candidate
+        // pair by doc_a's full posting list: that per-pair explode
+        // (candidates × |set| rows — 2.2M × ~200 = 440M intermediate
+        // rows at the 10× leg) was 17.8 s of the query's 20 s profiled
+        // wall (tools/Profile q208 mode). The semi-join keeps the
+        // PPJoin identity explicit (it is semantically redundant — a
+        // non-candidate pair cannot pass τ by the prefix lemma — but it
+        // bounds the sizes joins to candidate pairs).
         val candIds = cand.select(col("doc_a").as("doc_id"))
           .unionAll(cand.select(col("doc_b").as("doc_id")))
           .distinct()
         val exCand = ex.join(candIds, Seq("doc_id"), "left_semi")
-        val inter = cand
-          .join(exCand.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
-          .join(exCand.select(col("doc_id").as("doc_b"), col("h")),
-            Seq("doc_b", "h"))
+          .localCheckpoint() // both sides of the h-join read it
+        val inter = exCand.select(col("doc_id").as("doc_a"), col("h").as("ha"))
+          .join(exCand.select(col("doc_id").as("doc_b"), col("h").as("hb")),
+            col("ha") === col("hb") && col("doc_a") < col("doc_b"))
           .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
+          .join(cand, Seq("doc_a", "doc_b"), "left_semi")
         val result = inter
           .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
             "doc_a")

@@ -135,6 +135,40 @@ object CatalogGen {
       md.append("| path | defined at | oracle | 10× ratio |\n|---|---|---|---|\n")
       extra.foreach(r => md.append(r).append("\n"))
     }
+
+    // Bench history with the SELF-NORMALIZING comparison (round-11
+    // verdict item 2): raw headline seconds are only comparable between
+    // same-box calm runs; headline/calibration_end_s is dimensionless
+    // in box speed, so THIS column is the cross-round gate. Generated
+    // from the driver-recorded BENCH_r*.json (rounds before r11 carry
+    // no calibration — their calibrated cell is `—`).
+    val benchFiles = {
+      val st = Files.list(root)
+      try st.iterator().asScala
+        .filter(p => p.getFileName.toString.matches("BENCH_r\\d+\\.json"))
+        .toSeq.sortBy(p =>
+          p.getFileName.toString.stripPrefix("BENCH_r").stripSuffix(".json").toInt)
+      finally st.close()
+    }
+    def jNum(text: String, key: String): Option[Double] =
+      s""""$key":\\s*([-\\d.eE]+)""".r.findFirstMatchIn(text).map(_.group(1).toDouble)
+    val benchRows = benchFiles.map { p =>
+      val text = new String(Files.readAllBytes(p), "UTF-8")
+      val round = p.getFileName.toString.stripPrefix("BENCH_r").stripSuffix(".json")
+      val v = jNum(text, "value")
+      val cal = jNum(text, "calibration_end_s").filter(_ > 0)
+      val calibrated = (v, cal) match {
+        case (Some(a), Some(c)) => f"${a / c}%.2f"
+        case _ => "—"
+      }
+      s"| r${round.toInt} | ${v.fold("—")(x => f"$x%.2f")} | ${cal.fold("—")(x => f"$x%.3f")} | $calibrated |"
+    }
+    if (benchRows.nonEmpty) {
+      md.append("\nBench headline history (warm median-of-3, sf0.1; calibrated\n")
+      md.append("= value / calibration_end_s — the drift-proof comparison):\n\n")
+      md.append("| round | headline s | calibration_end s | calibrated |\n|---|---|---|---|\n")
+      benchRows.foreach(r => md.append(r).append("\n"))
+    }
     Files.write(root.resolve("CATALOG.md"),
       md.toString.getBytes("UTF-8"))
     println(s"[catalog] wrote ${root.resolve("CATALOG.md")} — ${defs.size} queries, $measured with ratios")

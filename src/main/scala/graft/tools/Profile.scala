@@ -59,6 +59,44 @@ object Profile {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(sum("l_quantity"), sum("l_extendedprice"), count(lit(1)))
     time("q01-ish plain double sums")(doubleSums.collect())
+
+    // q208 stage decomposition (pass "q208" as args(1)): where does the
+    // prefix-filter join's wall go — per-row hashing, the prefix
+    // self-join, or candidate verification?
+    if (args.lift(1).contains("q208")) {
+      import graft.operators.{Dedup, TextOps}
+      val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+        .withColumn("__wh", expr(TextOps.wordHashesSpark("text")))
+        .select(col("doc_id"),
+          expr(TextOps.ngramHashesSpark(3, "__wh")).as("__ngrams"))
+        .cache()
+      time("q208 hash+cache build")(docs0.count())
+      val cp = time("q208 cappedPostings probe")(
+        Dedup.cappedPostings(docs0, "doc_id", "__ngrams", dfCap = 64))
+      val prefix = docs0.select(col("doc_id"), explode(expr(
+        """slice(array_sort(__ngrams), 1,
+           size(__ngrams) - ((4 * size(__ngrams) + 4) div 5) + 1)"""))
+        .as("h"))
+      time("q208 prefix explode count")(prefix.count())
+      val cand = prefix.as("a")
+        .join(prefix.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val candCk = time("q208 prefix self-join + distinct")(cand.localCheckpoint())
+      println(s"[profile] q208 candidates: ${candCk.count()}")
+      val candIds = candCk.select(col("doc_a").as("doc_id"))
+        .unionAll(candCk.select(col("doc_b").as("doc_id"))).distinct()
+      val exCand = cp.postings.join(candIds, Seq("doc_id"), "left_semi")
+      val inter = candCk
+        .join(exCand.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+        .join(exCand.select(col("doc_id").as("doc_b"), col("h")),
+          Seq("doc_b", "h"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
+      time("q208 verify join")(inter.count())
+      cp.release()
+      docs0.unpersist()
+    }
     spark.stop()
   }
 }
