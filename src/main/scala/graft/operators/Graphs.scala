@@ -44,16 +44,29 @@ object Graphs {
 
   /** Oriented (u < v), distinct co-purchase edges: parts that share an
     * order. localCheckpoint'd — every caller fans out over it (degree
-    * aggs, wedge joins, peel rounds), and the co-occurrence self-join +
-    * distinct is the expensive stage that must never re-run.
+    * aggs, wedge joins, peel rounds), and the co-occurrence stage is
+    * the expensive floor under the whole graph family, so its shuffle
+    * count matters: ONE groupBy(order) collects each order's distinct
+    * part set (collect_set — per-order sets are small: order fan-in,
+    * not corpus size), pairs are generated IN-ARRAY by a codegen'd
+    * sorted-slice comprehension (i < j over the sorted set ⇒ u < v by
+    * construction), and one distinct dedups across orders. Two
+    * shuffles total — the former distinct(o,p) → self-join(o) →
+    * distinct(u,v) plan paid three exchanges plus the join build for
+    * the identical output. Honest caveat: a pathological order
+    * touching millions of parts would make one row's set huge; order
+    * fan-in is bounded in every real purchase ledger (≤7 in TPC-H),
+    * and the pair mass Σ|parts|² is the same in either plan.
     */
   def coPurchaseEdges(lineitem: DataFrame): DataFrame = {
-    val op = lineitem
+    lineitem
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    op.as("a").join(op.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .groupBy("o").agg(expr("array_sort(collect_set(p))").as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+             transform(slice(ps, i + 2, size(ps) - i - 1),
+               y -> struct(x AS u, y AS v))))""")).as("e"))
+      .select(col("e.u"), col("e.v"))
       .distinct()
       .localCheckpoint()
   }
