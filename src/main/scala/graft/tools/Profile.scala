@@ -60,6 +60,62 @@ object Profile {
       .agg(sum("l_quantity"), sum("l_extendedprice"), count(lit(1)))
     time("q01-ish plain double sums")(doubleSums.collect())
 
+    // co-purchase edge-build variants (pass "edges" as args(1)):
+    // 3-shuffle distinct/self-join/distinct vs 2-shuffle groupBy +
+    // in-array pair comprehension (interpreted HOF lambda) vs
+    // 2-shuffle groupBy + posexplode/Generate pairs
+    if (args.lift(1).contains("edges")) {
+      def run(label: String)(build: => org.apache.spark.sql.DataFrame): Unit = {
+        build.unpersist() // warm
+        (1 to 3).foreach { i =>
+          time(f"$label run$i")(build.unpersist())
+        }
+      }
+      def joinForm = {
+        val op = li.select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        op.as("a").join(op.as("b"),
+            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .select(col("a.p").as("u"), col("b.p").as("v"))
+          .distinct().localCheckpoint()
+      }
+      def hofForm = {
+        li.select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .groupBy("o").agg(expr("array_sort(collect_set(p))").as("ps"))
+          .select(explode(expr(
+            """flatten(transform(ps, (x, i) ->
+                 transform(slice(ps, i + 2, size(ps) - i - 1),
+                   y -> struct(x AS u, y AS v))))""")).as("e"))
+          .select(col("e.u"), col("e.v")).distinct().localCheckpoint()
+      }
+      def generateForm = {
+        li.select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .groupBy("o").agg(expr("array_sort(collect_set(p))").as("ps"))
+          .select(posexplode(col("ps")).as(Seq("i", "u")), col("ps"))
+          .select(col("u"), explode(expr("slice(ps, i + 2, size(ps) - i - 1)")).as("v"))
+          .distinct().localCheckpoint()
+      }
+      run("edges join-form")(joinForm)
+      run("edges hof-form")(hofForm)
+      run("edges generate-form")(generateForm)
+      println(s"[profile] counts: join=${joinForm.count()} hof=${hofForm.count()} gen=${generateForm.count()}")
+      // downstream effect: same triangle join over each form's output
+      def genStatsReset = graft.Iterate.ckpt(
+        li.select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .groupBy("o").agg(expr("array_sort(collect_set(p))").as("ps"))
+          .select(posexplode(col("ps")).as(Seq("i", "u")), col("ps"))
+          .select(col("u"), explode(expr("slice(ps, i + 2, size(ps) - i - 1)")).as("v"))
+          .distinct())
+      for ((label, build) <- Seq(
+          ("join", () => joinForm), ("hof", () => hofForm),
+          ("gen", () => generateForm), ("genreset", () => genStatsReset))) {
+        val e = build()
+        println(s"[profile] $label partitions=${e.rdd.getNumPartitions}")
+        time(s"tri over $label run1")(graft.operators.Graphs.exactTriangleCount(e))
+        time(s"tri over $label run2")(graft.operators.Graphs.exactTriangleCount(e))
+        e.unpersist()
+      }
+    }
+
     // q208 stage decomposition (pass "q208" as args(1)): where does the
     // prefix-filter join's wall go — per-row hashing, the prefix
     // self-join, or candidate verification?
