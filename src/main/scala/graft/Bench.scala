@@ -201,13 +201,20 @@ object Bench {
     // Self-normalizing gate (round-11 verdict item 2): two rounds'
     // headlines are only comparable after dividing out the box's speed
     // that day, and the division must be mechanical, not editorial.
-    // calibration_end_s (measured AFTER the workload, adjacent in time
-    // to the timed queries) is the divisor; headline_calibrated is the
-    // workload expressed in "calibration units" — a dimensionless
-    // number a 2.7x box-drift wave cannot move. Compare THIS across
-    // rounds; compare raw `value` only between same-box calm runs.
+    // The divisor is the MEAN of the warm calibration BEFORE the
+    // workload and the one AFTER it — the workload runs between the
+    // two probes, so the bracketing mean is the best available
+    // estimate of box speed while it ran (an end-only divisor
+    // misnormalizes whenever a drift wave starts or ends mid-run:
+    // measured value 10.45 with cal 0.739→0.467 read as calibrated
+    // 22.4 under end-only vs 17.3 under the mean). headline_calibrated
+    // is the workload in "calibration units" — a dimensionless number
+    // a box-drift wave cannot move. Compare THIS across rounds;
+    // compare raw `value` only between same-box calm runs.
     val calibrated =
-      if (calibEnd > 0) "%.3f".formatLocal(java.util.Locale.ROOT, total / calibEnd) else "-1"
+      if (calibEnd > 0 && calibWarm > 0)
+        "%.3f".formatLocal(java.util.Locale.ROOT, total / ((calibWarm + calibEnd) / 2))
+      else "-1"
     println(s"""{"metric":"headline_total","value":$total,"unit":"sec","mode":"warm_median_of_3","failed":$failed,"failed_cold":$failedCold,"cold_total":$coldTotal,"heavy_total":$heavyTotal,"calibration_s":$calibWarm,"calibration_cold_s":$calibCold,"calibration_end_s":$calibEnd,"headline_calibrated":$calibrated,"queries":$qjson,"queries_minmax":$sjson,"queries_cold":$cjson,"queries_heavy":$hjson,"sf":"$sfDir"}""")
     spark.stop()
   }

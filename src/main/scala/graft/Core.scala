@@ -141,6 +141,16 @@ object Graft {
   * re-derives true sizes from shuffle statistics at runtime, which is
   * also the only signal that matters on a real cluster at 100 TB (the
   * origin estimate after one checkpoint was already fiction).
+  *
+  * The stats-preservation hazard also bites ONE-SHOT checkpoints that
+  * fan out into joins, not just loops: rewriting the co-purchase edge
+  * build (round 12) from a join-of-distincts to groupBy+explode changed
+  * the checkpointed leaf's inherited estimate from huge to small, and
+  * every downstream wedge join re-planned around a fictional
+  * broadcast-sized edge list — ~70% slower over IDENTICAL materialized
+  * rows. When a checkpointed frame feeds join planning, prefer this
+  * stats-reset over a bare localCheckpoint unless the origin estimate
+  * is known faithful.
   */
 object Iterate {
   def ckpt(df: DataFrame): DataFrame = {

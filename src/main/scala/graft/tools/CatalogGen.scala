@@ -138,10 +138,13 @@ object CatalogGen {
 
     // Bench history with the SELF-NORMALIZING comparison (round-11
     // verdict item 2): raw headline seconds are only comparable between
-    // same-box calm runs; headline/calibration_end_s is dimensionless
-    // in box speed, so THIS column is the cross-round gate. Generated
-    // from the driver-recorded BENCH_r*.json (rounds before r11 carry
-    // no calibration — their calibrated cell is `—`).
+    // same-box calm runs; headline / mean(calibration_s,
+    // calibration_end_s) is dimensionless in box speed — the workload
+    // runs BETWEEN the two probes, so the bracketing mean is the box
+    // speed while it ran (end-only misnormalizes when a drift wave
+    // starts or ends mid-run) — so THIS column is the cross-round
+    // gate. Generated from the driver-recorded BENCH_r*.json (rounds
+    // before r11 carry no calibration — their calibrated cell is `—`).
     val benchFiles = {
       val st = Files.list(root)
       try st.iterator().asScala
@@ -156,7 +159,12 @@ object CatalogGen {
       val text = new String(Files.readAllBytes(p), "UTF-8")
       val round = p.getFileName.toString.stripPrefix("BENCH_r").stripSuffix(".json")
       val v = jNum(text, "value")
-      val cal = jNum(text, "calibration_end_s").filter(_ > 0)
+      val calW = jNum(text, "calibration_s").filter(_ > 0)
+      val calE = jNum(text, "calibration_end_s").filter(_ > 0)
+      val cal = (calW, calE) match {
+        case (Some(w), Some(e)) => Some((w + e) / 2)
+        case _ => None
+      }
       val calibrated = (v, cal) match {
         case (Some(a), Some(c)) => f"${a / c}%.2f"
         case _ => "—"
@@ -165,8 +173,9 @@ object CatalogGen {
     }
     if (benchRows.nonEmpty) {
       md.append("\nBench headline history (warm median-of-3, sf0.1; calibrated\n")
-      md.append("= value / calibration_end_s — the drift-proof comparison):\n\n")
-      md.append("| round | headline s | calibration_end s | calibrated |\n|---|---|---|---|\n")
+      md.append("= value / mean(calibration_s, calibration_end_s) — the\n")
+      md.append("drift-proof comparison):\n\n")
+      md.append("| round | headline s | mean calibration s | calibrated |\n|---|---|---|---|\n")
       benchRows.foreach(r => md.append(r).append("\n"))
     }
     Files.write(root.resolve("CATALOG.md"),
