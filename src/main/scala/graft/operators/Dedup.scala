@@ -17,6 +17,74 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_md5"))
       .agg(min(idCol).as(s"keeper_$idCol"), count(lit(1)).as("n_copies"))
 
+  /** Pair-count ceiling below which connected components run as
+    * driver-side union-find over the COLLECTED pair list instead of
+    * distributed label rounds (overridable via conf
+    * `spark.graft.cc.localLimit`). Rationale (round-12 profile): the
+    * near-dup pair graph of a deduplicated corpus is the CLUSTER
+    * structure, not the corpus — q350's sf0.1 graph is 339 pairs / 625
+    * nodes, and the distributed star contraction spent 3.2 s of the
+    * query's 3.8 s launching ~20 rounds of joins + except-probes over
+    * it. 500k pairs collect to ~8 MB and union-find in milliseconds;
+    * past the limit the O(log n)-round star plan takes over (the
+    * 100 TB shape). The probe is one limit-pushed collect — when the
+    * graph IS small, the probe already fetched it, so nothing runs
+    * twice.
+    */
+  val defaultCcLocalLimit: Long = 500000L
+
+  /** Driver-side union-find (path compression) over a collected pair
+    * list, relabeled to the component MINIMUM — bit-identical to the
+    * distributed variants' min-id labeling. Returns (node, cluster_id).
+    */
+  private def localComponents(
+      spark: org.apache.spark.sql.SparkSession,
+      pairRows: Array[(Long, Long)]): DataFrame = {
+    val parent = scala.collection.mutable.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) {
+        val p = parent(x)
+        parent(x) = parent.getOrElse(p, p) // halve the path
+        x = parent(x)
+      }
+      x
+    }
+    pairRows.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(if (ra < rb) rb else ra) = math.min(ra, rb)
+    }
+    val label = parent.keys.toSeq.sorted
+      .groupBy(find).flatMap { case (_, members) =>
+        val m = members.min
+        members.map(_ -> m)
+      }
+    import spark.implicits._
+    label.toSeq.sorted.toDF("node", "cluster_id")
+  }
+
+  /** Shared small-graph dispatch for both CC variants: limit-pushed
+    * collect of the pair list; Some(result) when it fits under the
+    * local ceiling (the collected rows ARE the input — no second
+    * computation), None when the caller's distributed plan should run.
+    */
+  private def componentsIfLocal(
+      pairs: DataFrame, aCol: String, bCol: String): Option[DataFrame] = {
+    val spark = pairs.sparkSession
+    val limit = spark.conf.get("spark.graft.cc.localLimit",
+      defaultCcLocalLimit.toString).toLong
+    if (limit <= 0) return None // explicit opt-out: always distributed
+    val probe = pairs
+      .select(col(aCol).cast("long"), col(bCol).cast("long"))
+      .limit(math.min(limit, Int.MaxValue - 1L).toInt + 1)
+      .collect()
+    if (probe.length > limit) None
+    else Some(localComponents(spark,
+      probe.map(r => (r.getLong(0), r.getLong(1)))))
+  }
+
   /** Per-document MinHash-LSH band keys over word-3-gram shingles:
     * returns (idCol, band0..band{bands-1}). Documents sharing any band
     * are near-dup candidates.
@@ -243,6 +311,11 @@ object Dedup {
     */
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
+    // small-graph dispatch (round 12): see defaultCcLocalLimit
+    componentsIfLocal(pairs, aCol, bCol) match {
+      case Some(r) => return r
+      case None =>
+    }
     val half = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
     // undirected: propagate both ways every round
     val edges = half.union(half.select(col("dst").as("src"), col("src").as("dst")))
@@ -291,6 +364,11 @@ object Dedup {
     */
   def connectedComponentsStar(
       pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 20): DataFrame = {
+    // small-graph dispatch (round 12): see defaultCcLocalLimit
+    componentsIfLocal(pairs, aCol, bCol) match {
+      case Some(r) => return r
+      case None =>
+    }
     val half = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
     val nodes = half.select(col("u").as("node"))
       .union(half.select(col("v").as("node")))

@@ -38,7 +38,7 @@ object Training {
         max("c").as("top_word_n"))
 
   /** Per-doc 3-gram totals: n_grams, n_distinct_grams. */
-  private[queries] def gramStats(docs: DataFrame): DataFrame =
+  private[graft] def gramStats(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
       expr("greatest(size(split(text, ' ')) - 2, 1)").cast("long").as("n_grams"),

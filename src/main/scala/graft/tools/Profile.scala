@@ -116,6 +116,26 @@ object Profile {
       }
     }
 
+    // q350 stage decomposition (pass "q350" as args(1)): minhash
+    // banding vs candidate pairs vs star CC vs gram-quality scoring
+    if (args.lift(1).contains("q350")) {
+      import graft.operators.Dedup
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      docs.count() // warm scan
+      val bands = time("q350 minhashBands")(
+        Dedup.minhashBands(docs, "doc_id", "text").localCheckpoint())
+      val pairs = time("q350 candidatePairs")(
+        Dedup.minhashCandidatePairs(bands, "doc_id").localCheckpoint())
+      println(s"[profile] q350 pairs=${pairs.count()}")
+      val comp = time("q350 starCC")(
+        Dedup.connectedComponentsStar(pairs, "doc_id_a", "doc_id_b")
+          .localCheckpoint())
+      println(s"[profile] q350 nodes=${comp.count()}")
+      time("q350 gramStats")(
+        graft.queries.Training.gramStats(docs)
+          .write.format("noop").mode("overwrite").save())
+    }
+
     // q208 stage decomposition (pass "q208" as args(1)): where does the
     // prefix-filter join's wall go — per-row hashing, the prefix
     // self-join, or candidate verification?

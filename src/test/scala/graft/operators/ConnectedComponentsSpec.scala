@@ -73,7 +73,13 @@ class ConnectedComponentsSpec extends SparkSpec {
     // or the labels come out wrong and the assertion fails.
     val n = 10000L
     val path = (0L until n - 1).map(i => (i, i + 1))
-    val got = starComponents(path, maxIter = 20)
+    // force the DISTRIBUTED star rounds — the small-graph union-find
+    // dispatch would otherwise absorb this graph and the log-round
+    // convergence claim would go untested
+    spark.conf.set("spark.graft.cc.localLimit", "0")
+    val got =
+      try starComponents(path, maxIter = 20)
+      finally spark.conf.unset("spark.graft.cc.localLimit")
     assert(got.size === n)
     assert(got.values.forall(_ == 0L), "single component labeled by its min node")
   }
@@ -86,6 +92,40 @@ class ConnectedComponentsSpec extends SparkSpec {
       }.filter { case (a, b) => a != b }
       assert(starComponents(pairs) === components(pairs), s"trial $trial pairs=$pairs")
     }
+  }
+
+  test("local union-find dispatch equals the forced-distributed plans (both variants)") {
+    // default localLimit routes these graphs through the driver-side
+    // union-find; limit 0 is the explicit opt-out that forces the
+    // distributed rounds — every labeling must be identical across all
+    // four paths (the dispatch must be invisible)
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 3) {
+      val pairs = Seq.fill(30 + rnd.nextInt(20)) {
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)
+      }.filter { case (a, b) => a != b }
+      val localProp = components(pairs)
+      val localStar = starComponents(pairs)
+      spark.conf.set("spark.graft.cc.localLimit", "0")
+      try {
+        val distProp = components(pairs)
+        val distStar = starComponents(pairs)
+        assert(localProp === distProp, s"trial $trial propagation")
+        assert(localStar === distStar, s"trial $trial star")
+        assert(localProp === localStar, s"trial $trial cross-variant")
+      } finally spark.conf.unset("spark.graft.cc.localLimit")
+    }
+  }
+
+  test("pair graphs past the local limit route distributed and stay correct") {
+    // force the ceiling BELOW the graph size: the limit-probe must
+    // detect truncation and fall through to the distributed plan
+    val chain = (1L to 50L).map(i => (i, i + 1))
+    spark.conf.set("spark.graft.cc.localLimit", "10")
+    try {
+      val got = starComponents(chain)
+      assert(got.size === 51 && got.values.forall(_ == 1L))
+    } finally spark.conf.unset("spark.graft.cc.localLimit")
   }
 
   test("star contraction: empty and two-component graphs") {
