@@ -135,17 +135,32 @@ object Bench {
     // re-run erased); the median of 3 is robust to one polluted sample
     // and the min/max spread makes the remaining noise visible in the
     // recorded JSON instead of silently inflating the headline.
+    // High-variance rows get 5 warm reps instead of 3 (round-12 verdict
+    // item 1): the two MLlib-fit rows showed min–max bands of +80%/+45%
+    // on the driver's box while everything else sat within ±15% — a
+    // median of 5 rejects two polluted samples where a median of 3
+    // tolerates one. Reps are a measurement knob, not a semantics one:
+    // the reported triple stays (median, min, max).
+    val extraReps = Set("q52_kmeans_embeddings")
     def coldThenWarm(name: String): (Double, Double, Double, Double) = {
       val c = runOne(name)
-      val ws = Seq(runOne(name), runOne(name), runOne(name))
+      val n = if (extraReps(name)) 5 else 3
+      val ws = Seq.fill(n)(runOne(name))
       if (ws.exists(_ < 0)) (c, -1.0, -1.0, -1.0)
-      else (c, ws.sorted.apply(1), ws.min, ws.max)
+      else (c, ws.sorted.apply(n / 2), ws.min, ws.max)
     }
 
     // full wafer pipeline at the reference's canonical 63,909-row scale
     // (BASELINE.md self-baseline: must complete in seconds). Input is
     // pre-materialized so the timing covers the pipeline, not datagen;
     // a small untimed pipeline run first warms the MLlib/codegen paths.
+    // The composer's three per-step K-Means fits run SEQUENTIAL under
+    // Bench (round-12 verdict item 1): concurrent fits on one shared
+    // box are scheduling jitter — the r12 driver measured a 3.2–4.6 s
+    // band on this row while a sequential in-session band was ±2.4%.
+    // Cluster deployments keep the concurrent default (see
+    // WaferPipeline.runKMeansByStep).
+    spark.conf.set("spark.graft.wafer.concurrentFits", "false")
     val waferWarm = graft.wafer.WaferDataGen.generate(spark, 4000L, parts = 4).cache()
     waferWarm.count()
     try graft.wafer.WaferPipeline.preprocess(waferWarm)
@@ -165,10 +180,12 @@ object Bench {
         System.err.println(s"[bench] wafer_pipeline failed: $e"); -1.0
       }
     }
-    val waferRuns = Seq(waferOnce(), waferOnce(), waferOnce())
+    // 5 reps (median of 5), same rationale as extraReps above: this is
+    // the widest-band row in every recorded driver bench.
+    val waferRuns = Seq.fill(5)(waferOnce())
     val (waferSecs, waferMin, waferMax) =
       if (waferRuns.exists(_ < 0)) (-1.0, -1.0, -1.0)
-      else (waferRuns.sorted.apply(1), waferRuns.min, waferRuns.max)
+      else (waferRuns.sorted.apply(2), waferRuns.min, waferRuns.max)
     waferInput.unpersist()
 
     val timed = headline.map(n => n -> coldThenWarm(n))

@@ -316,9 +316,20 @@ object Stage {
     //    complete artifact on the next run.
     val recentMs = 30L * 60 * 1000
     val now = System.currentTimeMillis()
+    // liveness must look at the WHOLE tree, not the top-level dir: a
+    // directory's mtime only moves when its direct entries change, so a
+    // sibling writing inside a nested table subdir for >30 min would
+    // read as stale from the top while actively being written (round-12
+    // advisory). Walking the tree costs one listing pass over dirs that
+    // are candidates for deletion anyway.
+    def newestMtime(f: java.io.File): Long = {
+      val own = f.lastModified()
+      val kids = Option(f.listFiles()).map(_.map(newestMtime)).getOrElse(Array.empty)
+      if (kids.isEmpty) own else math.max(own, kids.max)
+    }
     Option(new java.io.File(parent).listFiles()).foreach(_.foreach { f =>
       if (f.isDirectory && f.getName.startsWith(prefix) && f.getName != keep
-          && now - f.lastModified() > recentMs) {
+          && now - newestMtime(f) > recentMs) {
         val markers = Seq("_STAGED", "_DONE")
           .map(new java.io.File(f, _)).filter(_.exists())
         // only recurse once every marker is verifiably gone; a dir

@@ -65,23 +65,37 @@ object Dedup {
     label.toSeq.sorted.toDF("node", "cluster_id")
   }
 
-  /** Shared small-graph dispatch for both CC variants: limit-pushed
-    * collect of the pair list; Some(result) when it fits under the
-    * local ceiling (the collected rows ARE the input — no second
-    * computation), None when the caller's distributed plan should run.
+  /** Shared small-graph dispatch for both CC variants. Returns
+    * Right(result) when the pair list fits under the local ceiling
+    * (driver union-find over the collected rows), Left(pairs) when the
+    * caller's distributed plan should run — the Left frame has columns
+    * (u, v) long-typed and null-free, and when the probe ran it is a
+    * CHECKPOINTED materialization, so the over-limit fallback reuses
+    * the probe's rows instead of recomputing the (possibly expensive —
+    * LSH self-join) upstream pipeline a second time (round-12
+    * advisory). Three more hardenings from the same advisory batch:
+    * null pair ids are filtered here (matching the distributed plans,
+    * where a null key never joins — the driver path would otherwise
+    * NPE on getLong), limits at or above Int.MaxValue-1 route to the
+    * distributed path (the Int-typed probe could never detect
+    * truncation past that, and a >2G-pair driver union-find is not a
+    * sane configuration), and the limit<=0 opt-out returns a LAZY
+    * frame, so explain-only plan construction runs no jobs when local
+    * dispatch is disabled.
     */
-  private def componentsIfLocal(
-      pairs: DataFrame, aCol: String, bCol: String): Option[DataFrame] = {
+  private def componentsDispatch(
+      pairs: DataFrame, aCol: String, bCol: String): Either[DataFrame, DataFrame] = {
     val spark = pairs.sparkSession
     val limit = spark.conf.get("spark.graft.cc.localLimit",
       defaultCcLocalLimit.toString).toLong
-    if (limit <= 0) return None // explicit opt-out: always distributed
-    val probe = pairs
-      .select(col(aCol).cast("long"), col(bCol).cast("long"))
-      .limit(math.min(limit, Int.MaxValue - 1L).toInt + 1)
-      .collect()
-    if (probe.length > limit) None
-    else Some(localComponents(spark,
+    val proj = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull)
+    if (limit <= 0 || limit >= Int.MaxValue - 1L) return Left(proj)
+    val mat = graft.Iterate.ckpt(proj)
+    val probe = mat.limit(limit.toInt + 1).collect()
+    if (probe.length > limit) Left(mat)
+    else Right(localComponents(spark,
       probe.map(r => (r.getLong(0), r.getLong(1)))))
   }
 
@@ -312,11 +326,11 @@ object Dedup {
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
     // small-graph dispatch (round 12): see defaultCcLocalLimit
-    componentsIfLocal(pairs, aCol, bCol) match {
-      case Some(r) => return r
-      case None =>
+    val proj = componentsDispatch(pairs, aCol, bCol) match {
+      case Right(r) => return r
+      case Left(p) => p
     }
-    val half = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val half = proj.select(col("u").as("src"), col("v").as("dst"))
     // undirected: propagate both ways every round
     val edges = half.union(half.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().cache()
@@ -363,18 +377,60 @@ object Dedup {
     * results are localCheckpoint'd so lineage stays flat.
     */
   def connectedComponentsStar(
-      pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 20): DataFrame = {
+      pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 20): DataFrame =
+    connectedComponentsStarCounted(pairs, aCol, bCol, maxIter)._1
+
+  /** Star contraction with SETTLED-COMPONENT PARKING (round-12 verdict
+    * item 4 — the delta discipline applied to the edge-rewriting loop).
+    *
+    * The textbook alternating loop rewrites the FULL edge set every
+    * round and probes convergence with two `except`s — at 100 TB a
+    * graph whose last unfinished component holds 50 nodes still pays a
+    * whole-graph double-star plus a whole-graph anti-join per round.
+    * But the algorithm's fixed points are known shapes: a component is
+    * DONE exactly when it has contracted to an isolated star centered
+    * at its minimum, and star rounds never create edges BETWEEN
+    * components — so a finished component can be parked out of the
+    * loop the round it finishes and can never be touched again.
+    *
+    * Detection is two node-sized aggregations over the (symmetric,
+    * distinct) edge set: a node r is a settled root iff every neighbor
+    * v has v > r and degree(v) = 1 — then r's component is exactly
+    * {r} ∪ Γ(r), an isolated star centered at its minimum. Each round
+    * parks the settled stars' labels (leaf → r, r → r) and iterates
+    * only the remaining edges; the loop ENDS when nothing remains —
+    * which also retires the except-probe entirely (an empty remainder
+    * IS the convergence proof; `limit(1)` existence probes over
+    * `except` were two extra whole-graph shuffles per round). Per-round
+    * work is proportional to the UNFINISHED components' edges, and the
+    * returned per-round active-edge counts are the observability hook
+    * the planted-graph spec pins (the deltaFixpoint discipline,
+    * Core.scala). On a graph of many small clusters and one deep chain
+    * — the near-dup shape — the cluster mass parks in round one and
+    * the remaining ~log(diameter) rounds touch only the chain.
+    *
+    * `maxIter` exhaustion with edges still active falls back to the
+    * original label extraction (min over the current neighborhood) for
+    * the unparked remainder — same convergence envelope as before, so
+    * the parking is invisible to results.
+    */
+  private[graft] def connectedComponentsStarCounted(
+      pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 20)
+      : (DataFrame, Int, Seq[Long]) = {
     // small-graph dispatch (round 12): see defaultCcLocalLimit
-    componentsIfLocal(pairs, aCol, bCol) match {
-      case Some(r) => return r
-      case None =>
+    val proj = componentsDispatch(pairs, aCol, bCol) match {
+      case Right(r) => return (r, 0, Seq.empty)
+      case Left(p) => p
     }
-    val half = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
-    val nodes = half.select(col("u").as("node"))
-      .union(half.select(col("v").as("node")))
-      .distinct().localCheckpoint(true)
-    var edges = half.union(half.select(col("v").as("u"), col("u").as("v")))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    val spark = proj.sparkSession
+    val half = proj
+    val nodes = graft.Iterate.ckpt(
+      half.select(col("u").as("node"))
+        .union(half.select(col("v").as("node")))
+        .distinct())
+    var active = graft.Iterate.ckpt(
+      half.union(half.select(col("v").as("u"), col("u").as("v")))
+        .filter(col("u") =!= col("v")).distinct())
 
     def star(e: DataFrame, large: Boolean): DataFrame = {
       val m = e.groupBy("u").agg(min("v").as("__mv"))
@@ -388,19 +444,51 @@ object Dedup {
       out.union(out.select(col("v").as("u"), col("u").as("v"))).distinct()
     }
 
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "node", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(
+          "cluster_id", org.apache.spark.sql.types.LongType))))
+    var parked = empty
+    val sizes = scala.collection.mutable.ArrayBuffer[Long]()
     var iter = 0
-    var converged = false
-    while (!converged && iter < maxIter) {
-      val next = star(star(edges, large = true), large = false).localCheckpoint(true)
-      val diff = next.except(edges).union(edges.except(next)).limit(1).count()
-      edges = next
-      converged = diff == 0L
+    var n = active.limit(1).count()
+    while (n > 0 && iter < maxIter) {
+      val next = graft.Iterate.ckpt(
+        star(star(active, large = true), large = false))
+      // settled-star detection: annotate each edge with the v-side
+      // degree, then r is settled iff ALL its neighbors are bigger
+      // leaves. deg is node-sized; the annotate join is edge-keyed.
+      val deg = next.groupBy(col("u").as("v")).agg(count(lit(1)).as("__vd"))
+      val roots = graft.Iterate.ckpt(
+        next.join(deg, "v")
+          .groupBy("u")
+          .agg(expr("bool_and(v > u AND __vd = 1)").as("__ok"))
+          .filter(col("__ok")).select(col("u").as("__r")))
+      val settled = next.join(roots, next("u") === roots("__r"), "left_semi")
+      parked = parked
+        .union(settled.select(col("v").as("node"), col("u").as("cluster_id")))
+        .union(roots.select(col("__r").as("node"), col("__r").as("cluster_id")))
+      active = graft.Iterate.ckpt(
+        next.join(roots, next("u") === roots("__r"), "left_anti")
+          .join(roots, next("v") === roots("__r"), "left_anti"))
+      n = active.count()
+      sizes += n
       iter += 1
     }
 
-    val lbl = edges.groupBy(col("u").as("node")).agg(min("v").as("__mv"))
-    nodes.join(lbl, Seq("node"), "left")
+    // maxIter fall-back label extraction for whatever is still active
+    // (converged runs have an empty `active` and this contributes
+    // nothing); parked stars carry exact labels already.
+    val residual = active.groupBy(col("u").as("node")).agg(min("v").as("__mv"))
+      .select(col("node"), least(col("node"), col("__mv")).as("cluster_id"))
+    val lbl = parked.union(residual)
+    val out = nodes.join(lbl, Seq("node"), "left")
       .select(col("node"),
-        least(col("node"), coalesce(col("__mv"), col("node"))).as("cluster_id"))
+        least(col("node"), coalesce(col("cluster_id"), col("node")))
+          .as("cluster_id"))
+    (out, iter, sizes.toSeq)
   }
 }

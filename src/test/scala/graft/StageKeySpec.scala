@@ -38,6 +38,36 @@ class StageKeySpec extends SparkSpec {
     assert(Stage.key(d1.toString, "orders") !== Stage.key(d2.toString, "orders"))
   }
 
+  test("sweepSiblings liveness reads the DEEPEST mtime, not the top dir's") {
+    // a directory's own mtime only moves when its direct entries change
+    // — a writer streaming into a nested table subdir for >30 min looks
+    // stale from the top. The sweep must treat any recently-touched
+    // file anywhere in the tree as liveness (round-12 advisory).
+    import java.nio.file.{Files, Paths}
+    val parent = Files.createTempDirectory("graft_sweep")
+    def mk(name: String, deepTouchMs: Long): java.nio.file.Path = {
+      val d = parent.resolve(name)
+      Files.createDirectories(d.resolve("t.parquet"))
+      Files.write(d.resolve("t.parquet").resolve("part-0"), Array[Byte](1))
+      Files.write(d.resolve("_STAGED"), Array[Byte](0))
+      val old = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3L * 3600 * 1000)
+      // age EVERYTHING, then touch only the nested part file as asked
+      Seq(d, d.resolve("_STAGED"), d.resolve("t.parquet"),
+        d.resolve("t.parquet").resolve("part-0"))
+        .foreach(p => Files.setLastModifiedTime(p, old))
+      Files.setLastModifiedTime(d.resolve("t.parquet").resolve("part-0"),
+        java.nio.file.attribute.FileTime.fromMillis(deepTouchMs))
+      d
+    }
+    val now = System.currentTimeMillis()
+    val live = mk("graft_sw_live", now)            // nested write 0 min ago
+    val stale = mk("graft_sw_stale", now - 3L * 3600 * 1000)
+    Stage.sweepSiblings(parent.toString, "graft_sw_", "graft_sw_keepme")
+    assert(Files.exists(live), "deep-touched sibling must survive the sweep")
+    assert(!Files.exists(stale), "genuinely stale sibling must be swept")
+  }
+
   test("directory-shaped tables fingerprint every part file") {
     val d = java.nio.file.Files.createTempDirectory("graft_stagekey_dir")
     val t = d.resolve("orders.parquet")

@@ -134,6 +134,64 @@ class ConnectedComponentsSpec extends SparkSpec {
       Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("settled components PARK the round they finish (planted graph, pinned sizes)") {
+    // Three isolated pairs + a diameter-7 chain, forced distributed.
+    // Every pair is already a star, so round 1 must park all six pair
+    // edges and the remaining rounds iterate ONLY the chain — the
+    // pinned active-edge counts are the observability hook (the
+    // deltaFixpoint discipline): a regression that keeps settled
+    // components in the loop shows up as a fatter sequence, and a
+    // regression that parks too eagerly breaks the label assertions.
+    spark.conf.set("spark.graft.cc.localLimit", "0")
+    try {
+      val pairs = ((0L until 7L).map(i => (i, i + 1)) ++
+        Seq((100L, 101L), (102L, 103L), (104L, 105L))).toDF("a", "b")
+      val (out, rounds, sizes) =
+        Dedup.connectedComponentsStarCounted(pairs, "a", "b")
+      assert(rounds === 3 && sizes === Seq(24L, 24L, 0L))
+      val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === ((0L to 7L).map(_ -> 0L) ++
+        Seq(100L -> 100L, 101L -> 100L, 102L -> 102L,
+          103L -> 102L, 104L -> 104L, 105L -> 104L)).toMap)
+
+      // a pairs-only graph is ALL stars: one round, empty remainder —
+      // the loop must end with no chain left to iterate
+      val (out2, rounds2, sizes2) = Dedup.connectedComponentsStarCounted(
+        Seq((100L, 101L), (102L, 103L), (104L, 105L)).toDF("a", "b"), "a", "b")
+      assert(rounds2 === 1 && sizes2 === Seq(0L))
+      assert(out2.count() === 6L)
+    } finally spark.conf.unset("spark.graft.cc.localLimit")
+  }
+
+  test("null pair ids are dropped identically on local and distributed paths") {
+    // the driver union-find would NPE on getLong(null); the distributed
+    // joins silently never match a null key — the dispatch filters
+    // nulls up front so both paths see the same effective graph
+    val pairs = Seq(
+      (Some(1L), Some(2L)), (None, Some(3L)), (Some(4L), None),
+      (Some(2L), Some(5L)), (None: Option[Long], None: Option[Long]))
+      .toDF("a", "b")
+    def run(): Map[Long, Long] =
+      Dedup.connectedComponentsStar(pairs, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = run()
+    spark.conf.set("spark.graft.cc.localLimit", "0")
+    val dist = try run() finally spark.conf.unset("spark.graft.cc.localLimit")
+    assert(local === Map(1L -> 1L, 2L -> 1L, 5L -> 1L))
+    assert(local === dist)
+  }
+
+  test("localLimit at or above Int.MaxValue-1 routes distributed (truncation check would be blind)") {
+    // an Int-bounded probe can never observe more than Int.MaxValue-1
+    // rows, so a limit configured that high must opt out of the local
+    // path rather than trust an un-checkable collect
+    spark.conf.set("spark.graft.cc.localLimit", Long.MaxValue.toString)
+    try {
+      val got = starComponents(Seq((1L, 2L), (2L, 3L), (5L, 6L)))
+      assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+    } finally spark.conf.unset("spark.graft.cc.localLimit")
+  }
+
   test("deterministic across repartitioning") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (3L, 5L), (10L, 11L))
     val a = components(pairs)

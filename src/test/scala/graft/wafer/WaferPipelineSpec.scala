@@ -112,6 +112,17 @@ class WaferPipelineSpec extends SparkSpec {
     val first = withCluster.groupBy("Step_desc", "KMeans_Cluster").count()
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
     assert(again === first)
+    // sequential-fits mode (the Bench measurement knob) is result-
+    // identical: each per-step fit is independent and seed-pinned, so
+    // ordering them cannot change any assignment
+    spark.conf.set("spark.graft.wafer.concurrentFits", "false")
+    val seq = try {
+      WaferPipeline.runKMeansByStep(fixture)
+        .filter(col("KMeans_Cluster").isNotNull)
+        .groupBy("Step_desc", "KMeans_Cluster").count()
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    } finally spark.conf.unset("spark.graft.wafer.concurrentFits")
+    assert(seq === first)
   }
 
   test("killer labeling follows the (step, cluster) mapping; boolean non-null") {
