@@ -129,6 +129,7 @@ object SparkEntry {
       graft.queries.Training109.defs ++
       graft.queries.Training110.defs ++
       graft.queries.Training111.defs ++
+      graft.queries.Training112.defs ++
       graft.queries.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -57,46 +57,84 @@ object ScalableRank {
   }
 
   /** `df` plus `cumCol` = exact inclusive running SUM of `value` under
-    * `order` — and optionally `rankCol` = the 1-based global row number
-    * — without a global window. Same two-phase shape as `numbered`,
-    * with the per-partition offset table carrying (row count, value
-    * sum) prefix pairs; the only window is PARTITIONED by the range
-    * partition id, so nothing data-sized meets one task. `value` must
-    * be integral (BIGINT arithmetic end to end — the exactness that
-    * keeps the result bit-identical to the global-window form) and
-    * non-null; `order` must be a total order.
+    * `order` — and optionally `rankCol` = the 1-based global row number,
+    * and/or `suffixMin` = (expr, outCol) the exact INCLUSIVE global
+    * suffix-minimum of `expr` under the same order (the smallest
+    * non-null `expr` at-or-after each row — "next event value" when
+    * `expr` is null on non-event rows) — without a global window.
+    * Same two-phase shape as `numbered`, with the per-partition offset
+    * table carrying (row count, value sum, suffix min) prefix/suffix
+    * entries; the only windows are PARTITIONED by the range partition
+    * id, so nothing data-sized meets one task, and the suffix-min adds
+    * NO extra pass (it rides the same bounded per-partition collect —
+    * a row's global suffix-min is least(its partition-local suffix-min,
+    * the min over all LATER partitions)). `value` must be integral
+    * (BIGINT arithmetic end to end — the exactness that keeps the
+    * result bit-identical to the global-window form) and non-null;
+    * `suffixMin._1` is cast to BIGINT and MAY be null (null rows are
+    * skipped, the IGNORE NULLS contract); `order` must be a total
+    * order.
     */
   def withPrefixSum(df: DataFrame, order: Seq[Column], value: Column,
-      cumCol: String, rankCol: Option[String] = None): DataFrame = {
+      cumCol: String, rankCol: Option[String] = None,
+      suffixMin: Option[(Column, String)] = None): DataFrame = {
     val spark = df.sparkSession
     val sorted = graft.Iterate.ckpt(
       df.repartitionByRange(order: _*).sortWithinPartitions(order: _*))
     val ids = sorted
       .withColumn("__sr_val", value.cast("long"))
+      .withColumn("__sr_sfx",
+        suffixMin.map(_._1.cast("long")).getOrElse(lit(null).cast("long")))
       .withColumn("__sr_mid", monotonically_increasing_id())
       .withColumn("__sr_pid", expr("shiftright(__sr_mid, 33)"))
-    // bounded collect: one (pid, rows, sum) row per shuffle partition
+    // bounded collect: one (pid, rows, sum, sfxmin) row per shuffle partition
     val parts = ids.groupBy("__sr_pid")
-      .agg(count(lit(1)).as("c"), sum("__sr_val").as("s"))
+      .agg(count(lit(1)).as("c"), sum("__sr_val").as("s"),
+        min("__sr_sfx").as("m"))
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
       .sortBy(_._1)
     val rowOff = parts.map(_._2).scanLeft(0L)(_ + _).init
     val sumOff = parts.map(_._3).scanLeft(0L)(_ + _).init
+    // min over all STRICTLY LATER partitions (exclusive scanRight)
+    val sfxAfter: Seq[Option[Long]] = parts.map(_._4)
+      .scanRight(Option.empty[Long]) { (m, acc) =>
+        (m.toSeq ++ acc.toSeq) match {
+          case Nil => None
+          case xs => Some(xs.min)
+        }
+      }.tail
     import spark.implicits._
     val offDf = parts.indices
-      .map(i => (parts(i)._1, rowOff(i), sumOff(i)))
-      .toDF("__sr_pid", "__sr_roff", "__sr_soff")
+      .map(i => (parts(i)._1, rowOff(i), sumOff(i), sfxAfter(i)))
+      .toDF("__sr_pid", "__sr_roff", "__sr_soff", "__sr_safter")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__sr_pid").orderBy("__sr_mid")
       .rowsBetween(Long.MinValue, 0)
     val withCum = ids
       .join(broadcast(offDf), Seq("__sr_pid"))
       .withColumn(cumCol, sum("__sr_val").over(w) + col("__sr_soff"))
-    val out = rankCol.fold(withCum)(rc => withCum.withColumn(rc,
+    val withRank = rankCol.fold(withCum)(rc => withCum.withColumn(rc,
       col("__sr_mid").bitwiseAND(lit(LocalIdxMask)) + col("__sr_roff") + 1L))
+    val out = suffixMin.fold(withRank) { case (_, name) =>
+      // suffix-min as a RUNNING prefix-min over the reversed order:
+      // a (currentRow, unboundedFollowing) frame looks equivalent but
+      // Spark's UnboundedFollowing frame re-scans the tail per row —
+      // O(rows²) per partition (measured: 66 s where this form takes
+      // 1.4 s); the descending running frame is the O(rows) form
+      val wd = org.apache.spark.sql.expressions.Window
+        .partitionBy("__sr_pid").orderBy(col("__sr_mid").desc)
+        .rowsBetween(Long.MinValue, 0)
+      // least() skips nulls: local tail-min when present, else the
+      // later-partitions min; null only when nothing follows at all
+      withRank.withColumn(name,
+        least(min(col("__sr_sfx")).over(wd), col("__sr_safter")))
+    }
     out.select(
-      (df.columns.map(col) ++ (rankCol.toSeq :+ cumCol).map(col)).toIndexedSeq: _*)
+      (df.columns.map(col) ++
+        (rankCol.toSeq ++ Seq(cumCol) ++ suffixMin.map(_._2).toSeq).map(col))
+        .toIndexedSeq: _*)
   }
 
   private def numbered(df: DataFrame, order: Seq[Column], outCol: String): (DataFrame, Long) = {

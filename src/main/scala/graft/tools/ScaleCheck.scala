@@ -101,6 +101,7 @@ object ScaleCheck {
       "q07_window_topk", "q22_iqr_outlier_filter", "q45_minhash_bands",
       "q47_ngram_jaccard", "q49_cosine_topk", "q61_hash_sample",
       "q72_bloom_semi_join", "q74_bm25", "q85_interval_join",
+      "q491_interval_overlap",
       "q105_line_dedup", "q109_pagerank", "q112_ivf_pq_ann",
       "q115_dup_spans", "q117_unigram_surprisal", "q119_salted_agg",
       "q125_topk_perkey", "q126_bpe_encode", "q132_simhash_degree",

@@ -80,6 +80,32 @@ class ScalableRankSpec extends SparkSpec {
       synth(0), Seq(col("id").asc), col("v"), "cum").count() === 0L)
   }
 
+  test("withPrefixSum suffixMin equals the global IGNORE-NULLS suffix window") {
+    // suffix source: v only on ~1/3 of the rows (nulls elsewhere) — the
+    // "next event value at-or-after each row" shape intervalOverlapStats
+    // consumes; oracle is the single-partition descending running min
+    for (n <- Seq(1, 101, 4000)) {
+      val df = synth(n)
+        .withColumn("sv", when(col("id") % 3 === 0, col("v")))
+      val order = Seq(col("v").asc, col("id").asc)
+      val got = ScalableRank.withPrefixSum(df, order, col("v"), "cum",
+        rankCol = Some("r"), suffixMin = Some((col("sv"), "nxt")))
+      val w = Window.orderBy(order: _*)
+      val want = df
+        .withColumn("r", row_number().over(w).cast("long"))
+        .withColumn("cum",
+          sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("nxt",
+          min("sv").over(Window.orderBy(col("v").desc, col("id").desc)
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .select("v", "id", "sv", "r", "cum", "nxt")
+      assert(got.except(want).isEmpty && want.except(got).isEmpty, s"n=$n")
+      // the tail rows past the last non-null source must read null
+      assert(got.filter(col("nxt").isNull).count() ===
+        want.filter(col("nxt").isNull).count(), s"n=$n null tail")
+    }
+  }
+
   test("withPrefixSum plan: the only window partitions by the range id") {
     val got = ScalableRank.withPrefixSum(
       synth(1000), Seq(col("v").asc, col("id").asc), col("v"), "cum")
