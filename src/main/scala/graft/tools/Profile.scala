@@ -116,6 +116,87 @@ object Profile {
       }
     }
 
+    // co-purchase edge-build STAGE decomposition (pass "edges2"):
+    // where does the build wall go — the groupBy(o) shuffle, the pair
+    // explode, or the final distinct (round-12 verdict item 3)?
+    if (args.lift(1).contains("edges2")) {
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      val op = li.select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      def grouped = op.groupBy("o").agg(expr("array_sort(collect_set(p))").as("ps"))
+      def pairs = grouped
+        .select(posexplode(col("ps")).as(Seq("i", "u")), col("ps"))
+        .select(col("u"), explode(expr("slice(ps, i + 2, size(ps) - i - 1)")).as("v"))
+      (1 to 3).foreach { i =>
+        time(f"edges2 A groupBy+collect_set run$i")(noop(grouped))
+        time(f"edges2 B A+pair explode run$i")(noop(pairs))
+        time(f"edges2 C B+distinct run$i")(noop(pairs.distinct()))
+      }
+      println(s"[profile] edges2 rows: grouped=${grouped.count()} " +
+        s"pairs=${pairs.count()} distinct=${pairs.distinct().count()}")
+    }
+
+    // star-contraction A/B (pass "ccstar"): the round-13 parked-star
+    // loop vs an inline copy of the round-12 loop (full-edge-set star
+    // rounds + except-probe convergence), on a planted distributed-
+    // scale graph — one deep chain (the log-round tail) + a large mass
+    // of small clusters (the near-dup shape that parking retires in
+    // round one). Forced distributed via localLimit=0.
+    if (args.lift(1).contains("ccstar")) {
+      import org.apache.spark.sql.DataFrame
+      def legacyStar(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+        val half = pairs.select(col("a").cast("long").as("u"), col("b").cast("long").as("v"))
+        val nodes = half.select(col("u").as("node"))
+          .union(half.select(col("v").as("node")))
+          .distinct().localCheckpoint(true)
+        var edges = half.union(half.select(col("v").as("u"), col("u").as("v")))
+          .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+        def star(e: DataFrame, large: Boolean): DataFrame = {
+          val m = e.groupBy("u").agg(min("v").as("__mv"))
+            .select(col("u"), least(col("u"), col("__mv")).as("__m"))
+          val kept = e.join(m, "u")
+            .filter(if (large) col("v") > col("u") else col("v") < col("u"))
+            .select(col("v").as("u"), col("__m").as("v"))
+          val selfLink = m.select(col("u"), col("__m").as("v"))
+          val out = kept.union(selfLink).filter(col("u") =!= col("v"))
+          out.union(out.select(col("v").as("u"), col("u").as("v"))).distinct()
+        }
+        var iter = 0
+        var converged = false
+        while (!converged && iter < maxIter) {
+          val next = star(star(edges, large = true), large = false).localCheckpoint(true)
+          val diff = next.except(edges).union(edges.except(next)).limit(1).count()
+          edges = next
+          converged = diff == 0L
+          iter += 1
+        }
+        val lbl = edges.groupBy(col("u").as("node")).agg(min("v").as("__mv"))
+        nodes.join(lbl, Seq("node"), "left")
+          .select(col("node"),
+            least(col("node"), coalesce(col("__mv"), col("node"))).as("cluster_id"))
+      }
+      val chainN = args.lift(2).map(_.toLong).getOrElse(200000L)
+      val pairN = args.lift(3).map(_.toLong).getOrElse(300000L)
+      val chain = spark.range(0L, chainN - 1)
+        .select(col("id").as("a"), (col("id") + 1L).as("b"))
+      val pairsDf = spark.range(0L, pairN)
+        .select((col("id") * 2 + 1000000L).as("a"), (col("id") * 2 + 1000001L).as("b"))
+      val graph = chain.unionAll(pairsDf).repartition(32).localCheckpoint(true)
+      println(s"[profile] ccstar graph edges=${graph.count()}")
+      spark.conf.set("spark.graft.cc.localLimit", "0")
+      try {
+        (1 to 2).foreach { i =>
+          time(f"ccstar legacy run$i")(
+            legacyStar(graph).agg(count(lit(1)), sum("cluster_id")).collect())
+          val t0 = System.nanoTime()
+          val (out, rounds, sizes) = graft.operators.Dedup
+            .connectedComponentsStarCounted(graph, "a", "b")
+          out.agg(count(lit(1)), sum("cluster_id")).collect()
+          println(f"[profile] ccstar parked run$i%-26s ${(System.nanoTime() - t0) / 1e9}%.3f s rounds=$rounds sizes=${sizes.mkString(",")}")
+        }
+      } finally spark.conf.unset("spark.graft.cc.localLimit")
+    }
+
     // q350 stage decomposition (pass "q350" as args(1)): minhash
     // banding vs candidate pairs vs star CC vs gram-quality scoring
     if (args.lift(1).contains("q350")) {
