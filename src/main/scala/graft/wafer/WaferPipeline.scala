@@ -107,6 +107,83 @@ object WaferPipeline {
     .withColumn("DENSITY_SIGNAL",
       scrub(ieeeDiv(col("INTENSITY"), col("DEFECT_AREA") + lit(1e-6))))
 
+  /** Driver-side seeded Lloyd's over collected z-vectors — the
+    * small-subset fit path of [[runKMeansByStep]]. Deterministic and
+    * partition-invariant: rows are iterated in row-id order (float sums
+    * see one fixed order), initial centers are the first k DISTINCT
+    * vectors under a seed-mixed hash ranking of row ids, nearest-center
+    * ties break to the lower cluster index, and an emptied cluster
+    * keeps its previous center (standard Lloyd's). ≤ 20 iterations or
+    * assignment fixpoint, matching the MLlib defaults it replaces.
+    */
+  private def localKMeansLabels(
+      spark: SparkSession, rows: Array[(Long, Array[Double])],
+      k: Int, seed: Long): DataFrame = {
+    val sorted = rows.sortBy(_._1)
+    val n = sorted.length
+    val dim = sorted(0)._2.length
+    def mix(id: Long): Long = {
+      var x = id + seed * -7046029254386353131L
+      x = (x ^ (x >>> 30)) * -4658895280553007687L
+      x = (x ^ (x >>> 27)) * -7723592293110705685L
+      x ^ (x >>> 31)
+    }
+    val ranked = sorted.sortBy(r => (mix(r._1), r._1))
+    val init = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    var ri = 0
+    while (init.length < k && ri < n) {
+      val v = ranked(ri)._2
+      if (!init.exists(_.sameElements(v))) init += v.clone()
+      ri += 1
+    }
+    while (init.length < k) init += init.head.clone() // < k distinct points
+    val centers = init.toArray
+    val assign = Array.fill(n)(-1)
+    var changed = true
+    var iter = 0
+    while (changed && iter < 20) {
+      changed = false
+      var i = 0
+      while (i < n) {
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0
+          var j = 0
+          while (j < dim) {
+            val t = sorted(i)._2(j) - centers(c)(j); d += t * t; j += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        if (assign(i) != best) { changed = true; assign(i) = best }
+        i += 1
+      }
+      val sums = Array.fill(k, dim)(0.0)
+      val cnts = Array.fill(k)(0L)
+      var i2 = 0
+      while (i2 < n) {
+        val c = assign(i2); cnts(c) += 1
+        var j = 0
+        while (j < dim) { sums(c)(j) += sorted(i2)._2(j); j += 1 }
+        i2 += 1
+      }
+      var c2 = 0
+      while (c2 < k) {
+        if (cnts(c2) > 0) {
+          var j = 0
+          while (j < dim) { centers(c2)(j) = sums(c2)(j) / cnts(c2); j += 1 }
+        }
+        c2 += 1
+      }
+      iter += 1
+    }
+    import spark.implicits._
+    sorted.indices.map(i => (sorted(i)._1, assign(i)))
+      .toDF("__row_id", "KMeans_Cluster")
+  }
+
   /** G1-G4: per-step K-Means over z-scored features, labels joined back
     * by row id (the Spark replacement for pandas index write-back,
     * preprocessing.py:153-208).
@@ -118,7 +195,13 @@ object WaferPipeline {
     *     sklearn;
     *   - MLlib KMeans(seed) replaces sklearn's n_init=10 restarts;
     *     cluster ids are arbitrary in both — correctness is structural
-    *     (§5.3), not id-equal.
+    *     (§5.3), not id-equal;
+    *   - per-step subsets at or under
+    *     `spark.graft.wafer.kmeansLocalLimit` (default 500k rows; 0
+    *     disables) fit via a driver-side seeded Lloyd's over the
+    *     collected z-vectors ([[localKMeansLabels]]) — see the dispatch
+    *     comment in the body; the distributed MLlib path is the shape
+    *     past the limit.
     */
   def runKMeansByStep(
       df: DataFrame,
@@ -129,6 +212,7 @@ object WaferPipeline {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
+    val spark = df.sparkSession
     val withId = df.withColumn("__row_id", monotonically_increasing_id()).cache()
     withId.count() // materialize once before the per-step jobs race for it
     def fitStep(step: String): Option[DataFrame] = {
@@ -143,27 +227,47 @@ object WaferPipeline {
         val sd = sqrt(col(s"__msq_$f") - col(s"__m_$f") * col(s"__m_$f"))
         ((col(f) - m) / when(sd === 0.0 || sd.isNull, lit(1.0)).otherwise(sd)).as(s"__z_$f")
       }
-      // cache the z-scored vectors: KMeans.fit is iterative and would
+      // cache the z-scored vectors: the fit is iterative and would
       // otherwise re-evaluate the whole upstream plan once per pass
       val scaled = subset.crossJoin(broadcast(subset.agg(aggs.head, aggs.tail: _*)))
         .select((col("__row_id") +: zCols): _*)
-        .withColumn("__fv",
-          array_to_vector(array(features.map(f => col(s"__z_$f")): _*)))
         .cache()
       try {
         val cnt = scaled.count()
+        val localLimit = spark.conf
+          .get("spark.graft.wafer.kmeansLocalLimit", "500000").toLong
         if (cnt == 0) None
-        else {
-          // KMeans.fit runs ~20 iterative jobs; on small per-step subsets
-          // the cost is task scheduling, not compute — shrink to one
-          // partition per ~500k rows (floor 1) so each iteration is a
-          // handful of tasks. Large subsets keep their parallelism.
-          val parts = math.max(1L, math.min(
-            scaled.rdd.getNumPartitions.toLong, cnt / 500000L + 1)).toInt
-          val fitInput = scaled.coalesce(parts).cache()
+        else if (localLimit > 0 && cnt <= localLimit) {
+          // Small-subset dispatch (the cc.localLimit discipline, applied
+          // to the fit): an MLlib fit on a per-step subset this size is
+          // ~20 scheduled jobs whose wall is task-launch floors and
+          // whose scheduling noise was the widest band in every driver
+          // bench — while the same Lloyd's iterations over the collected
+          // z-vectors (≤ 500k × 8 doubles ≈ 36 MB) are milliseconds of
+          // driver compute, deterministic and partition-invariant by
+          // construction (rows iterated in row-id order, seeded
+          // hash-ranked init). Cluster ids are arbitrary under BOTH
+          // paths (correctness is structural, §5.3). Past the limit the
+          // distributed MLlib path below runs unchanged — the 100 TB
+          // shape, where per-step subsets are billions of rows.
+          val rows = scaled
+            .select((col("__row_id") +: features.map(f => col(s"__z_$f"))): _*)
+            .collect()
+            .map(r => (r.getLong(0),
+              Array.tabulate(features.size)(j => r.getDouble(j + 1))))
+          Some(localKMeansLabels(spark, rows, k, seed))
+        } else {
+          val fitInput = scaled
+            .withColumn("__fv",
+              array_to_vector(array(features.map(f => col(s"__z_$f")): _*)))
+            // one partition per ~500k rows (floor 1): each iteration is
+            // a handful of tasks, large subsets keep their parallelism
+            .coalesce(math.max(1L, math.min(
+              scaled.rdd.getNumPartitions.toLong, cnt / 500000L + 1)).toInt)
+            .cache()
           try {
             // random init (seed-pinned): k-means||'s multi-round
-            // distributed seeding is pure scheduling overhead at per-step
+            // distributed seeding is pure scheduling overhead at these
             // subset sizes, and cluster ids are permutation-arbitrary
             // either way (correctness is structural, §5.3)
             val model = new KMeans()
@@ -178,16 +282,13 @@ object WaferPipeline {
         }
       } finally scaled.unpersist()
     }
-    // Steps are independent → fit them concurrently by default: on a
-    // cluster the three small fits' iteration barriers overlap, hiding
-    // round-trip latency. On a single shared box, though, concurrency
-    // is measurement JITTER, not throughput — the r12 driver bench
-    // showed a ±18% min–max band on this pipeline while an in-session
-    // 8-rep band was ±2.4%: three interleaved iterative fits contend
-    // for the same 32 cores and the scheduler's interleaving is the
-    // spread. `spark.graft.wafer.concurrentFits=false` (set by Bench)
-    // pins the fits sequential so the measured wall is reproducible;
-    // results are identical either way (fits are per-step independent).
+    // Steps are independent → fit them concurrently by default: each
+    // fit is a latency-bound chain of jobs, so overlapping the three
+    // chains is genuine throughput (same-box A/B, r13: sequential
+    // wafer median 5.38 s vs concurrent 2.66 s).
+    // `spark.graft.wafer.concurrentFits=false` pins them sequential
+    // for measurement experiments; results are identical either way
+    // (fits are per-step independent).
     val concurrent = df.sparkSession.conf
       .get("spark.graft.wafer.concurrentFits", "true").toBoolean
     val labelParts =

@@ -125,6 +125,32 @@ class WaferPipelineSpec extends SparkSpec {
     assert(seq === first)
   }
 
+  test("kmeans structural contract holds on the FORCED-DISTRIBUTED MLlib path too") {
+    // the default path at fixture size is the driver-side Lloyd's
+    // dispatch; localLimit=0 forces the distributed MLlib fit — both
+    // must satisfy the same structural contract (§5.3): eligibility,
+    // two non-empty clusters, exact blob separation, determinism
+    spark.conf.set("spark.graft.wafer.kmeansLocalLimit", "0")
+    try {
+      val labeled = WaferPipeline.runKMeansByStep(fixture)
+        .filter(col("KMeans_Cluster").isNotNull).cache()
+      val eligible = fixture
+        .filter(col("IS_DEFECT") === "REAL" &&
+          col("Step_desc").isin(WaferSchema.defaultSteps: _*))
+        .na.drop("any", WaferSchema.clusterFeatures)
+      assert(labeled.count() === eligible.count())
+      for (step <- WaferSchema.defaultSteps) {
+        val sub = labeled.filter(col("Step_desc") === step)
+          .select(col("KMeans_Cluster"), (col("ENERGY_PARAM") > 0).as("blob"))
+          .collect().map(r => (r.getInt(0), r.getBoolean(1)))
+        assert(sub.map(_._1).distinct.sorted.toSeq === Seq(0, 1), s"step $step")
+        val pure = sub.groupBy(_._1).values.forall(g => g.map(_._2).distinct.size === 1)
+        assert(pure, s"step $step: clusters align with planted blobs")
+      }
+      labeled.unpersist()
+    } finally spark.conf.unset("spark.graft.wafer.kmeansLocalLimit")
+  }
+
   test("killer labeling follows the (step, cluster) mapping; boolean non-null") {
     val labeled = WaferPipeline.labelKillerDefects(
       WaferPipeline.runKMeansByStep(fixture)).cache()
