@@ -1073,6 +1073,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q491: no pair join at all — no NLJ/cartesian, windows only range-pid-keyed") {
+    // the production twin's whole point is that it never forms an
+    // overlap pair: the plan must carry no nested-loop or cartesian
+    // join, and its only windows are the two-phase prefix pass's
+    // __sr_pid-partitioned ones (never a global window)
+    val p = SparkEntry.queries("q491_interval_overlap")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty, p)
+    windows.foreach(w => assert(w.contains("__sr_pid"), w))
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("r10 quadratic closures: plan shapes stay scale-safe") {
     // q470: the per-user top-3 is pruned MAP-SIDE (WindowGroupLimit
     // partial) before the one user shuffle, and nothing funnels through
