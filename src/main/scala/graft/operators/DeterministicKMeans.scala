@@ -90,12 +90,87 @@ object DeterministicKMeans {
         .as("__v6"))
       .cache()
     try {
+      val n = cached.count() // also materializes the cache eagerly
+
+      // Small-input dispatch (the cc.localLimit discipline): at or
+      // under `spark.graft.kmeans.localLimit` rows (default 200k —
+      // ≤ ~100 MB of micro-vectors at dim 64) the fit runs as a DRIVER
+      // replay of the identical algorithm over the collected
+      // micro-vectors. Every number in this operator is exact 64-bit
+      // integer arithmetic with pinned tie rules, so the replay is
+      // BIT-IDENTICAL to the distributed rounds by construction (the
+      // dispatch-equality spec asserts it) — which is what makes the
+      // dispatch safe under the SQL hash oracle. Each distributed
+      // round is a full aggregation job + collect; on a fit set this
+      // size that is pure job-launch overhead, and the ANN family
+      // (IVF coarse + 4 PQ subspaces) pays it once per fit. Past the
+      // limit the distributed rounds below run unchanged — the 100 TB
+      // shape (centroids stay driver-size in both).
+      val localLimit = df.sparkSession.conf
+        .get("spark.graft.kmeans.localLimit", "200000").toLong
+      if (localLimit > 0 && n <= localLimit) {
+        val rows = cached.select(col("__id"), col("__v6")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+        require(rows.nonEmpty, "k-means on an empty input")
+        def hash60local(id: Long): Long = {
+          val hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(id.toString.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          java.lang.Long.parseLong(hex.substring(0, 15), 16)
+        }
+        var cents: Array[Array[Long]] = rows
+          .sortBy(r => (hash60local(r._1), r._1)).take(k).map(_._2.clone())
+        val dim = cents(0).length
+        // argmin with first-match ties — array_position semantics
+        def assignOf(v: Array[Long], cs: Array[Array[Long]]): Int = {
+          var best = 0; var bestD = Long.MaxValue
+          var c = 0
+          while (c < cs.length) {
+            var d = 0L; var i = 0
+            while (i < dim) { val t = v(i) - cs(c)(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          best
+        }
+        var r = 0
+        while (r < iters - 1) {
+          val sums = Array.fill(k, dim)(0L)
+          val cnts = Array.fill(k)(0L)
+          rows.foreach { case (_, v) =>
+            val c = assignOf(v, cents); cnts(c) += 1
+            var i = 0
+            while (i < dim) { sums(c)(i) += v(i); i += 1 }
+          }
+          val next = cents.map(_.clone()) // empty cluster keeps its centroid
+          var c = 0
+          while (c < k) {
+            if (cnts(c) > 0) {
+              var i = 0
+              while (i < dim) {
+                val s = sums(c)(i); val m = cnts(c)
+                // half-up integer mean, sign-symmetric — the exact
+                // formula of the distributed update below
+                next(c)(i) = if (s < 0) -((2 * -s + m) / (2 * m)) else (2 * s + m) / (2 * m)
+                i += 1
+              }
+            }
+            c += 1
+          }
+          cents = next
+          r += 1
+        }
+        val labeled = rows.map { case (id, v) => (id, assignOf(v, cents).toLong) }
+        import df.sparkSession.implicits._
+        val base2 = labeled.toSeq.toDF("__id", "__cluster")
+        return finish(base2, col("__cluster"), cents).localCheckpoint()
+      }
+
       // size-aware parallelism: each round is a full aggregation job, so
       // on a small fit set task-launch overhead dominates 32-way fan-out
       // — narrow to a few partitions; a 100 TB fit set keeps its
-      // partitioning (count() here also materializes the cache eagerly)
-      val base =
-        if (cached.count() < 1000000) cached.coalesce(4) else cached
+      // partitioning
+      val base = if (n < 1000000) cached.coalesce(4) else cached
 
       // deterministic seeds: k smallest (hash60(id), id)
       var cents: Array[Array[Long]] = base

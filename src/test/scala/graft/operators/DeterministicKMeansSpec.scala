@@ -46,6 +46,34 @@ class DeterministicKMeansSpec extends SparkSpec {
     assert(fromAsg === sizes)
   }
 
+  test("driver-replay dispatch is BIT-IDENTICAL to the forced-distributed rounds") {
+    // exact integer arithmetic with pinned tie rules is what makes the
+    // local path safe under the SQL hash oracle — assert it outright:
+    // assignments, cluster sizes, AND fitted centroids must match the
+    // distributed rounds exactly, across ks/iters and on ragged ids
+    val ragged = (0 until 57).map { i =>
+      val v = (0 until 5).map(d => math.sin(i * 2.7 + d).toFloat).toArray
+      (i * 13L + 7L, v)
+    }.toDF("vec_id", "embedding")
+    for ((df, k, iters) <- Seq((blobs, 2, 5), (blobs, 4, 3), (ragged, 3, 4))) {
+      val localAsg = DeterministicKMeans
+        .assignments(df, "vec_id", "embedding", k, iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val (localCents, _) = DeterministicKMeans.fit(df, "vec_id", "embedding", k, iters)
+      spark.conf.set("spark.graft.kmeans.localLimit", "0")
+      val (distAsg, distCents) = try {
+        val a = DeterministicKMeans
+          .assignments(df, "vec_id", "embedding", k, iters)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val (c, _) = DeterministicKMeans.fit(df, "vec_id", "embedding", k, iters)
+        (a, c)
+      } finally spark.conf.unset("spark.graft.kmeans.localLimit")
+      assert(localAsg === distAsg, s"k=$k iters=$iters assignments")
+      assert(localCents.map(_.toSeq).toSeq === distCents.map(_.toSeq).toSeq,
+        s"k=$k iters=$iters centroids")
+    }
+  }
+
   test("clusters partition the input: sizes sum to N, ids to ΣN") {
     val out = DeterministicKMeans.clusterSizes(blobs, "vec_id", "embedding", k = 8, iters = 5)
       .collect()
