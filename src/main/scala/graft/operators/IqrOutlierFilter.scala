@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, DoubleType, StructField, StructType}
 
 /** Per-group sequential upper-IQR outlier filter.
   *
@@ -32,6 +33,26 @@ import org.apache.spark.sql.functions._
   * group aggregate — at 100 TB swap `exact=false` to use
   * `approx_percentile` (t-digest, single pass, mergeable) at a bounded
   * accuracy cost.
+  *
+  * Small-input dispatch (the cc.localLimit discipline applied to the
+  * bounds computation): when the exact-quantile input fits under
+  * `spark.graft.iqr.localLimit` rows (default 1M; 0 or Int.MaxValue-ish
+  * disables), a single limit-pushed collect of the projected
+  * (groupCols, valueCols-as-double) columns fetches the data, the
+  * sequential per-pass bounds are replayed on the driver with
+  * BIT-IDENTICAL arithmetic to Spark's `Percentile` aggregate (same
+  * sorted-order-statistic interpolation formula, same
+  * `SQLOrderingUtil.compareDoubles` filter semantics — see
+  * [[exactPercentile]]), and the result plan is ONE broadcast join plus
+  * one conjunctive filter with the literal bounds. The distributed path
+  * is N eager agg jobs, each re-executing the scan plus the prior pass
+  * chain — pure job-launch floors at these sizes, while the driver
+  * replay over ≤1M collected rows is milliseconds. Past the limit the
+  * probe falls through to the unchanged per-pass distributed plan (the
+  * probe itself is one bounded limit-pushed job; sequential-filter
+  * algebra note: with FIXED per-pass bounds, applying the passes as one
+  * conjunction is exactly the sequential survivor set, because pass N
+  * only ever removes rows).
   */
 object IqrOutlierFilter {
   def apply(
@@ -43,11 +64,39 @@ object IqrOutlierFilter {
       exact: Boolean = true): DataFrame = {
     // reduceOption: groupCols may be EMPTY (global, ungrouped IQR pass —
     // the reference's whole-frame form); a bare reduce throws on it
-    var cur =
+    val cur =
       if (dropNullKeys)
         df.filter(groupCols.map(col(_).isNotNull)
           .reduceOption(_ && _).getOrElse(lit(true)))
       else df
+    val localLimit = df.sparkSession.conf
+      .get("spark.graft.iqr.localLimit", "1000000").toLong
+    // approx mode never dispatches: replaying a t-digest sketch
+    // bit-identically is not tractable, and approx IS the 100 TB path.
+    // An Int.MaxValue-ish limit routes distributed like the <=0 opt-out
+    // (the probe's limit must fit an Int) — the cc-dispatch discipline.
+    val dispatched =
+      if (exact && valueCols.nonEmpty &&
+          localLimit > 0 && localLimit < Int.MaxValue - 1)
+        localBoundsPlan(df, cur, groupCols, valueCols, k, dropNullKeys,
+          localLimit.toInt)
+      else None
+    dispatched.getOrElse(
+      distributedPasses(df, cur, groupCols, valueCols, k, dropNullKeys, exact))
+  }
+
+  /** The distributed per-pass plan: one eager percentile aggregate per
+    * value column, each rejoined as a literal broadcast bounds table.
+    */
+  private def distributedPasses(
+      df: DataFrame,
+      start: DataFrame,
+      groupCols: Seq[String],
+      valueCols: Seq[String],
+      k: Double,
+      dropNullKeys: Boolean,
+      exact: Boolean): DataFrame = {
+    var cur = start
     for (c <- valueCols) {
       // Both quartiles come from ONE percentile(col, array(...)) aggregate
       // so the group's values are buffered (exact) / sketched (approx)
@@ -68,32 +117,8 @@ object IqrOutlierFilter {
         .withColumn("__q3", element_at(col("__qs"), 2).cast("double"))
         .drop("__qs")
         .withColumn("__ub", col("__q3") + lit(k) * (col("__q3") - col("__q1")))
-      val boundsLocal = {
-        val rows = bounds.collect().toList
-        df.sparkSession.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](
-            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
-          bounds.schema)
-      }
-      // dropNullKeys=false must join NULL-SAFELY: groupBy emits a
-      // null-key bounds row, but a using-columns inner join never
-      // matches null = null — the kept-null-keys promise would
-      // silently drop those rows anyway.
-      val joined =
-        if (dropNullKeys) cur.join(broadcast(boundsLocal), groupCols, "inner")
-        else {
-          val bl = groupCols.foldLeft(boundsLocal)(
-            (d, g) => d.withColumnRenamed(g, s"__bk_$g"))
-          cur.join(broadcast(bl),
-              // reduceOption: empty groupCols degenerates to the one-row
-              // global-bounds cross join (lit(true)), matching the old
-              // using-columns behavior instead of throwing
-              groupCols.map(g => col(g) <=> col(s"__bk_$g"))
-                .reduceOption(_ && _).getOrElse(lit(true)),
-              "inner")
-            .drop(groupCols.map(g => s"__bk_$g"): _*)
-        }
-      cur = joined
+      val boundsLocal = localFrame(df, bounds.collect().toList, bounds.schema)
+      cur = joinBounds(cur, boundsLocal, groupCols, dropNullKeys)
         .filter(
           col("__cnt") < 2 ||
             (col("__q3") - col("__q1")) === 0.0 ||
@@ -102,4 +127,145 @@ object IqrOutlierFilter {
     }
     cur.select(df.columns.map(col).toIndexedSeq: _*) // using-column joins move keys first; restore input order
   }
+
+  /** Driver-side sequential bounds replay. Returns None when the input
+    * exceeds the limit (the probe's collected rows are then discarded —
+    * one bounded limit-pushed job, the documented fall-through cost).
+    */
+  private def localBoundsPlan(
+      df: DataFrame,
+      cur: DataFrame,
+      groupCols: Seq[String],
+      valueCols: Seq[String],
+      k: Double,
+      dropNullKeys: Boolean,
+      limit: Int): Option[DataFrame] = {
+    val gArity = groupCols.length
+    // Values are cast to double UP FRONT: Spark's Percentile converts
+    // each buffered key with toDoubleValue before interpolating, and the
+    // distributed filter's `value <= __ub` promotes the value to double —
+    // casting at the probe is the same arithmetic, one conversion earlier.
+    val probeCols = groupCols.map(col) ++ valueCols.map(c => col(c).cast("double"))
+    val sample = cur.select(probeCols: _*).limit(limit + 1).collect()
+    if (sample.length > limit) return None
+
+    def keyOf(r: Row): List[Any] = List.tabulate(gArity)(r.get)
+    // Per pass, per pass-start group: (skip, ub). skip folds the
+    // cnt<2 / IQR==0 guards with the exact double arithmetic the
+    // Catalyst filter would use ((q3-q1) == 0.0 on primitives).
+    val passBounds = Array.fill(valueCols.length)(
+      scala.collection.mutable.HashMap.empty[List[Any], (Boolean, Any)])
+    var rows: Array[Row] = sample
+    var ci = 0
+    while (ci < valueCols.length) {
+      val vIdx = gArity + ci
+      val byKey = rows.groupBy(keyOf)
+      byKey.foreach { case (key, rs) =>
+        val vals = rs.iterator.filter(!_.isNullAt(vIdx)).map(_.getDouble(vIdx)).toArray
+        if (vals.length == 0) passBounds(ci)(key) = (true, null)
+        else {
+          java.util.Arrays.sort(vals)
+          val q1 = exactPercentile(vals, 0.25)
+          val q3 = exactPercentile(vals, 0.75)
+          val skip = vals.length < 2 || (q3 - q1) == 0.0
+          passBounds(ci)(key) = (skip, q3 + k * (q3 - q1))
+        }
+      }
+      rows = rows.filter { r =>
+        val (skip, ub) = passBounds(ci)(keyOf(r))
+        skip || (!r.isNullAt(vIdx) &&
+          compareDoubles(r.getDouble(vIdx), ub.asInstanceOf[Double]) <= 0)
+      }
+      ci += 1
+    }
+    // One combined literal bounds table over the PASS-0 groups (every
+    // group present in `cur` has a row, so the inner join below keeps
+    // all rows and the filter does the dropping). Groups eliminated
+    // before pass N carry skip=true there — their rows are already
+    // condemned by an earlier conjunct.
+    val allKeys = passBounds.headOption.map(_.keySet)
+      .getOrElse(sample.iterator.map(keyOf).toSet)
+    val boundsSchema = StructType(
+      groupCols.map(g => cur.schema(cur.schema.fieldIndex(g))) ++
+        valueCols.indices.flatMap(i => Seq(
+          StructField(s"__skip_$i", BooleanType),
+          StructField(s"__ub_$i", DoubleType))))
+    val boundsRows = allKeys.iterator.map { key =>
+      val passVals = valueCols.indices.flatMap { i =>
+        val (skip, ub) = passBounds(i).getOrElse(key, (true, null))
+        Seq[Any](skip, if (skip) null else ub)
+      }
+      Row.fromSeq(key ++ passVals)
+    }.toList
+    val boundsLocal = localFrame(df, boundsRows, boundsSchema)
+    val keep = valueCols.zipWithIndex.map { case (c, i) =>
+      col(s"__skip_$i") || (col(c).isNotNull && col(c) <= col(s"__ub_$i"))
+    }.reduce(_ && _)
+    Some(
+      joinBounds(cur, boundsLocal, groupCols, dropNullKeys)
+        .filter(keep)
+        .select(df.columns.map(col).toIndexedSeq: _*))
+  }
+
+  /** Bit-identical replay of Spark's exact `Percentile.getPercentile`
+    * over an ascending-sorted non-empty array of non-null doubles:
+    * position = (n-1)·p; with lower = ⌊position⌋ and higher = ⌈position⌉,
+    * the result is arr(lower) when the position is integral or both
+    * order statistics are the same key, else
+    * (higher−position)·arr(lower) + (position−lower)·arr(higher) — the
+    * exact FP expression, NOT the algebraically-equal lo + frac·(hi−lo).
+    * Spark's buffer is a value→count map whose binarySearchCount(lower+1)
+    * is precisely the 0-based order statistic, so direct array indexing
+    * is the same lookup; the same-key branch mirrors the boxed-equality
+    * check (bit equality — after java.util.Arrays.sort, equal-bit
+    * duplicates are adjacent, and the only compare-equal-but-bit-distinct
+    * doubles are ±0.0, which no upstream of ours produces).
+    */
+  private[operators] def exactPercentile(sorted: Array[Double], p: Double): Double = {
+    val position = (sorted.length - 1).toDouble * p
+    val lower = math.floor(position).toLong
+    val higher = math.ceil(position).toLong
+    val lowerKey = sorted(lower.toInt)
+    if (higher == lower) return lowerKey
+    val higherKey = sorted(higher.toInt)
+    if (java.lang.Double.doubleToLongBits(higherKey) ==
+        java.lang.Double.doubleToLongBits(lowerKey)) return lowerKey
+    (higher - position) * lowerKey + (position - lower) * higherKey
+  }
+
+  /** Catalyst's double comparison (`SQLOrderingUtil.compareDoubles`):
+    * ±0.0 compare equal, NaN is greatest, NaN equals NaN.
+    */
+  private[operators] def compareDoubles(x: Double, y: Double): Int =
+    if (x == y) 0 else java.lang.Double.compare(x, y)
+
+  /** The bounds join both paths share. dropNullKeys=false must join
+    * NULL-SAFELY: groupBy emits a null-key bounds row, but a
+    * using-columns inner join never matches null = null — the
+    * kept-null-keys promise would silently drop those rows anyway.
+    */
+  private def joinBounds(
+      cur: DataFrame,
+      boundsLocal: DataFrame,
+      groupCols: Seq[String],
+      dropNullKeys: Boolean): DataFrame =
+    if (dropNullKeys) cur.join(broadcast(boundsLocal), groupCols, "inner")
+    else {
+      val bl = groupCols.foldLeft(boundsLocal)(
+        (d, g) => d.withColumnRenamed(g, s"__bk_$g"))
+      cur.join(broadcast(bl),
+          // reduceOption: empty groupCols degenerates to the one-row
+          // global-bounds cross join (lit(true)), matching the old
+          // using-columns behavior instead of throwing
+          groupCols.map(g => col(g) <=> col(s"__bk_$g"))
+            .reduceOption(_ && _).getOrElse(lit(true)),
+          "inner")
+        .drop(groupCols.map(g => s"__bk_$g"): _*)
+    }
+
+  private def localFrame(df: DataFrame, rows: List[Row], schema: StructType): DataFrame =
+    df.sparkSession.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      schema)
 }

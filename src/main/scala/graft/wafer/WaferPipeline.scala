@@ -227,60 +227,69 @@ object WaferPipeline {
         val sd = sqrt(col(s"__msq_$f") - col(s"__m_$f") * col(s"__m_$f"))
         ((col(f) - m) / when(sd === 0.0 || sd.isNull, lit(1.0)).otherwise(sd)).as(s"__z_$f")
       }
-      // cache the z-scored vectors: the fit is iterative and would
-      // otherwise re-evaluate the whole upstream plan once per pass
       val scaled = subset.crossJoin(broadcast(subset.agg(aggs.head, aggs.tail: _*)))
         .select((col("__row_id") +: zCols): _*)
-        .cache()
-      try {
-        val cnt = scaled.count()
-        val localLimit = spark.conf
-          .get("spark.graft.wafer.kmeansLocalLimit", "500000").toLong
-        if (cnt == 0) None
-        else if (localLimit > 0 && cnt <= localLimit) {
-          // Small-subset dispatch (the cc.localLimit discipline, applied
-          // to the fit): an MLlib fit on a per-step subset this size is
-          // ~20 scheduled jobs whose wall is task-launch floors and
-          // whose scheduling noise was the widest band in every driver
-          // bench — while the same Lloyd's iterations over the collected
-          // z-vectors (≤ 500k × 8 doubles ≈ 36 MB) are milliseconds of
-          // driver compute, deterministic and partition-invariant by
-          // construction (rows iterated in row-id order, seeded
-          // hash-ranked init). Cluster ids are arbitrary under BOTH
-          // paths (correctness is structural, §5.3). Past the limit the
-          // distributed MLlib path below runs unchanged — the 100 TB
-          // shape, where per-step subsets are billions of rows.
-          val rows = scaled
-            .select((col("__row_id") +: features.map(f => col(s"__z_$f"))): _*)
-            .collect()
-            .map(r => (r.getLong(0),
-              Array.tabulate(features.size)(j => r.getDouble(j + 1))))
-          Some(localKMeansLabels(spark, rows, k, seed))
-        } else {
-          val fitInput = scaled
-            .withColumn("__fv",
-              array_to_vector(array(features.map(f => col(s"__z_$f")): _*)))
-            // one partition per ~500k rows (floor 1): each iteration is
-            // a handful of tasks, large subsets keep their parallelism
-            .coalesce(math.max(1L, math.min(
-              scaled.rdd.getNumPartitions.toLong, cnt / 500000L + 1)).toInt)
-            .cache()
+      val localLimit = spark.conf
+        .get("spark.graft.wafer.kmeansLocalLimit", "500000").toLong
+      // Small-subset dispatch (the cc.localLimit discipline, applied
+      // to the fit): an MLlib fit on a per-step subset this size is
+      // ~20 scheduled jobs whose wall is task-launch floors and
+      // whose scheduling noise was the widest band in every driver
+      // bench — while the same Lloyd's iterations over the collected
+      // z-vectors (≤ 500k × 8 doubles ≈ 36 MB) are milliseconds of
+      // driver compute, deterministic and partition-invariant by
+      // construction (rows iterated in row-id order, seeded
+      // hash-ranked init). Cluster ids are arbitrary under BOTH
+      // paths (correctness is structural, §5.3). Past the limit the
+      // distributed MLlib path below runs unchanged — the 100 TB
+      // shape, where per-step subsets are billions of rows.
+      // The probe IS the fetch (componentsDispatch discipline): one
+      // limit-pushed collect both sizes the subset and, when it fits,
+      // delivers the fit input — no separate count job, and the
+      // dispatch path never materializes a cache it reads only once.
+      val probe =
+        if (localLimit > 0 && localLimit < Int.MaxValue - 1)
+          Some(scaled.limit(localLimit.toInt + 1).collect())
+        else None
+      probe match {
+        case Some(rows) if rows.isEmpty => None
+        case Some(rows) if rows.length <= localLimit =>
+          val vecs = rows.map(r => (r.getLong(0),
+            Array.tabulate(features.size)(j => r.getDouble(j + 1))))
+          Some(localKMeansLabels(spark, vecs, k, seed))
+        case _ =>
+          // cache the z-scored vectors: the fit is iterative and would
+          // otherwise re-evaluate the whole upstream plan once per pass
+          val cached = scaled.cache()
           try {
-            // random init (seed-pinned): k-means||'s multi-round
-            // distributed seeding is pure scheduling overhead at these
-            // subset sizes, and cluster ids are permutation-arbitrary
-            // either way (correctness is structural, §5.3)
-            val model = new KMeans()
-              .setK(k).setSeed(seed).setInitMode("random")
-              .setFeaturesCol("__fv").setPredictionCol("__cluster")
-              .fit(fitInput)
-            val labels = model.transform(fitInput).select(col("__row_id"),
-              col("__cluster").cast(IntegerType).as("KMeans_Cluster"))
-              .localCheckpoint() // materialize so fit input can be freed
-            Some(labels)
-          } finally fitInput.unpersist()
-        }
-      } finally scaled.unpersist()
+            val cnt = cached.count()
+            if (cnt == 0) None
+            else {
+              val fitInput = cached
+                .withColumn("__fv",
+                  array_to_vector(array(features.map(f => col(s"__z_$f")): _*)))
+                // one partition per ~500k rows (floor 1): each iteration is
+                // a handful of tasks, large subsets keep their parallelism
+                .coalesce(math.max(1L, math.min(
+                  cached.rdd.getNumPartitions.toLong, cnt / 500000L + 1)).toInt)
+                .cache()
+              try {
+                // random init (seed-pinned): k-means||'s multi-round
+                // distributed seeding is pure scheduling overhead at these
+                // subset sizes, and cluster ids are permutation-arbitrary
+                // either way (correctness is structural, §5.3)
+                val model = new KMeans()
+                  .setK(k).setSeed(seed).setInitMode("random")
+                  .setFeaturesCol("__fv").setPredictionCol("__cluster")
+                  .fit(fitInput)
+                val labels = model.transform(fitInput).select(col("__row_id"),
+                  col("__cluster").cast(IntegerType).as("KMeans_Cluster"))
+                  .localCheckpoint() // materialize so fit input can be freed
+                Some(labels)
+              } finally fitInput.unpersist()
+            }
+          } finally cached.unpersist()
+      }
     }
     // Steps are independent → fit them concurrently by default: each
     // fit is a latency-bound chain of jobs, so overlapping the three
