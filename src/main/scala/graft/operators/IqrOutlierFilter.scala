@@ -37,8 +37,10 @@ import org.apache.spark.sql.types.{BooleanType, DoubleType, StructField, StructT
   * Small-input dispatch (the cc.localLimit discipline applied to the
   * bounds computation): when the exact-quantile input fits under
   * `spark.graft.iqr.localLimit` rows (default 1M; 0 or Int.MaxValue-ish
-  * disables), a single limit-pushed collect of the projected
-  * (groupCols, valueCols-as-double) columns fetches the data, the
+  * disables), a column-pruned count sizes the input and a plain collect
+  * of the projected (groupCols, valueCols-as-double) columns fetches
+  * the data (count-then-fetch — see the probe comment for why a
+  * limit-pushed collect is the wrong probe at scale), the
   * sequential per-pass bounds are replayed on the driver with
   * BIT-IDENTICAL arithmetic to Spark's `Percentile` aggregate (same
   * sorted-order-statistic interpolation formula, same
@@ -49,7 +51,7 @@ import org.apache.spark.sql.types.{BooleanType, DoubleType, StructField, StructT
   * chain — pure job-launch floors at these sizes, while the driver
   * replay over ≤1M collected rows is milliseconds. Past the limit the
   * probe falls through to the unchanged per-pass distributed plan (the
-  * probe itself is one bounded limit-pushed job; sequential-filter
+  * probe itself is then just the count scan; sequential-filter
   * algebra note: with FIXED per-pass bounds, applying the passes as one
   * conjunction is exactly the sequential survivor set, because pass N
   * only ever removes rows).
@@ -129,8 +131,8 @@ object IqrOutlierFilter {
   }
 
   /** Driver-side sequential bounds replay. Returns None when the input
-    * exceeds the limit (the probe's collected rows are then discarded —
-    * one bounded limit-pushed job, the documented fall-through cost).
+    * exceeds the limit (the fall-through cost is then just the
+    * column-pruned count scan — no rows were shipped).
     */
   private def localBoundsPlan(
       df: DataFrame,
@@ -146,8 +148,19 @@ object IqrOutlierFilter {
     // distributed filter's `value <= __ub` promotes the value to double —
     // casting at the probe is the same arithmetic, one conversion earlier.
     val probeCols = groupCols.map(col) ++ valueCols.map(c => col(c).cast("double"))
-    val sample = cur.select(probeCols: _*).limit(limit + 1).collect()
-    if (sample.length > limit) return None
+    val proj = cur.select(probeCols: _*)
+    // COUNT-then-fetch, not a limit-pushed collect: CollectLimit probes
+    // partitions in sequential scale-up waves and ships every scanned
+    // row to the driver — measured 10× q22 (6M rows, limit 1M), the
+    // waves shipped ~3M rows across several serial jobs just to learn
+    // "over limit", quadrupling the query's wall. The count is one
+    // column-pruned scan with no row transfer (cheap at ANY scale), and
+    // the under-limit fetch is then a plain parallel collect with no
+    // wave latency. Cost: the under-limit path executes the upstream
+    // twice (count + collect) — callers with expensive upstream plans
+    // should cache the input, as the scaladoc already directs.
+    if (proj.count() > limit) return None
+    val sample = proj.collect()
 
     def keyOf(r: Row): List[Any] = List.tabulate(gArity)(r.get)
     // Per pass, per pass-start group: (skip, ub). skip folds the

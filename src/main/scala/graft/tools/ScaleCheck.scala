@@ -699,6 +699,24 @@ object ScaleCheck {
       "q340_gbd_agg_pushdown", "q375_dynamic_partition_pruning",
       "q386_partition_evolution", "q392_bucket_pruning",
       "q406_nested_schema_pruning")
+    // Dispatch-boundary queries: their 1× leg runs the small-input
+    // driver dispatch (iqr.localLimit 1M sits between the legs), so the
+    // 1× warm-up never compiles the DISTRIBUTED plan the N× leg
+    // executes — every other roster query reuses its 1×-warmed codegen
+    // classes at N×, but a boundary query's first N× run pays fresh
+    // whole-stage compilation and reads as a scale failure (measured,
+    // q22: first 10× run 5.8 s, steady-state 2.8-3.4 s — the same wall
+    // r08 recorded for the identical distributed plan). Like
+    // stagedQueries, run the N× leg twice and time the second, printing
+    // the first-run delta so nothing is hidden. (q490 also crosses the
+    // boundary but is NOT here: its 10× wall is dominated by the exact
+    // witness's per-group value-buffering percentile — measured 5-rep
+    // warm band 6.9-30.7 s at 10×, GC-bound boxed maps over 6M rows —
+    // so a second-run time is one more draw from that band, not a
+    // cleaner number. That pathology is the very thing the q490
+    // contract documents as the reason approx is the 100 TB path; its
+    // single-shot methodology stays as r11 measured it.)
+    val boundaryQueries = Set("q22_iqr_outlier_filter")
     // a failed leg must print FAIL, never a ratio: -1/-1 would render
     // as a perfect 1.0 and a skimmed ledger (or the catalog generator's
     // numeric-row regex) would record a broken query as flat-scaling
@@ -731,6 +749,11 @@ object ScaleCheck {
         val tn = timeIt(out, q) // query against the staged artifact
         println(f"[scale] $q%-24s $t1%6.2f  $tn%7.2f  ${ratioStr(t1, tn)}" +
           f"  (stage ${tTotal - tn}%.2f s, stage+query $tTotal%.2f s)")
+      } else if (boundaryQueries(q)) {
+        val tFirst = timeIt(out, q) // compiles the distributed plan
+        val tn = timeIt(out, q) // the warmed distributed plan
+        println(f"[scale] $q%-24s $t1%6.2f  $tn%7.2f  ${ratioStr(t1, tn)}" +
+          f"  (first ${tFirst}%.2f s: cold distributed-plan codegen)")
       } else {
         val tn = timeIt(out, q)
         println(f"[scale] $q%-24s $t1%6.2f  $tn%7.2f  ${ratioStr(t1, tn)}")
