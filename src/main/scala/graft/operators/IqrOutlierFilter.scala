@@ -29,10 +29,17 @@ import org.apache.spark.sql.types.{BooleanType, DoubleType, StructField, StructT
   *
   * Scale: the bounds side is ≤ #groups rows → always broadcast. The data
   * side is scanned once per column pass; callers with expensive upstream
-  * plans should cache the input. Exact `percentile` is a full-sort-per-
-  * group aggregate — at 100 TB swap `exact=false` to use
-  * `approx_percentile` (t-digest, single pass, mergeable) at a bounded
-  * accuracy cost.
+  * plans should cache the input. The exact strategy is SIZE-DISPATCHED
+  * three ways on one count probe: driver bounds replay under
+  * `spark.graft.iqr.localLimit` (1M), the value-buffering `percentile`
+  * aggregate up to `spark.graft.iqr.bufferedBoundsLimit` (50M), and
+  * ORDER STATISTICS over a scalable rank past it ([[sortedBounds]]:
+  * range-exchange sort + keyed aggs, bounded task memory at any group
+  * size — EXACT quantiles remain available at 100 TB, value buffering
+  * never OOMs an executor). All three are bit-identical by
+  * construction and A/B-spec'd. `exact=false` swaps to
+  * `approx_percentile` (t-digest, single pass, mergeable) when a
+  * bounded accuracy cost buys a one-pass plan.
   *
   * Small-input dispatch (the cc.localLimit discipline applied to the
   * bounds computation): when the exact-quantile input fits under
@@ -77,14 +84,25 @@ object IqrOutlierFilter {
     // bit-identically is not tractable, and approx IS the 100 TB path.
     // An Int.MaxValue-ish limit routes distributed like the <=0 opt-out
     // (the probe's limit must fit an Int) — the cc-dispatch discipline.
-    val dispatched =
-      if (exact && valueCols.nonEmpty &&
-          localLimit > 0 && localLimit < Int.MaxValue - 1)
-        localBoundsPlan(df, cur, groupCols, valueCols, k, dropNullKeys,
-          localLimit.toInt)
-      else None
-    dispatched.getOrElse(
-      distributedPasses(df, cur, groupCols, valueCols, k, dropNullKeys, exact))
+    if (exact && valueCols.nonEmpty &&
+        localLimit > 0 && localLimit < Int.MaxValue - 1) {
+      // COUNT-then-fetch probe (not a limit-pushed collect: CollectLimit
+      // probes partitions in sequential scale-up waves and ships every
+      // scanned row to the driver — measured 10× q22, the waves shipped
+      // ~3M rows across serial jobs just to learn "over limit"). The
+      // column-pruned count moves no rows at any scale — and past the
+      // dispatch limit it is ALSO the exact-strategy size signal
+      // (knownCount) the distributed pass uses to pick buffered-vs-sort
+      // bounds, so the probe is never wasted work.
+      val n = cur.select((groupCols ++ valueCols).map(col): _*).count()
+      if (n <= localLimit)
+        localBoundsPlan(df, cur, groupCols, valueCols, k, dropNullKeys)
+      else
+        distributedPasses(df, cur, groupCols, valueCols, k, dropNullKeys,
+          exact, knownCount = Some(n))
+    } else
+      distributedPasses(df, cur, groupCols, valueCols, k, dropNullKeys,
+        exact, knownCount = None)
   }
 
   /** The distributed per-pass plan: one eager percentile aggregate per
@@ -97,29 +115,62 @@ object IqrOutlierFilter {
       valueCols: Seq[String],
       k: Double,
       dropNullKeys: Boolean,
-      exact: Boolean): DataFrame = {
+      exact: Boolean,
+      knownCount: Option[Long]): DataFrame = {
+    // Exact-bounds strategy is SIZE-DISPATCHED (strategy choice only —
+    // both strategies are bit-identical by construction, A/B-spec'd):
+    // the value-buffering percentile aggregate is the faster form at
+    // moderate scale (measured 10×/6M: 3.6 s vs the sort machinery's
+    // 8.4 s — the rank path pays a checkpoint-sort per pass), but it
+    // holds EVERY group value in a boxed aggregation buffer, so one hot
+    // group of ~100M+ rows is an executor OOM. Past
+    // `spark.graft.iqr.bufferedBoundsLimit` total rows (default 50M —
+    // a memory-safety valve like dfCap, sized so even a single
+    // all-one-group input stays comfortably under executor heap) the
+    // bounds come from order statistics over a scalable rank
+    // ([[sortedBounds]]): bounded task memory at ANY group size, the
+    // exact form's 100 TB shape. `spark.graft.iqr.sortBounds`
+    // true/false forces a strategy (the A/B spec's lever); default
+    // "auto" dispatches on the probe count, and falls back to the
+    // buffered aggregate when no count is known (dispatch opt-out).
+    val conf = df.sparkSession.conf
+    val useSort = exact && (conf.get("spark.graft.iqr.sortBounds", "auto") match {
+      case "true"  => true
+      case "false" => false
+      case _ =>
+        val bufferedLimit =
+          conf.get("spark.graft.iqr.bufferedBoundsLimit", "50000000").toLong
+        bufferedLimit > 0 && knownCount.exists(_ > bufferedLimit)
+    })
     var cur = start
     for (c <- valueCols) {
-      // Both quartiles come from ONE percentile(col, array(...)) aggregate
-      // so the group's values are buffered (exact) / sketched (approx)
-      // once, not once per quantile.
-      val pcts =
-        if (exact) expr(s"percentile($c, array(0.25D, 0.75D))")
-        else expr(s"approx_percentile($c, array(0.25D, 0.75D), 10000)")
       // The per-group bounds are <= #groups rows: collect them eagerly and
       // rejoin as a literal LocalRelation. Keeping them lazy instead would
       // embed pass N-1's whole join subtree inside pass N's aggregate —
       // the final plan then re-executes every earlier pass per pass
       // (O(cols²) scans); with literal bounds the final plan is one scan
       // plus a linear chain of broadcast-local joins and filters.
-      val bounds = cur
-        .groupBy(groupCols.map(col): _*)
-        .agg(pcts.as("__qs"), count(col(c)).as("__cnt"))
-        .withColumn("__q1", element_at(col("__qs"), 1).cast("double"))
-        .withColumn("__q3", element_at(col("__qs"), 2).cast("double"))
-        .drop("__qs")
-        .withColumn("__ub", col("__q3") + lit(k) * (col("__q3") - col("__q1")))
-      val boundsLocal = localFrame(df, bounds.collect().toList, bounds.schema)
+      val boundsLocal =
+        if (useSort) sortedBounds(df, cur, groupCols, c, k)
+        else {
+          // Both quartiles come from ONE percentile(col, array(...))
+          // aggregate so the group's values are buffered (exact) /
+          // sketched (approx) once, not once per quantile. The exact
+          // form buffers EVERY group value in its aggregation buffer —
+          // the memory pathology the sort strategy exists to avoid.
+          val pcts =
+            if (exact) expr(s"percentile($c, array(0.25D, 0.75D))")
+            else expr(s"approx_percentile($c, array(0.25D, 0.75D), 10000)")
+          val bounds = cur
+            .groupBy(groupCols.map(col): _*)
+            .agg(pcts.as("__qs"), count(col(c)).as("__cnt"))
+            .withColumn("__q1", element_at(col("__qs"), 1).cast("double"))
+            .withColumn("__q3", element_at(col("__qs"), 2).cast("double"))
+            .drop("__qs")
+            .withColumn("__ub",
+              col("__q3") + lit(k) * (col("__q3") - col("__q1")))
+          localFrame(df, bounds.collect().toList, bounds.schema)
+        }
       cur = joinBounds(cur, boundsLocal, groupCols, dropNullKeys)
         .filter(
           col("__cnt") < 2 ||
@@ -130,9 +181,12 @@ object IqrOutlierFilter {
     cur.select(df.columns.map(col).toIndexedSeq: _*) // using-column joins move keys first; restore input order
   }
 
-  /** Driver-side sequential bounds replay. Returns None when the input
-    * exceeds the limit (the fall-through cost is then just the
-    * column-pruned count scan — no rows were shipped).
+  /** Driver-side sequential bounds replay over an input the caller has
+    * already count-probed under the dispatch limit. The fetch is a
+    * plain parallel collect (no limit node, no CollectLimit waves);
+    * together with the caller's count, the under-limit path executes
+    * the upstream twice — callers with expensive upstream plans should
+    * cache the input, as the scaladoc already directs.
     */
   private def localBoundsPlan(
       df: DataFrame,
@@ -140,27 +194,14 @@ object IqrOutlierFilter {
       groupCols: Seq[String],
       valueCols: Seq[String],
       k: Double,
-      dropNullKeys: Boolean,
-      limit: Int): Option[DataFrame] = {
+      dropNullKeys: Boolean): DataFrame = {
     val gArity = groupCols.length
     // Values are cast to double UP FRONT: Spark's Percentile converts
     // each buffered key with toDoubleValue before interpolating, and the
     // distributed filter's `value <= __ub` promotes the value to double —
     // casting at the probe is the same arithmetic, one conversion earlier.
     val probeCols = groupCols.map(col) ++ valueCols.map(c => col(c).cast("double"))
-    val proj = cur.select(probeCols: _*)
-    // COUNT-then-fetch, not a limit-pushed collect: CollectLimit probes
-    // partitions in sequential scale-up waves and ships every scanned
-    // row to the driver — measured 10× q22 (6M rows, limit 1M), the
-    // waves shipped ~3M rows across several serial jobs just to learn
-    // "over limit", quadrupling the query's wall. The count is one
-    // column-pruned scan with no row transfer (cheap at ANY scale), and
-    // the under-limit fetch is then a plain parallel collect with no
-    // wave latency. Cost: the under-limit path executes the upstream
-    // twice (count + collect) — callers with expensive upstream plans
-    // should cache the input, as the scaladoc already directs.
-    if (proj.count() > limit) return None
-    val sample = proj.collect()
+    val sample = cur.select(probeCols: _*).collect()
 
     def keyOf(r: Row): List[Any] = List.tabulate(gArity)(r.get)
     // Per pass, per pass-start group: (skip, ub). skip folds the
@@ -214,11 +255,120 @@ object IqrOutlierFilter {
     val keep = valueCols.zipWithIndex.map { case (c, i) =>
       col(s"__skip_$i") || (col(c).isNotNull && col(c) <= col(s"__ub_$i"))
     }.reduce(_ && _)
-    Some(
-      joinBounds(cur, boundsLocal, groupCols, dropNullKeys)
-        .filter(keep)
-        .select(df.columns.map(col).toIndexedSeq: _*))
+    joinBounds(cur, boundsLocal, groupCols, dropNullKeys)
+      .filter(keep)
+      .select(df.columns.map(col).toIndexedSeq: _*)
   }
+
+  /** Exact per-group quartile bounds via order statistics over a
+    * scalable rank — the past-`bufferedBoundsLimit` form of the exact
+    * strategy. The value-buffering `percentile` aggregate holds EVERY
+    * group value in its aggregation buffer (a boxed value→count map):
+    * faster at moderate scale (measured at 6M rows: 3.6 s buffered vs
+    * 8.4 s here — this path pays a checkpoint-sort per pass), but one
+    * hot group of ~100M+ rows is an executor OOM, which is why size
+    * dispatches to this form. This path never materializes a group:
+    * rank the non-null
+    * values by (groupCols, value) with [[ScalableRank.withRowNumber]]
+    * (range exchange + partition-local sort — nothing data-sized on one
+    * task), take per-group bases/counts from one keyed aggregate, pick
+    * the ≤4 order statistics per group by a broadcast rank join, and
+    * interpolate on the driver with the same bit-exact arithmetic as
+    * the buffered aggregate ([[interpolate]] — same order statistics,
+    * same FP expression, so the strategies are bit-identical by
+    * construction; the A/B spec pins it). Everything collected is
+    * bounded by #groups — the same broadcastable-bounds contract the
+    * buffered path already carries.
+    *
+    * Ties in `(groupCols, value)` leave the rank order arbitrary, which
+    * is harmless: equal-rank candidates carry equal VALUES (the only
+    * compare-equal-but-bit-distinct doubles are ±0.0 — see
+    * [[exactPercentile]]).
+    */
+  private def sortedBounds(
+      df: DataFrame,
+      cur: DataFrame,
+      groupCols: Seq[String],
+      c: String,
+      k: Double): DataFrame = {
+    val gArity = groupCols.length
+    def keyOf(r: Row): List[Any] = List.tabulate(gArity)(r.get)
+    // group census: EVERY group present in cur, with its non-null count
+    // (keyed partial agg — a zero-non-null group must still emit a
+    // bounds row or the inner bounds join would drop its rows, where
+    // the cnt<2 guard should keep them)
+    val census = cur.groupBy(groupCols.map(col): _*)
+      .agg(count(col(c)).as("__cnt")).collect().toList
+    val nn = cur.filter(col(c).isNotNull)
+      .select((groupCols.map(col) :+ col(c).cast("double").as("__v")): _*)
+    val ranked = ScalableRank.withRowNumber(
+      nn, groupCols.map(col) :+ col("__v"), "__gr")
+    val bases = ranked.groupBy(groupCols.map(col): _*)
+      .agg(min(col("__gr")).as("__base")).collect()
+      .map(r => keyOf(r) -> r.getLong(gArity)).toMap
+    val cnts = census.iterator
+      .map(r => keyOf(r) -> r.getLong(gArity)).toMap
+    // the ≤4 global ranks per group that carry its quartile order stats
+    val targets = scala.collection.mutable.LinkedHashSet.empty[Long]
+    def statRanks(base: Long, n: Long, p: Double): (Double, Long, Long) = {
+      val position = (n - 1).toDouble * p
+      val lower = math.floor(position).toLong
+      val higher = math.ceil(position).toLong
+      (position, base + lower, base + higher)
+    }
+    bases.foreach { case (key, base) =>
+      val n = cnts(key)
+      Seq(0.25, 0.75).foreach { p =>
+        val (_, lo, hi) = statRanks(base, n, p)
+        targets += lo; targets += hi
+      }
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val valueAt: Map[Long, Double] =
+      if (targets.isEmpty) Map.empty
+      else ranked
+        .join(broadcast(targets.toSeq.toDF("__gr")), Seq("__gr"))
+        .select(col("__gr"), col("__v")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val boundsSchema = StructType(
+      groupCols.map(g => cur.schema(cur.schema.fieldIndex(g))) ++ Seq(
+        StructField("__cnt", org.apache.spark.sql.types.LongType),
+        StructField("__q1", DoubleType),
+        StructField("__q3", DoubleType),
+        StructField("__ub", DoubleType)))
+    val rows = census.map { r =>
+      val key = keyOf(r)
+      val cnt = cnts(key)
+      val qs: Seq[Any] =
+        if (cnt == 0) Seq(null, null, null)
+        else {
+          val base = bases(key)
+          def statAt(p: Double): Double = {
+            val (position, loRank, hiRank) = statRanks(base, cnt, p)
+            interpolate(position, loRank - base, hiRank - base,
+              valueAt(loRank), valueAt(hiRank))
+          }
+          val q1 = statAt(0.25)
+          val q3 = statAt(0.75)
+          Seq(q1, q3, q3 + k * (q3 - q1))
+        }
+      Row.fromSeq(key ++ (cnt +: qs))
+    }
+    localFrame(df, rows, boundsSchema)
+  }
+
+  /** The shared interpolation tail of Spark's `Percentile.getPercentile`
+    * (see [[exactPercentile]]): lower/higher are 0-based order-statistic
+    * indices, vLo/vHi their values.
+    */
+  private[operators] def interpolate(
+      position: Double, lower: Long, higher: Long,
+      vLo: Double, vHi: Double): Double =
+    if (higher == lower) vLo
+    else if (java.lang.Double.doubleToLongBits(vHi) ==
+        java.lang.Double.doubleToLongBits(vLo)) vLo
+    else (higher - position) * vLo + (position - lower) * vHi
 
   /** Bit-identical replay of Spark's exact `Percentile.getPercentile`
     * over an ascending-sorted non-empty array of non-null doubles:
@@ -238,12 +388,8 @@ object IqrOutlierFilter {
     val position = (sorted.length - 1).toDouble * p
     val lower = math.floor(position).toLong
     val higher = math.ceil(position).toLong
-    val lowerKey = sorted(lower.toInt)
-    if (higher == lower) return lowerKey
-    val higherKey = sorted(higher.toInt)
-    if (java.lang.Double.doubleToLongBits(higherKey) ==
-        java.lang.Double.doubleToLongBits(lowerKey)) return lowerKey
-    (higher - position) * lowerKey + (position - lower) * higherKey
+    interpolate(position, lower, higher,
+      sorted(lower.toInt), sorted(higher.toInt))
   }
 
   /** Catalyst's double comparison (`SQLOrderingUtil.compareDoubles`):

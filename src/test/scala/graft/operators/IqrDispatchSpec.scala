@@ -128,6 +128,61 @@ class IqrDispatchSpec extends SparkSpec {
     assert(joinCount(out2) === 2, "…two passes betray the distributed path")
   }
 
+  private def withSort[A](on: Boolean)(body: => A): A = {
+    val key = "spark.graft.iqr.sortBounds"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, on.toString)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  test("sort-strategy bounds are bit-identical to the buffered percentile aggregate") {
+    // Forced distributed (localLimit=0), A/B on the exact-bounds
+    // strategy: order-statistics-over-rank vs value-buffering
+    // percentile. Same order stats + same interpolation arithmetic ⇒
+    // the survivor sets must match bit-for-bit on every adversarial
+    // shape (incl. zero-non-null groups, which must still emit a
+    // bounds row or the inner join would silently drop them).
+    for (seed <- 11 to 14) {
+      val df = randomFrame(seed)
+      val sorted = withLimit("0")(withSort(true)(
+        IqrOutlierFilter(df, Seq("g"), Seq("c1", "c2"))))
+      val buffered = withLimit("0")(withSort(false)(
+        IqrOutlierFilter(df, Seq("g"), Seq("c1", "c2"))))
+      assert(canon(sorted.collect()) === canon(buffered.collect()), s"seed $seed")
+    }
+    // kept null keys + empty groupCols through the sort strategy
+    val df = randomFrame(15)
+    assert(
+      canon(withLimit("0")(withSort(true)(
+        IqrOutlierFilter(df, Seq("g"), Seq("c1", "c2"), dropNullKeys = false))).collect()) ===
+      canon(withLimit("0")(withSort(false)(
+        IqrOutlierFilter(df, Seq("g"), Seq("c1", "c2"), dropNullKeys = false))).collect()))
+    assert(
+      canon(withLimit("0")(withSort(true)(
+        IqrOutlierFilter(df, Seq.empty, Seq("c1")))).collect()) ===
+      canon(withLimit("0")(withSort(false)(
+        IqrOutlierFilter(df, Seq.empty, Seq("c1")))).collect()))
+  }
+
+  test("a group whose values are all null emits a bounds row on the sort path") {
+    val df = Seq(
+      ("gnull", None: Option[Double], Some(1.0)),
+      ("gnull", None, Some(2.0)),
+      ("g", Some(1.0), Some(1.0)), ("g", Some(2.0), Some(2.0)),
+      ("g", Some(3.0), Some(3.0)), ("g", Some(100.0), Some(4.0))
+    ).toDF("g", "c1", "c2")
+    val out = withLimit("0")(withSort(true)(
+      IqrOutlierFilter(df, Seq("g"), Seq("c1", "c2"))))
+    // gnull has cnt=0 on c1 → skipped (rows kept, nulls included);
+    // g filters its c1 outlier
+    assert(out.filter(col("g") === "gnull").count() === 2)
+    assert(out.filter(col("c1") === 100.0).count() === 0)
+  }
+
   test("exactPercentile replays Spark's percentile bit-for-bit") {
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 8) {
