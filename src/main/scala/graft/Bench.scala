@@ -159,8 +159,22 @@ object Bench {
     def coldThenWarm(name: String): (Double, Double, Double, Double) = {
       gcQuiesce()
       val c = runOne(name)
+      // the high-variance rows warm PROGRESSIVELY (driver-replay loops
+      // C2-compile over iterations: q52's recorded rep sequence after
+      // cold was 0.93 → 0.82 → 0.69 → 0.67 → 0.68), so one discarded
+      // steady-state rep sits between cold and the timed warm set —
+      // without it the band's max is always warmup, not variance
+      if (extraReps(name)) runOne(name)
       val n = if (extraReps(name)) 5 else 3
-      val ws = Seq.fill(n)(runOne(name))
+      // the extra-reps rows also quiesce BETWEEN reps: their driver
+      // replay collects the fit set each rep, and collecting that
+      // garbage inside a later 0.7 s rep is a +25% outlier (observed
+      // as the band max moving to an arbitrary late rep once warmup
+      // was fixed)
+      val ws = Seq.fill(n) {
+        if (extraReps(name)) gcQuiesce()
+        runOne(name)
+      }
       if (ws.exists(_ < 0)) (c, -1.0, -1.0, -1.0)
       else (c, ws.sorted.apply(n / 2), ws.min, ws.max)
     }
@@ -221,8 +235,7 @@ object Bench {
     // the widest-band row in every recorded driver bench. The staging +
     // warmup garbage is collected before the first timed rep (gcQuiesce
     // — see above), not during it.
-    gcQuiesce()
-    val waferRuns = Seq.fill(5)(waferOnce())
+    val waferRuns = Seq.fill(5) { gcQuiesce(); waferOnce() }
     val (waferSecs, waferMin, waferMax) =
       if (waferRuns.exists(_ < 0)) (-1.0, -1.0, -1.0)
       else (waferRuns.sorted.apply(2), waferRuns.min, waferRuns.max)
