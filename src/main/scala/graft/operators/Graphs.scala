@@ -113,13 +113,62 @@ object Graphs {
     * (a→b, b→c, a→c) row under the u<v orientation, two equi-joins, and
     * the closing join is SHUFFLE_HASH-hinted so the wedge stream (the
     * Σ deg² mass) is hash-probed against the edge list, never sorted.
+    *
+    * Bloom pre-filter on the closing join (round 13, guide §3.2):
+    * triangles << wedges — at sf0.1 the wedge stream is 49.3M rows
+    * against a 1.2M-row edge list, and all but the closing ~0.5% of it
+    * was shuffled into the closing join only to find no match. A
+    * broadcast Bloom filter over xxhash64(u,v) of the edge list
+    * (~1.4 MB at fpp 1% for 1.2M edges) drops definitely-non-closing
+    * wedges BEFORE the exchange. No false negatives ⇒ the count is
+    * IDENTICAL (false positives only cost a little residual shuffle),
+    * and the filter bitset is an order-independent OR-merge, so the
+    * result stays deterministic under any task order. Measured at
+    * sf0.1: closing join 2.05–2.99 s → bloom build 0.57 s + filtered
+    * join 1.08–1.36 s, counts equal.
+    *
+    * Scale gate: past `spark.graft.graph.triangleBloomMaxEdges`
+    * (default 10⁸ ≈ 115 MB of filter at 1% — broadcastable; billions
+    * of edges would not be) the pre-filter is skipped and the plan is
+    * the unfiltered r12 form. `knownEdgeCount` lets callers that
+    * already counted the edge list (triangleStats) avoid a second
+    * count job; pass a NON-NEGATIVE count only for the exact frame
+    * being joined.
     */
-  def exactTriangleCount(e: DataFrame): Long =
-    e.as("e1")
-      .join(e.as("e2"), col("e1.v") === col("e2.u"))
+  def exactTriangleCount(e: DataFrame, knownEdgeCount: Long = -1L): Long = {
+    val nEdges = if (knownEdgeCount >= 0) knownEdgeCount else e.count()
+    e.as("e1").join(e.as("e2"), col("e1.v") === col("e2.u"))
+      .filter(closingBloomPred(e, nEdges, col("u"), col("v"),
+        col("e1.u"), col("e2.v")))
       .join(e.as("e3").hint("SHUFFLE_HASH"),
         col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
       .count()
+  }
+
+  /** Shared closing-join Bloom pre-filter (see [[exactTriangleCount]]):
+    * a broadcast Bloom over xxhash64(ku, kv) of `edges`, returned as a
+    * predicate on the probe stream's (pu, pv). `lit(true)` (the
+    * unfiltered r12 plan) when the edge list is empty or larger than
+    * `spark.graft.graph.triangleBloomMaxEdges` — a multi-billion-edge
+    * filter would not broadcast. No false negatives, order-independent
+    * bitset merge: the downstream equi-join's result is identical and
+    * deterministic either way.
+    */
+  def closingBloomPred(
+      edges: DataFrame, nEdges: Long,
+      ku: org.apache.spark.sql.Column, kv: org.apache.spark.sql.Column,
+      pu: org.apache.spark.sql.Column, pv: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val s = edges.sparkSession
+    val bloomMax = s.conf.get(
+      "spark.graft.graph.triangleBloomMaxEdges", "100000000").toLong
+    if (nEdges > 0 && nEdges <= bloomMax) {
+      val bf = edges.stat.bloomFilter(xxhash64(ku, kv), nEdges, 0.01)
+      val bfB = s.sparkContext.broadcast(bf)
+      val mightClose = udf((h: Long) => bfB.value.mightContainLong(h))
+      mightClose(xxhash64(pu, pv))
+    } else lit(true)
+  }
 
   /** Wedge mass Σ deg(n)² of the doubled graph — the exact enumeration's
     * resource, measured with one keyed agg + one scalar agg.
@@ -154,13 +203,16 @@ object Graphs {
       else s.conf.get("spark.graft.graph.sampleMod",
         defaultSampleMod.toString).toInt
     val mass = wedgeMass(e)
+    // edges counted BEFORE the triangle join so the bloom pre-filter
+    // inside exactTriangleCount sizes itself without a second count job
+    // (the census needed this count anyway)
+    val edges = e.count()
     val tri =
-      if (mass <= limit) exactTriangleCount(e)
+      if (mass <= limit) exactTriangleCount(e, knownEdgeCount = edges)
       else exactTriangleCount(sampleEdges(e, p).localCheckpoint()) *
         p.toLong * p * p
     val nodes = e.select(col("u").as("n"))
       .unionAll(e.select(col("v").as("n"))).distinct().count()
-    val edges = e.count()
     import s.implicits._
     Seq((nodes, edges, tri)).toDF("n_nodes", "n_edges", "n_triangles")
   }

@@ -426,12 +426,21 @@ object Training9 {
         // whichever way the degree orientation pointed it. SHUFFLE_HASH
         // (same rationale as q143): never sort the wedge stream —
         // hash-build on the edge list and stream wedges through.
-        def wedgeCount(de: org.apache.spark.sql.DataFrame): Long = {
+        // Closing-join bloom pre-filter (round 13, guide §3.2 — shared
+        // with q143, Graphs.closingBloomPred): the out-pair stream is
+        // the Σ out-deg² mass and almost none of it closes; the wedge
+        // key (w1.t, w2.t) is already ordered (w1.t < w2.t), matching
+        // cDe's canonical (x, y), so one broadcast bloom over cDe drops
+        // non-closing pairs BEFORE the exchange. No false negatives ⇒
+        // identical count; gate + determinism per the helper's doc.
+        def wedgeCount(de: org.apache.spark.sql.DataFrame, deCount: Long): Long = {
           val cDe = de.select(
             least(col("s"), col("t")).as("x"), greatest(col("s"), col("t")).as("y"))
           de.as("w1")
             .join(de.as("w2"),
               col("w1.s") === col("w2.s") && col("w1.t") < col("w2.t"))
+            .filter(graft.operators.Graphs.closingBloomPred(
+              cDe, deCount, col("x"), col("y"), col("w1.t"), col("w2.t")))
             .join(cDe.hint("SHUFFLE_HASH"),
               col("x") === col("w1.t") && col("y") === col("w2.t"))
             .count()
@@ -452,15 +461,20 @@ object Training9 {
           graft.operators.LinkPrediction.defaultWedgeMassLimit.toString).toLong
         val p = s.conf.get("spark.graft.graph.sampleMod",
           graft.operators.Graphs.defaultSampleMod.toString).toInt
+        // n_edges counted up front so the bloom pre-filter sizes itself
+        // without a second count job (the output needed it anyway)
+        val nEdges = de.count()
         val tri =
-          if (graft.operators.Graphs.wedgeMass(e) <= limit) wedgeCount(de)
-          else wedgeCount(orient(
-            graft.operators.Graphs.sampleEdges(e, p).localCheckpoint())) *
-            p.toLong * p * p
+          if (graft.operators.Graphs.wedgeMass(e) <= limit) wedgeCount(de, nEdges)
+          else {
+            val sde = orient(
+              graft.operators.Graphs.sampleEdges(e, p).localCheckpoint())
+            wedgeCount(sde, sde.count()) * p.toLong * p * p
+          }
         val maxOut = de.groupBy("s").agg(count(lit(1)).as("od"))
           .agg(max("od").as("m")).collect().head.getAs[Long]("m")
         import s.implicits._
-        Seq((de.count(), tri, maxOut))
+        Seq((nEdges, tri, maxOut))
           .toDF("n_edges", "n_triangles", "max_outdeg")
       },
       Some("""

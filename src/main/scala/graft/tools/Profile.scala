@@ -116,6 +116,57 @@ object Profile {
       }
     }
 
+    // triangle closing-join bloom pre-filter experiment (pass
+    // "tribloom"): the wedge stream (e1⋈e2) is shuffled into the
+    // closing SHUFFLE_HASH join, but triangles << wedges — a broadcast
+    // bloom filter over edge keys applied BEFORE the exchange (guide
+    // §3.2) should drop almost all of it. Measures wedge/edge counts,
+    // the plain join, and the bloom-filtered join, and asserts count
+    // equality (no false negatives ⇒ identical result).
+    if (args.lift(1).contains("tribloom")) {
+      val e = graft.operators.Graphs.coPurchaseEdges(li)
+      val nEdges = e.count()
+      val wedges = e.as("e1").join(e.as("e2"), col("e1.v") === col("e2.u"))
+      println(s"[profile] tribloom edges=$nEdges wedges=${time("wedge count")(wedges.count())}")
+      def plainJoin(): Long = graft.operators.Graphs.exactTriangleCount(e)
+      time("tri plain run1")(plainJoin())
+      time("tri plain run2")(plainJoin())
+      val bf = time("bloom build")(
+        e.stat.bloomFilter(xxhash64(col("u"), col("v")), nEdges, 0.01))
+      val bfB = spark.sparkContext.broadcast(bf)
+      val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
+      def bloomJoin(): Long =
+        wedges
+          .filter(mightContain(xxhash64(col("e1.u"), col("e2.v"))))
+          .join(e.as("e3").hint("SHUFFLE_HASH"),
+            col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
+          .count()
+      time("tri bloom run1")(bloomJoin())
+      time("tri bloom run2")(bloomJoin())
+      println(s"[profile] tribloom counts equal: ${plainJoin() == bloomJoin()}")
+      // plan receipts for plans/r13: the closing-join subtree with and
+      // without the pre-filter (the declared q143 frame is an eager
+      // 1-row census, so the receipt must come from the join itself)
+      def dump(tag: String, df: org.apache.spark.sql.DataFrame): Unit = {
+        val txt = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"/root/repo/plans/r13/$tag.txt"),
+          txt.getBytes("UTF-8"))
+        println(s"[profile] wrote plans/r13/$tag.txt")
+      }
+      dump("q143_closing_join_before",
+        wedges.join(e.as("e3").hint("SHUFFLE_HASH"),
+          col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
+          .groupBy().count())
+      dump("q143_closing_join_after",
+        wedges
+          .filter(mightContain(xxhash64(col("e1.u"), col("e2.v"))))
+          .join(e.as("e3").hint("SHUFFLE_HASH"),
+            col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
+          .groupBy().count())
+    }
+
     // co-purchase edge-build STAGE decomposition (pass "edges2"):
     // where does the build wall go — the groupBy(o) shuffle, the pair
     // explode, or the final distinct (round-12 verdict item 3)?

@@ -61,6 +61,22 @@ class Training60Spec extends SparkSpec {
     assert(est > exact / 2 && est < exact * 2)
   }
 
+  test("triangle bloom pre-filter: filtered and unfiltered closing joins agree") {
+    // the exact-branch assertion above already pins the DEFAULT path
+    // (bloom pre-filter on) against the JVM brute force; this is the
+    // explicit A/B — triangleBloomMaxEdges=0 forces the unfiltered r12
+    // plan, and a bloom filter has no false negatives, so the two
+    // counts must be identical on the same graph
+    val e = graft.Iterate.ckpt(edges())
+    val withBloom = Graphs.exactTriangleCount(e)
+    spark.conf.set("spark.graft.graph.triangleBloomMaxEdges", "0")
+    try {
+      val without = Graphs.exactTriangleCount(e)
+      assert(withBloom === without)
+      assert(withBloom > 0L) // non-vacuous: the graph has triangles
+    } finally spark.conf.unset("spark.graft.graph.triangleBloomMaxEdges")
+  }
+
   /** JVM peel: rounds of drop-degree-below-k over a doubled edge set. */
   private def jvmPeel(
       es: Set[(Long, Long)], k: Int,
