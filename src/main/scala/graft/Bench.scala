@@ -148,14 +148,28 @@ object Bench {
     // tolerates one. Reps are a measurement knob, not a semantics one:
     // the reported triple stays (median, min, max).
     val extraReps = Set("q52_kmeans_embeddings")
-    // JMH-style GC hygiene between measurement sets (untimed): a major
-    // collection of garbage left by the PREVIOUS query (or the untimed
-    // staging pass) otherwise lands inside one arbitrary timed rep and
-    // becomes that row's max — the recurring one-polluted-rep pattern in
-    // the recorded min–max bands (BenchWafer's isolated 12-rep band was
-    // ±7% while the same pipeline inside Bench swung ±50%+). The timed
-    // work is unchanged; this only moves collector debt off the timer.
-    def gcQuiesce(): Unit = { System.gc(); Thread.sleep(50) }
+    // GC quiesce between measurement sets: OFF by default since round
+    // 14. The round-13 "JMH-style hygiene" System.gc() before every
+    // measurement set was bisected as the cause of the r13 driver-bench
+    // regression (q47 7.5 s, q350 +94%, broad −20–34% on untouched rows
+    // at 32 cores; the 8-core control was clean). Same-box 32-core A/B,
+    // r14: with gc ON, every run carried a multi-minute ~2× degradation
+    // wave over an arbitrary stretch of the run (run A: heavy leg,
+    // q350 7.73 / q318 3.78; run A2: mid-headline, q47 3.11 / raw
+    // 16.29 — even the no-I/O calibration probes read 1.3–1.4 vs the
+    // calm 0.55–0.68); with gc OFF, back-to-back runs were calm end to
+    // end (raw 10.30 / 8.28, heavy 6.99 / 5.65, q350 1.70 / 1.41).
+    // Mechanism consistent with a full STW GC unloading generated
+    // classes + flushing their JIT-compiled code (each rep's codegen
+    // classes go unreachable after execution), leaving the next minutes
+    // partially interpreted — diffuse, position-random damage that
+    // scales with codegen churn, exactly what the traces show. The env
+    // knob keeps the A/B reproducible; the timed work is identical
+    // either way.
+    val gcQuiesceOn =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "false").toBoolean
+    def gcQuiesce(): Unit =
+      if (gcQuiesceOn) { System.gc(); Thread.sleep(50) }
     def coldThenWarm(name: String): (Double, Double, Double, Double) = {
       gcQuiesce()
       val c = runOne(name)

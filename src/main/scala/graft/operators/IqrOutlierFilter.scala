@@ -78,8 +78,17 @@ object IqrOutlierFilter {
         df.filter(groupCols.map(col(_).isNotNull)
           .reduceOption(_ && _).getOrElse(lit(true)))
       else df
+    // default 100k since round 14 (was 1M): the driver's r13 bench
+    // measured the ≤1M driver-replay tier SLOWER than the distributed
+    // buffered aggregate at sf0.1's 600k-row lineitem (q22 0.81 → 1.14 s
+    // — a count probe plus a full projection collect per execution vs
+    // one 32-way percentile agg), and the same-box r14 A/B agrees
+    // (local 1.02–1.15 vs probe+buffered 0.86–0.95 isolated warm). At
+    // 100k the replay keeps its real wins (the wafer pipeline's 64k-row
+    // IQR stages) and stops adding driver collects to inputs that are
+    // comfortably distributed work.
     val localLimit = df.sparkSession.conf
-      .get("spark.graft.iqr.localLimit", "1000000").toLong
+      .get("spark.graft.iqr.localLimit", "100000").toLong
     // approx mode never dispatches: replaying a t-digest sketch
     // bit-identically is not tractable, and approx IS the 100 TB path.
     // An Int.MaxValue-ish limit routes distributed like the <=0 opt-out

@@ -49,18 +49,24 @@ object ZOrderLayout {
 
   private val qs63 = (1 to 63).map(i => i / 64.0).mkString(", ")
 
-  /** (a, b, z, k) keyed frame from two integer key expressions mod 1024,
-    * localCheckpointed — the boundary agg and both layout folds read it.
+  /** (a, b, z, k) keyed frame from two integer key expressions mod 1024.
     * `pmod`, not `%`: Spark's `%` is sign-preserving, and a negative
     * a/b would sign-extend through morton10's shifts and alias k cells
     * (a=1,b=-1 collides with a=0,b=1023) — pmod pins a,b ∈ [0,1024) for
     * ANY integer key expression, keeping (a,b) ↔ z ↔ k bijective.
+    *
+    * NOT checkpointed (round 14, guide §2.4): [[scoreExact]] reads the
+    * keyed stream exactly ONCE (straight into the bounded-histogram
+    * agg), so the old eager localCheckpoint here was a full extra
+    * materialization pass — a data-sized cache write + read bought
+    * nothing. The entries that DO re-read the stream ([[scoreSketch]]'s
+    * boundary agg + histogram, [[score]]'s dispatch count) checkpoint
+    * internally.
     */
   def keyed(df: DataFrame, aExpr: String, bExpr: String): DataFrame =
     df.select(expr(s"pmod($aExpr, 1024)").as("a"), expr(s"pmod($bExpr, 1024)").as("b"))
       .withColumn("z", expr(morton10("a", "b")))
       .withColumn("k", col("a") * 1024 + col("b"))
-      .localCheckpoint()
 
   /** The shared bounded histogram: one `groupBy(a, b, z, k)` count —
     * ≤2²⁰ rows by the mod-1024 key construction, CONSTANT in data
@@ -194,12 +200,19 @@ object ZOrderLayout {
     * n/64 ± (n/500 + 8) for ALL 64 slabs — the count(*)=64 conjunct
     * catches empty slabs from degenerate duplicate boundaries).
     */
-  def scoreSketch(keyed: DataFrame): DataFrame = {
+  def scoreSketch(keyed: DataFrame): DataFrame = sketchOn(keyed.localCheckpoint())
+
+  /** [[scoreSketch]] body over an already-pinned keyed frame — split out
+    * so [[score]]'s dispatch can reuse ITS checkpoint without paying a
+    * second materialization.
+    */
+  private def sketchOn(keyed: DataFrame): DataFrame = {
     // the boundary agg stays on the RAW stream — the mergeable-t-digest
     // single pass is the point of the sketch form; the slab folds ride
     // the bounded histogram (pop = Σ __c is exactly the raw per-slab
     // count), so the data is read twice total instead of three times
-    // and the folds stay ≤2²⁰ rows at any scale.
+    // and the folds stay ≤2²⁰ rows at any scale. The keyed input is
+    // checkpointed by the public entries (this body reads it twice).
     val row = keyed.agg(
       expr(s"approx_percentile(z, array($qs63), 10000)").as("zb"),
       expr(s"approx_percentile(k, array($qs63), 10000)").as("kb"),
@@ -234,9 +247,12 @@ object ZOrderLayout {
       if (exactLimit >= 0) exactLimit
       else keyed.sparkSession.conf
         .get("spark.graft.layout.exactLimit", "10000000").toLong
+    // the dispatch count plus either branch reads the stream at least
+    // twice — pin it once here ([[keyed]] no longer checkpoints)
+    val kc = keyed.localCheckpoint()
     val out =
-      if (keyed.count() <= limit) scoreExact(keyed).withColumn("mode", lit("exact"))
-      else scoreSketch(keyed)
+      if (kc.count() <= limit) scoreExact(kc).withColumn("mode", lit("exact"))
+      else sketchOn(kc)
         .select(col("layout"), col("sum_area"), col("zorder_wins"))
         .withColumn("mode", lit("sketch"))
     out.orderBy("layout")

@@ -44,7 +44,10 @@ object PlanAudit {
           val p = df.queryExecution
             .explainString(ExplainMode.fromString("simple"))
           def n(pat: String): Int = pat.r.findAllIn(p).size
-          val exch = n("Exchange ")
+          // negative lookbehind: "BroadcastExchange " must not count as
+          // a shuffle exchange (ADVICE r13 — the bare pattern skewed the
+          // exchanges column and the MANY_EXCHANGES flag)
+          val exch = n("(?<!Broadcast)Exchange ")
           val single = n("Exchange SinglePartition")
           val bhj = n("BroadcastHashJoin")
           val smj = n("SortMergeJoin")

@@ -41,9 +41,16 @@ object PlanDump {
         case -1 => (namePart, namePart)
         case i  => (namePart.take(i), namePart.drop(i + 1))
       }
-      val overrides = confPart.split(',').filter(_.nonEmpty).map { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        k -> v
+      // guarded parse (ADVICE r13): a malformed token without '=' used
+      // to throw a MatchError outside the per-spec try, aborting every
+      // remaining dump — now it reports the bad token and skips it
+      val overrides = confPart.split(',').filter(_.nonEmpty).flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => Some(k -> v)
+          case _ =>
+            println(s"[plandump] bad conf token '$kv' in spec '$spec' — skipped")
+            None
+        }
       }.toSeq
       val saved = overrides.map { case (k, _) =>
         k -> scala.util.Try(spark.conf.get(k)).toOption
