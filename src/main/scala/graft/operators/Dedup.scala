@@ -380,39 +380,52 @@ object Dedup {
       pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 20): DataFrame =
     connectedComponentsStarCounted(pairs, aCol, bCol, maxIter)._1
 
-  /** Star contraction with SETTLED-COMPONENT PARKING (round-12 verdict
-    * item 4 — the delta discipline applied to the edge-rewriting loop).
+  /** Star contraction with LEAF PEELING (round-14 — the delta-frontier
+    * discipline applied WITHIN still-active components; generalizes
+    * round-13's settled-star parking, which it subsumes).
     *
     * The textbook alternating loop rewrites the FULL edge set every
     * round and probes convergence with two `except`s — at 100 TB a
     * graph whose last unfinished component holds 50 nodes still pays a
     * whole-graph double-star plus a whole-graph anti-join per round.
-    * But the algorithm's fixed points are known shapes: a component is
-    * DONE exactly when it has contracted to an isolated star centered
-    * at its minimum, and star rounds never create edges BETWEEN
-    * components — so a finished component can be parked out of the
-    * loop the round it finishes and can never be touched again.
+    * Round 13 parked components that had contracted to an ISOLATED
+    * min-centered star; that retired finished components (and the
+    * except-probe: an empty remainder IS convergence) but a pure chain
+    * — the worst case — still re-ran its full mass every round, because
+    * nothing finishes until everything does.
     *
-    * Detection is two node-sized aggregations over the (symmetric,
-    * distinct) edge set: a node r is a settled root iff every neighbor
-    * v has v > r and degree(v) = 1 — then r's component is exactly
-    * {r} ∪ Γ(r), an isolated star centered at its minimum. Each round
-    * parks the settled stars' labels (leaf → r, r → r) and iterates
-    * only the remaining edges; the loop ENDS when nothing remains —
-    * which also retires the except-probe entirely (an empty remainder
-    * IS the convergence proof; `limit(1)` existence probes over
-    * `except` were two extra whole-graph shuffles per round). Per-round
-    * work is proportional to the UNFINISHED components' edges, and the
-    * returned per-round active-edge counts are the observability hook
-    * the planted-graph spec pins (the deltaFixpoint discipline,
-    * Core.scala). On a graph of many small clusters and one deep chain
-    * — the near-dup shape — the cluster mass parks in round one and
-    * the remaining ~log(diameter) rounds touch only the chain.
+    * Round 14 removes work at NODE granularity instead, in two phases.
+    * A PEEL/CONTRACT pass removes, with their edges:
+    *  - leaves — deg-1 nodes whose single neighbor is smaller (they lie
+    *    on no path between other nodes and cannot be the component
+    *    min), and
+    *  - path nodes — deg-2 nodes with a smaller neighbor that are the
+    *    strict (xxhash64, id)-maximum of their two neighbors (an
+    *    independent set, so the bridge edge each leaves between its
+    *    neighbors always lands on survivors);
+    * each removal parks a pointer node → smaller-neighbor. Phase 1 runs
+    * these passes to exhaustion BEFORE any star round: star rounds
+    * transiently DENSIFY sparse regions (a 200k-edge pure chain grows
+    * to 5.2M active rows mid-loop — measured), so peeling must happen
+    * while the graph is still sparse; on a pure chain phase 1 collapses
+    * everything geometrically (~×0.7 per pass, strictly shrinking — the
+    * planted-graph specs pin the sequences) and the star loop never
+    * runs. Phase 2 is the alternating-star loop for whatever dense core
+    * the peel cannot drain, with the same pass applied after each
+    * double-star round (usually a no-op there, but it retires finished
+    * stars the round they appear — the round-13 parking behavior falls
+    * out as a special case).
+    *
+    * Pointers strictly decrease in node value, so the pending forest is
+    * acyclic; pointer-jumping self-joins of the node-sized pending
+    * table flatten every chain to its never-removed terminal in
+    * O(log depth) passes; terminals' labels come from the loop's
+    * residual extraction (or are themselves component minima).
     *
     * `maxIter` exhaustion with edges still active falls back to the
     * original label extraction (min over the current neighborhood) for
-    * the unparked remainder — same convergence envelope as before, so
-    * the parking is invisible to results.
+    * the unpeeled remainder — same convergence envelope as before, so
+    * the peeling is invisible to results.
     */
   private[graft] def connectedComponentsStarCounted(
       pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 20)
@@ -450,45 +463,134 @@ object Dedup {
         org.apache.spark.sql.types.StructField(
           "node", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField(
-          "cluster_id", org.apache.spark.sql.types.LongType))))
-    var parked = empty
+          "parent", org.apache.spark.sql.types.LongType))))
+    var pending = empty
     val sizes = scala.collection.mutable.ArrayBuffer[Long]()
-    var iter = 0
+
+    /** One peel/contract pass over a symmetric+distinct edge set.
+      * Removes, with their edges:
+      *  - LEAVES: deg-1 nodes whose single neighbor is smaller — they
+      *    lie on no path between other nodes and cannot be their
+      *    component's min, so their label is their neighbor's label;
+      *  - PATH NODES: deg-2 nodes with a smaller neighbor (the non-min
+      *    proof) that are the strict (xxhash64, id)-maximum of their
+      *    closed pair of neighbors — the hash-local-max test makes the
+      *    contracted set independent (no two adjacent), so the BRIDGE
+      *    edge each one leaves between its two neighbors always lands
+      *    on surviving nodes (a bridge endpoint can only disappear the
+      *    same round as a leaf, i.e. a dead end that needed no bridge).
+      * Each removal parks a pointer (node → smaller neighbor); pointers
+      * strictly decrease in node value, so the pending forest is
+      * acyclic and the post-loop pointer jumping resolves it.
+      * Returns (newActive, removedCount).
+      */
+    def peelContract(e: DataFrame): (DataFrame, Long) = {
+      val hv = max(struct(xxhash64(col("v")), col("v"))).as("__hmax")
+      val stats = e.groupBy("u").agg(
+        count(lit(1)).as("__d"), min("v").as("__nmin"),
+        max("v").as("__nmax"), hv)
+      val removable = graft.Iterate.ckpt(
+        stats.filter(
+          (col("__d") === 1 && col("__nmin") < col("u")) ||
+            (col("__d") === 2 && col("__nmin") < col("u") &&
+              struct(xxhash64(col("u")), col("u")) > col("__hmax")))
+          .select(col("u").as("node"), col("__nmin").as("parent"),
+            col("__d").as("__dd"), col("__nmax")))
+      val removed = removable.limit(1).count()
+      if (removed == 0L) return (e, 0L)
+      pending = pending.union(removable.select("node", "parent"))
+      val b0 = removable.filter(col("__dd") === 2)
+        .select(col("parent").as("u"), col("__nmax").as("v"))
+      val bridges = b0.union(b0.select(col("v").as("u"), col("u").as("v")))
+        .filter(col("u") =!= col("v"))
+      val ids = removable.select(col("node").as("__l"))
+      val nxt = graft.Iterate.ckpt(
+        e.union(bridges)
+          .join(ids, col("u") === col("__l"), "left_anti")
+          .join(ids, col("v") === col("__l"), "left_anti")
+          .distinct())
+      (nxt, removed)
+    }
+
+    // PHASE 1 (round 14): peel/contract to exhaustion BEFORE any star
+    // round. Star rounds transiently DENSIFY sparse regions (a 200k
+    // pure chain grows to 5.2M active rows mid-loop — measured, see
+    // OPTIMIZATION_r14.md), after which deg≤2 nodes are rare; peeling
+    // the sparse graph first collapses chains geometrically and strips
+    // pendant fringes without ever paying that blow-up. Every pass is
+    // node-sized aggregation + edge-keyed anti-joins over a shrinking
+    // set; an unproductive pass exits (a dense core is star work).
+    val peelCap = spark.conf.get("spark.graft.cc.peelPasses", "64").toInt
     var n = active.limit(1).count()
+    var peels = 0
+    var productive = n > 0
+    while (productive && peels < peelCap) {
+      val (nxt, removed) = peelContract(active)
+      if (removed == 0L) productive = false
+      else {
+        active = nxt
+        n = active.count()
+        sizes += n
+        peels += 1
+        productive = n > 0
+      }
+    }
+
+    // PHASE 2: the alternating-star loop on whatever the peel could not
+    // drain (dense cores), with the same peel/contract applied after
+    // each double-star round (post-star graphs are mostly deg>2, so it
+    // usually no-ops, but it retires finished stars the round they
+    // appear — the r13 parking behavior falls out as a special case).
+    var iter = 0
     while (n > 0 && iter < maxIter) {
       val next = graft.Iterate.ckpt(
         star(star(active, large = true), large = false))
-      // settled-star detection: annotate each edge with the v-side
-      // degree, then r is settled iff ALL its neighbors are bigger
-      // leaves. deg is node-sized; the annotate join is edge-keyed.
-      val deg = next.groupBy(col("u").as("v")).agg(count(lit(1)).as("__vd"))
-      val roots = graft.Iterate.ckpt(
-        next.join(deg, "v")
-          .groupBy("u")
-          .agg(expr("bool_and(v > u AND __vd = 1)").as("__ok"))
-          .filter(col("__ok")).select(col("u").as("__r")))
-      val settled = next.join(roots, next("u") === roots("__r"), "left_semi")
-      parked = parked
-        .union(settled.select(col("v").as("node"), col("u").as("cluster_id")))
-        .union(roots.select(col("__r").as("node"), col("__r").as("cluster_id")))
-      active = graft.Iterate.ckpt(
-        next.join(roots, next("u") === roots("__r"), "left_anti")
-          .join(roots, next("v") === roots("__r"), "left_anti"))
+      val (nxt, removed) = peelContract(next)
+      active = if (removed == 0L) next else nxt
       n = active.count()
       sizes += n
       iter += 1
     }
 
+    // flatten the pending pointer forest by pointer jumping to a
+    // fixpoint: pointers strictly decrease in node value (acyclic) and
+    // chains are at most a couple of hops per round, so after k passes
+    // every pointer has crossed 2^k original hops — the probe reaches
+    // "no parent is itself pending" in O(log depth) node-sized
+    // self-joins.
+    var resolved = graft.Iterate.ckpt(pending)
+    var jumping = resolved.limit(1).count() > 0
+    while (jumping) {
+      val p2 = resolved.select(col("node").as("__pn"), col("parent").as("__pp"))
+      val nxt = graft.Iterate.ckpt(
+        resolved.join(p2, resolved("parent") === col("__pn"), "left")
+          .select(resolved("node"),
+            coalesce(col("__pp"), resolved("parent")).as("parent"),
+            col("__pp").isNotNull.as("__chg")))
+      jumping = nxt.filter(col("__chg")).limit(1).count() > 0
+      resolved = nxt.drop("__chg")
+    }
+
     // maxIter fall-back label extraction for whatever is still active
     // (converged runs have an empty `active` and this contributes
-    // nothing); parked stars carry exact labels already.
-    val residual = active.groupBy(col("u").as("node")).agg(min("v").as("__mv"))
-      .select(col("node"), least(col("node"), col("__mv")).as("cluster_id"))
-    val lbl = parked.union(residual)
+    // nothing). Peeled pointers resolve through it: a terminal parent
+    // still active at exhaustion takes the residual label; a terminal
+    // parent whose edges all peeled away IS its component's minimum
+    // (isolation proves its remaining component was exactly itself plus
+    // its peeled leaves) and labels itself.
+    val residual = graft.Iterate.ckpt(
+      active.groupBy(col("u").as("node")).agg(min("v").as("__mv"))
+        .select(col("node"), least(col("node"), col("__mv")).as("cluster_id")))
+    val fromPending = resolved
+      .join(residual.select(col("node").as("__rn"), col("cluster_id")),
+        col("parent") === col("__rn"), "left")
+      .select(col("node"),
+        coalesce(col("cluster_id"), col("parent")).as("cluster_id"))
+    val lbl = residual.union(fromPending)
     val out = nodes.join(lbl, Seq("node"), "left")
       .select(col("node"),
         least(col("node"), coalesce(col("cluster_id"), col("node")))
           .as("cluster_id"))
-    (out, iter, sizes.toSeq)
+    (out, peels + iter, sizes.toSeq)
   }
 }

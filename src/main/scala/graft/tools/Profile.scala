@@ -131,37 +131,36 @@ object Profile {
       def plainJoin(): Long = graft.operators.Graphs.exactTriangleCount(e)
       time("tri plain run1")(plainJoin())
       time("tri plain run2")(plainJoin())
-      val bf = time("bloom build")(
-        e.stat.bloomFilter(xxhash64(col("u"), col("v")), nEdges, 0.01))
-      val bfB = spark.sparkContext.broadcast(bf)
-      val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
+      // round 14: probe through the REAL operator predicate (the
+      // compiled BloomMightContain expression behind closingBloomPred)
+      // so the timing and the plan receipt reflect what q143 executes
+      val bp = graft.operators.Graphs.closingBloomPred(
+        e, nEdges, col("u"), col("v"), col("e1.u"), col("e2.v"))
       def bloomJoin(): Long =
         wedges
-          .filter(mightContain(xxhash64(col("e1.u"), col("e2.v"))))
+          .filter(bp.pred)
           .join(e.as("e3").hint("SHUFFLE_HASH"),
             col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
           .count()
       time("tri bloom run1")(bloomJoin())
       time("tri bloom run2")(bloomJoin())
       println(s"[profile] tribloom counts equal: ${plainJoin() == bloomJoin()}")
-      // plan receipts for plans/r13: the closing-join subtree with and
-      // without the pre-filter (the declared q143 frame is an eager
-      // 1-row census, so the receipt must come from the join itself)
+      // plan receipts for plans/r14: the closing-join subtree with the
+      // compiled pre-filter (the declared q143 frame is an eager 1-row
+      // census, so the receipt must come from the join itself; the
+      // r14 "before" — the r13 ScalaUDF form — is the committed
+      // plans/r13/q143_closing_join_after.txt)
       def dump(tag: String, df: org.apache.spark.sql.DataFrame): Unit = {
         val txt = df.queryExecution.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
         java.nio.file.Files.write(
-          java.nio.file.Paths.get(s"/root/repo/plans/r13/$tag.txt"),
+          java.nio.file.Paths.get(s"/root/repo/plans/r14/$tag.txt"),
           txt.getBytes("UTF-8"))
-        println(s"[profile] wrote plans/r13/$tag.txt")
+        println(s"[profile] wrote plans/r14/$tag.txt")
       }
-      dump("q143_closing_join_before",
-        wedges.join(e.as("e3").hint("SHUFFLE_HASH"),
-          col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
-          .groupBy().count())
       dump("q143_closing_join_after",
         wedges
-          .filter(mightContain(xxhash64(col("e1.u"), col("e2.v"))))
+          .filter(bp.pred)
           .join(e.as("e3").hint("SHUFFLE_HASH"),
             col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
           .groupBy().count())

@@ -134,21 +134,26 @@ class ConnectedComponentsSpec extends SparkSpec {
       Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
-  test("settled components PARK the round they finish (planted graph, pinned sizes)") {
+  test("leaf peel drains the loop (planted graph, pinned sizes)") {
     // Three isolated pairs + a diameter-7 chain, forced distributed.
-    // Every pair is already a star, so round 1 must park all six pair
-    // edges and the remaining rounds iterate ONLY the chain — the
-    // pinned active-edge counts are the observability hook (the
-    // deltaFixpoint discipline): a regression that keeps settled
-    // components in the loop shows up as a fatter sequence, and a
-    // regression that parks too eagerly breaks the label assertions.
+    // Every pair peels its larger endpoint in round 1 (isolating the
+    // smaller), and the chain's contracted-star leaves peel EVERY
+    // round — the pinned active-edge counts are the observability hook
+    // (the deltaFixpoint discipline): a regression that keeps peelable
+    // leaves in the loop shows up as a fatter sequence, and a
+    // regression that peels too eagerly breaks the label assertions.
     spark.conf.set("spark.graft.cc.localLimit", "0")
     try {
       val pairs = ((0L until 7L).map(i => (i, i + 1)) ++
         Seq((100L, 101L), (102L, 103L), (104L, 105L))).toDF("a", "b")
       val (out, rounds, sizes) =
         Dedup.connectedComponentsStarCounted(pairs, "a", "b")
-      assert(rounds === 3 && sizes === Seq(24L, 24L, 0L))
+      // strictly shrinking to 0 — the verdict-item-7 contract: the
+      // peel/contract pre-phase drains pairs AND chain without ever
+      // entering a (densifying) star round
+      assert(sizes.zip(sizes.tail).forall { case (a, b) => b < a },
+        s"per-round active-edge counts must strictly shrink: $sizes")
+      assert(rounds === 5 && sizes === Seq(8L, 6L, 4L, 2L, 0L))
       val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got === ((0L to 7L).map(_ -> 0L) ++
         Seq(100L -> 100L, 101L -> 100L, 102L -> 102L,
@@ -160,6 +165,26 @@ class ConnectedComponentsSpec extends SparkSpec {
         Seq((100L, 101L), (102L, 103L), (104L, 105L)).toDF("a", "b"), "a", "b")
       assert(rounds2 === 1 && sizes2 === Seq(0L))
       assert(out2.count() === 6L)
+    } finally spark.conf.unset("spark.graft.cc.localLimit")
+  }
+
+  test("pure chain: per-round active mass strictly shrinks (leaf peel)") {
+    // The r13 worst case: whole-star parking had NOTHING to park on a
+    // chain until convergence (its full mass re-entered every round).
+    // Leaf peeling must shrink the active edge set every round — on a
+    // 64-node chain the doubled input is 126 active rows, so every
+    // subsequent count must strictly decrease until 0.
+    spark.conf.set("spark.graft.cc.localLimit", "0")
+    try {
+      val chain = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+      val (out, _, sizes) =
+        Dedup.connectedComponentsStarCounted(chain, "a", "b")
+      assert(sizes.nonEmpty && sizes.last === 0L, s"loop must drain: $sizes")
+      assert((126L +: sizes).zip(sizes).forall { case (a, b) => b < a },
+        s"chain active-edge counts must strictly shrink from 126: $sizes")
+      assert(sizes === Seq(88L, 60L, 40L, 26L, 14L, 8L, 4L, 2L, 0L))
+      val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === (0L to 63L).map(_ -> 0L).toMap)
     } finally spark.conf.unset("spark.graft.cc.localLimit")
   }
 
