@@ -219,17 +219,27 @@ object Graphs {
       if (sampleMod > 0) sampleMod
       else s.conf.get("spark.graft.graph.sampleMod",
         defaultSampleMod.toString).toInt
-    val mass = wedgeMass(e)
-    // edges counted BEFORE the triangle join so the bloom pre-filter
-    // inside exactTriangleCount sizes itself without a second count job
-    // (the census needed this count anyway)
-    val edges = e.count()
+    // Fused census pass (round 14, guide §2.4): n_nodes, n_edges and
+    // the wedge mass are all moments of ONE degree table — every node
+    // appears as `u` in the doubled edge set, so count(deg) = |V|;
+    // the input is a distinct u<v pair list with no self-loops, so
+    // Σ deg = 2|E| exactly; Σ deg² is the wedge mass. One keyed agg +
+    // one scalar agg replace the r13 census's three separate full-edge
+    // passes (wedgeMass agg, e.count, union+distinct node count). The
+    // edge count still reaches exactTriangleCount so the bloom
+    // pre-filter sizes itself without its own count job.
+    val deg = doubled(e).groupBy("u").agg(count(lit(1)).as("dg"))
+    val census = deg.agg(
+      count(lit(1)).as("n"),
+      sum(col("dg")).as("sd"),
+      sum(col("dg") * col("dg")).as("m")).first()
+    val nodes = census.getLong(0)
+    val edges = Option(census.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L) / 2
+    val mass = Option(census.get(2)).map(_.asInstanceOf[Long]).getOrElse(0L)
     val tri =
       if (mass <= limit) exactTriangleCount(e, knownEdgeCount = edges)
       else exactTriangleCount(sampleEdges(e, p).localCheckpoint()) *
         p.toLong * p * p
-    val nodes = e.select(col("u").as("n"))
-      .unionAll(e.select(col("v").as("n"))).distinct().count()
     import s.implicits._
     Seq((nodes, edges, tri)).toDF("n_nodes", "n_edges", "n_triangles")
   }

@@ -464,9 +464,15 @@ object Training9 {
           graft.operators.LinkPrediction.defaultWedgeMassLimit.toString).toLong
         val p = s.conf.get("spark.graft.graph.sampleMod",
           graft.operators.Graphs.defaultSampleMod.toString).toInt
-        // n_edges counted up front so the bloom pre-filter sizes itself
-        // without a second count job (the output needed it anyway)
-        val nEdges = de.count()
+        // Fused out-degree pass (round 14, guide §2.4 — the q143 census
+        // discipline): n_edges = Σ out-deg and max_outdeg are two
+        // moments of ONE groupBy(s) aggregate, replacing the separate
+        // de.count() job; n_edges still reaches the bloom pre-filter so
+        // it sizes itself without its own count job.
+        val odRow = de.groupBy("s").agg(count(lit(1)).as("od"))
+          .agg(max("od").as("m"), sum("od").as("ne")).collect().head
+        val maxOut = Option(odRow.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+        val nEdges = Option(odRow.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
         val tri =
           if (graft.operators.Graphs.wedgeMass(e) <= limit) wedgeCount(de, nEdges)
           else {
@@ -474,8 +480,6 @@ object Training9 {
               graft.operators.Graphs.sampleEdges(e, p).localCheckpoint())
             wedgeCount(sde, sde.count()) * p.toLong * p * p
           }
-        val maxOut = de.groupBy("s").agg(count(lit(1)).as("od"))
-          .agg(max("od").as("m")).collect().head.getAs[Long]("m")
         import s.implicits._
         Seq((nEdges, tri, maxOut))
           .toDF("n_edges", "n_triangles", "max_outdeg")
